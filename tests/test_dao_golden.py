@@ -1,0 +1,155 @@
+"""Golden-output tests mirroring the reference's test suite 1:1
+(reference ballcone/test_dao.py; expected values in FIXTURES.md §1.2)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from tests.conftest import DAY1, DAY2, GOLDEN_ENTRIES
+
+BEFORE = datetime.date(2019, 12, 31)
+AFTER = datetime.date(2020, 1, 3)
+
+
+def test_database_size(dao):
+    # empty warehouse ≈ 0 bytes of data (reference test_dao.py:50-51)
+    assert dao.size() >= 0
+    assert dao.tables() == []
+
+
+def test_create_and_drop_table(dao):
+    # reference test_dao.py:53-69
+    assert not dao.table_exists("test")
+    dao.create_table("test")
+    assert dao.table_exists("test")
+    assert dao.tables() == ["test"]
+    dao.drop_table("test")
+    assert not dao.table_exists("test")
+    with pytest.raises(ValueError):
+        dao.create_table("bad-name!")
+
+
+def test_insert_into(dao):
+    # reference test_dao.py:71-78
+    dao.insert_into("test", GOLDEN_ENTRIES[0])
+    rows = dao.select("test")
+    assert len(rows) == 1
+    assert rows[0]["path"] == "/"
+    assert rows[0]["status"] == 200
+
+
+def test_batch_insert_round_trip(seeded_dao):
+    # reference test_dao.py:80-89 — round-trip equality pins marshalling
+    rows = seeded_dao.select("test")
+    assert len(rows) == 4
+    got = [r.asDict() for r in rows]
+    for g, e in zip(got, GOLDEN_ENTRIES):
+        assert g == e
+
+
+def test_select_date_bounds(seeded_dao):
+    # reference test_dao.py:107-125 — inclusive bounds on CAST(datetime AS DATE)
+    assert len(seeded_dao.select("test")) == 4
+    assert seeded_dao.select("test", stop=BEFORE) == []
+    assert len(seeded_dao.select("test", stop=DAY1)) == 2
+    assert len(seeded_dao.select("test", start=DAY1, stop=DAY1)) == 2
+    assert len(seeded_dao.select("test", start=DAY2)) == 2
+    assert seeded_dao.select("test", start=AFTER) == []
+    # limit → TakeOrderedAndProject; order by datetime
+    limited = seeded_dao.select("test", limit=3)
+    assert [r["datetime"] for r in limited] == sorted(
+        e["datetime"] for e in GOLDEN_ENTRIES
+    )[:3]
+
+
+def test_select_average(seeded_dao):
+    # reference test_dao.py:127-170 — avg 0.055 day1, 0.505 day2
+    result = seeded_dao.select_average("test", "generation_time")
+    assert result.table == "test"
+    assert result.field == "generation_time"
+    assert len(result.elements) == 2
+    d1, d2 = result.elements
+    assert d1.date == DAY1 and d1.count == 2
+    assert d1.avg == pytest.approx(0.055)
+    assert d1.sum == pytest.approx(0.11)
+    assert d2.date == DAY2 and d2.count == 2
+    assert d2.avg == pytest.approx(0.505)
+    assert d2.sum == pytest.approx(1.01)
+    # date-bounded
+    only1 = seeded_dao.select_average("test", "generation_time", stop=DAY1)
+    assert [e.date for e in only1.elements] == [DAY1]
+
+
+def test_select_count(seeded_dao):
+    # reference test_dao.py:172-225 — 2 visits/day; 1 unique ip/day
+    visits = seeded_dao.select_count("test")
+    assert visits.field is None and not visits.distinct
+    assert [(e.date, e.count) for e in visits.elements] == [(DAY1, 2), (DAY2, 2)]
+    uniq = seeded_dao.select_count("test", field="ip")
+    assert uniq.field == "ip" and uniq.distinct
+    assert [(e.date, e.count) for e in uniq.elements] == [(DAY1, 1), (DAY2, 1)]
+    bounded = seeded_dao.select_count("test", start=DAY2)
+    assert [(e.date, e.count) for e in bounded.elements] == [(DAY2, 2)]
+
+
+def test_select_count_group(seeded_dao):
+    # reference test_dao.py:227-286 — count of ip per platform_name;
+    # day1 ties on count=1 break by group ascending: Linux, Mac OS
+    result = seeded_dao.select_count_group("test", field="ip", group="platform_name")
+    assert result.group == "platform_name"
+    assert result.ascending is True and result.distinct is False
+    assert [(e.date, e.group, e.count) for e in result.elements] == [
+        (DAY1, "Linux", 1),
+        (DAY1, "Mac OS", 1),
+        (DAY2, "iOS", 2),
+    ]
+
+
+def test_select_count_group_topn_desc(seeded_dao):
+    # the window top-N path the reference leaves untested (SURVEY.md §5):
+    # top-1 path per day by visits, descending
+    result = seeded_dao.select_count_group(
+        "test", field=None, group="path", ascending=False, limit=1
+    )
+    # day1: "/" and "/robots.txt" both count 1 → tie-break group asc → "/"
+    # day2: "/" and "/post" both count 1 → "/"
+    assert [(e.date, e.group, e.count) for e in result.elements] == [
+        (DAY1, "/", 1),
+        (DAY2, "/", 1),
+    ]
+
+
+def test_select_count_group_distinct(seeded_dao):
+    # distinct=True in Q5 (untested in the reference)
+    result = seeded_dao.select_count_group(
+        "test", field="ip", group="platform_name", distinct=True
+    )
+    assert [(e.date, e.group, e.count) for e in result.elements] == [
+        (DAY1, "Linux", 1),
+        (DAY1, "Mac OS", 1),
+        (DAY2, "iOS", 1),
+    ]
+
+
+def test_sql_console(seeded_dao):
+    # reference test_dao.py:288-290 (error path) + Q6 passthrough
+    seeded_dao.register_views()
+    df = seeded_dao.run(
+        "SELECT count(*) AS n FROM access_log WHERE service = 'test'"
+    )
+    assert df.collect()[0]["n"] == 4
+    _, err = seeded_dao.run_safe("SELECT * FROM nonexistent_xyz")
+    assert err is not None
+
+
+def test_multi_service_isolation(dao):
+    dao.batch_insert_into("alpha", GOLDEN_ENTRIES[:2])
+    dao.batch_insert_into("beta", GOLDEN_ENTRIES[2:])
+    assert dao.tables() == ["alpha", "beta"]
+    assert len(dao.select("alpha")) == 2
+    assert len(dao.select("beta")) == 2
+    dao.drop_table("alpha")
+    assert dao.tables() == ["beta"]
+    assert len(dao.select("beta")) == 2
