@@ -1,0 +1,553 @@
+"""Driver-facing query catalog: every implemented operator from SURVEY.md §2
+as a ``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL
+string for differential checking.
+
+Two families:
+
+1. **Ballcone-shaped analytics** over the ``events`` table (the reference's
+   typed query layer Q2–Q5 / A1–A2, re-keyed onto
+   ``events(event_id, ts, user_id, event_type, value, props)`` —
+   ``ts``≈datetime, ``user_id``≈ip, ``event_type``≈path/browser,
+   ``value``≈generation_time). Expressed with the DataFrame API; Catalyst
+   plans partial aggregation below the shuffle, and the per-day top-N uses
+   the row_number window that Spark ≥3.5 rewrites to WindowGroupLimit.
+2. **TPC-H-style SQL** over the star schema through the raw-SQL surface
+   (the reference's Q6 console, reference ballcone/dao.py:344-352, makes
+   the whole SQL engine part of the API — joins/sorts/aggregates are
+   exercised here as SURVEY.md §2.4 prescribes).
+
+Float discipline: double aggregates are rounded to 4 decimals **in both**
+the Spark plan and the oracle SQL, so summation-order differences between
+engines (doubles are non-associative) cannot flip the value hash.
+
+Scale notes: every aggregate here is groupBy on low-cardinality keys
+(dates, flags, nations) → partial aggregation makes shuffle volume
+independent of fact-table size. Dimension tables (region, nation,
+customer, supplier, part) are broadcast — fact tables never shuffle for
+those joins; only fact-fact joins (orders⋈lineitem) shuffle, on their
+join key, and AQE handles skew. This is the plan shape that survives
+100 TB: scan → partial agg / broadcast probe → one shuffle → final agg.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections.abc import Callable
+from typing import NamedTuple, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["QUERIES", "QuerySpec", "load_table", "flagship"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer.
+    Spark's vectorized reader rejects nanos outright (PARQUET_TYPE_ILLEGAL);
+    we read them as long (legacy conf) and truncate to micros — the same
+    truncation DuckDB applies, so oracles agree."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_timestamp_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        # integer `div`, not `/`: ns values exceed 2^53, double division
+        # would round the last microsecond digit
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _register_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+class QuerySpec(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None → rows-only check
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _query(name: str, oracle: Optional[str], doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, doc or (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+_R4 = lambda c: F.round(c, 4)  # noqa: E731
+
+
+# --------------------------------------------------------------------- #
+# 1. ballcone-shaped analytics over `events`                            #
+# --------------------------------------------------------------------- #
+
+
+@_query(
+    "events_scan_window",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           round(value, 4) AS value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
+    ORDER BY ts, event_id LIMIT 100
+    """,
+)
+def events_scan_window(spark, sf_dir):
+    """Q2: ordered/limited scan with inclusive date bounds (reference
+    dao.py:236-249 + apply_dates dao.py:354-369). ts+event_id tie-break
+    makes the LIMIT deterministic. Plans as TakeOrderedAndProject — no
+    global sort materialized."""
+    df = _events(spark, sf_dir)
+    return (
+        df.where(
+            F.to_date("ts").between(
+                datetime.date(2024, 1, 5), datetime.date(2024, 1, 10)
+            )
+        )
+        .select("event_id", "ts", "user_id", "event_type", _R4("value").alias("value"))
+        .orderBy("ts", "event_id")
+        .limit(100)
+    )
+
+
+@_query(
+    "events_daily_avg",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           round(avg(value), 4) AS average,
+           round(coalesce(sum(value), 0.0), 4) AS sum,
+           count(value) AS count
+    FROM events GROUP BY date ORDER BY date
+    """,
+)
+def events_daily_avg(spark, sf_dir):
+    """Q3: daily AVG/SUM/COUNT of a double field (reference dao.py:251-275,
+    incl. the sum-coalesce-to-0.0 rule at dao.py:271)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            _R4(F.avg("value")).alias("average"),
+            _R4(F.coalesce(F.sum("value"), F.lit(0.0))).alias("sum"),
+            F.count("value").alias("count"),
+        )
+        .orderBy("date")
+    )
+
+
+@_query(
+    "events_daily_visits",
+    """
+    SELECT CAST(ts AS DATE) AS date, count(*) AS count
+    FROM events GROUP BY date ORDER BY date
+    """,
+)
+def events_daily_visits(spark, sf_dir):
+    """Q4 (no field): visits per day (reference dao.py:277-301)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("date")
+    )
+
+
+@_query(
+    "events_daily_unique_users",
+    """
+    SELECT CAST(ts AS DATE) AS date, count(DISTINCT user_id) AS count
+    FROM events GROUP BY date ORDER BY date
+    """,
+)
+def events_daily_unique_users(spark, sf_dir):
+    """Q4 (field=user_id): exact uniques per day (reference dao.py:284-285
+    turns DISTINCT on whenever a field is given)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count_distinct("user_id").alias("count"))
+        .orderBy("date")
+    )
+
+
+@_query(
+    "events_top_types_daily",
+    """
+    WITH counted AS (
+        SELECT CAST(ts AS DATE) AS date, event_type AS grp,
+               count(DISTINCT user_id) AS count
+        FROM events GROUP BY date, grp
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY date ORDER BY count DESC, grp
+        ) AS rn FROM counted
+    )
+    SELECT date, grp, count FROM ranked WHERE rn <= 3
+    ORDER BY date, count DESC, grp
+    """,
+)
+def events_top_types_daily(spark, sf_dir):
+    """Q5 with limit: per-day top-3 event types by distinct users,
+    descending, ties broken by group ascending (reference dao.py:303-342;
+    ordering pinned at dao.py:317-330). The row_number window over a
+    pre-aggregated frame is rewritten by Spark to WindowGroupLimit."""
+    counted = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"), F.col("event_type").alias("grp"))
+        .agg(F.count_distinct("user_id").alias("count"))
+    )
+    w = Window.partitionBy("date").orderBy(
+        F.col("count").desc(), F.col("grp").asc_nulls_last()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy(F.col("date"), F.col("count").desc(), F.col("grp").asc_nulls_last())
+    )
+
+
+@_query(
+    "events_type_counts",
+    """
+    SELECT CAST(ts AS DATE) AS date, event_type AS grp, count(*) AS count
+    FROM events GROUP BY date, grp ORDER BY date, count, grp
+    """,
+)
+def events_type_counts(spark, sf_dir):
+    """Q5 without limit, ascending (the reference default, dao.py:305):
+    per-day per-type visit counts."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"), F.col("event_type").alias("grp"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("date", "count", F.col("grp").asc_nulls_last())
+    )
+
+
+@_query(
+    "events_dashboard",
+    """
+    SELECT event_type AS service, count(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY service ORDER BY unique_users DESC, service
+    """,
+)
+def events_dashboard(spark, sf_dir):
+    """A1 dashboard: uniques per service in one aggregate over the unified
+    table (reference web_ballcone.py:24-44 issues N per-table queries; one
+    groupBy is the Spark-first replacement — SURVEY.md §2.3)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("service"))
+        .agg(F.count_distinct("user_id").alias("unique_users"))
+        .orderBy(F.col("unique_users").desc(), "service")
+    )
+
+
+@_query(
+    "events_overview",
+    """
+    SELECT CAST(ts AS DATE) AS date, count(*) AS visits,
+           count(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY date ORDER BY date
+    """,
+)
+def events_overview(spark, sf_dir):
+    """A2 overview pivot: visits + uniques per day in ONE pass (the
+    reference merges two separate queries in Python,
+    web_ballcone.py:61-73)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.count("*").alias("visits"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+        .orderBy("date")
+    )
+
+
+@_query(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS count, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY k_bucket ORDER BY k_bucket
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured path: extract a JSON field from ``props`` and
+    aggregate by it (the reference carries no JSON columns, but its nginx
+    payload is JSON — S2; this exercises from_json-adjacent plumbing
+    entirely JVM-side via get_json_object)."""
+    return (
+        _events(spark, sf_dir)
+        .withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("count"), _R4(F.avg("value")).alias("avg_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@_query(
+    "events_hourly_profile",
+    """
+    SELECT EXTRACT(hour FROM ts) AS hour, count(*) AS count,
+           count(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY hour ORDER BY hour
+    """,
+)
+def events_hourly_profile(spark, sf_dir):
+    """Beyond-reference time profile: traffic by hour of day (UTC)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count("*").alias("count"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+        .orderBy("hour")
+    )
+
+
+# --------------------------------------------------------------------- #
+# 2. TPC-H-style SQL through the raw-SQL surface (Q6)                   #
+# --------------------------------------------------------------------- #
+# Each runs the *same* text through spark.sql and DuckDB where the
+# dialects agree; Spark-side broadcast hints ride in comments DuckDB
+# ignores. Cited: raw SQL console behavior at reference dao.py:344-352 /
+# web_ballcone.py:130-155.
+
+
+def _sql_query(name: str, spark_sql: str, duck_sql: Optional[str] = None, doc: str = ""):
+    needed = [t for t in TABLES if t in spark_sql]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir, needed)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    QUERIES[name] = QuerySpec(fn, duck_sql or spark_sql, doc)
+    return fn
+
+
+_sql_query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                                       AS sum_qty,
+           round(sum(l_extendedprice), 4)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary: full-scan partial agg on 2 low-card keys.",
+)
+
+_sql_query(
+    "tpch_q3_unshipped_orders",
+    """
+    SELECT /*+ BROADCAST(customer) */
+           l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1997-06-01'
+      AND l.l_shipdate  > DATE '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, filter, agg, top-10. Customer is "
+    "broadcast (dimension); orders⋈lineitem shuffles on orderkey only.",
+)
+
+_sql_query(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT /*+ BROADCAST(nation, region, supplier, customer) */
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5 shape: 6-way snowflake join; all dims broadcast, one "
+    "fact-fact shuffle.",
+)
+
+_sql_query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure scan+filter+global agg — pushdown showcase.",
+)
+
+_sql_query(
+    "tpch_q10_returned_items",
+    """
+    SELECT /*+ BROADCAST(customer, nation) */
+           c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: who returned the most, top-20.",
+)
+
+_sql_query(
+    "tpch_q14_promo_effect",
+    """
+    SELECT /*+ BROADCAST(part) */
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast join.",
+)
+
+_sql_query(
+    "order_priority_pipeline",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join, priority counts.",
+)
+
+_sql_query(
+    "nation_customer_rollup",
+    """
+    SELECT /*+ BROADCAST(nation, region) */
+           r.r_name AS region, n.n_name AS nation,
+           count(*) AS customers, round(avg(c.c_acctbal), 4) AS avg_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+    doc="Snowflake dimension rollup: two broadcast joins, no fact shuffle.",
+)
+
+_sql_query(
+    "top_suppliers_by_revenue",
+    """
+    SELECT /*+ BROADCAST(supplier) */
+           s.s_suppkey, s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-07-01'
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY revenue DESC, s.s_suppkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q15 shape: top suppliers in a window.",
+)
+
+_sql_query(
+    "brand_quantity_stats",
+    """
+    SELECT /*+ BROADCAST(part) */
+           p.p_brand,
+           round(sum(l.l_quantity), 4) AS total_qty,
+           round(avg(l.l_quantity), 4) AS avg_qty,
+           count(DISTINCT l.l_orderkey) AS orders
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Brand-level stats: broadcast join + exact distinct on a fact key.",
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's smoke query: per-day top event types (Q5, the most
+    semantically loaded reference operator)."""
+    return events_top_types_daily(spark, sf_dir)
