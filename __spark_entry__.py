@@ -20,6 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ballcone_spark.queries import QUERIES, flagship  # noqa: E402
 
+# importing the operator modules registers their queries
+import ballcone_spark.operators.dedup  # noqa: E402,F401
+import ballcone_spark.operators.similarity  # noqa: E402,F401
+import ballcone_spark.operators.text_analysis  # noqa: E402,F401
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

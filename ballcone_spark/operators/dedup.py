@@ -1,0 +1,341 @@
+"""Deduplication operators over the ``documents`` table — exact, n-gram
+Jaccard, MinHash-LSH, SimHash. Beyond-reference (BASELINE.json north star:
+LLM-data-pipeline dedup at 100 TB scale).
+
+Scale design:
+
+- **Exact** dedup is a hash groupBy — one shuffle on a 32-hex key, partial
+  aggregation map-side. At 100 TB the md5 keys are ~uniform → no skew.
+- **n-gram Jaccard** uses the inverted-index self-join (explode shingles,
+  join on shingle, count shared) — never an O(n²) cross join. Shuffle is
+  on the shingle key; hot shingles (stopword trigrams) are the skew risk,
+  handled by AQE skew-join; at extreme scale drop top-frequency shingles
+  (a standard df-cut) — not needed at test SF.
+- **MinHash-LSH** is the linear-scale path: constant-size signature per
+  doc (16 hashes), band join on (band_idx, band_key) buckets, candidate
+  pairs verified with true Jaccard. Only near-identical docs collide, so
+  the pair join stays tiny regardless of corpus size.
+- **SimHash** gives a constant-size per-doc sketch; near-dup candidates
+  are equal-sketch groups (Hamming-0) — banding over sketch bytes extends
+  to Hamming-k.
+
+All hash functions are md5-derived (:func:`ballcone_spark.functions.text.hash32`)
+so the DuckDB oracle computes bit-identical sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballcone_spark.functions.text import fingerprint, shingles, tokens
+from ballcone_spark.queries import _query, load_table
+
+__all__ = [
+    "MINHASH_A",
+    "MINHASH_B",
+    "MINHASH_P",
+    "N_HASHES",
+    "N_BANDS",
+    "jaccard_pairs",
+    "minhash_signatures",
+]
+
+# Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod P over the
+# portable 32-bit base hash. Fixed literals shared with the oracle SQL.
+MINHASH_P = 2147483647  # 2^31 - 1
+N_HASHES = 16
+N_BANDS = 4  # 4 bands × 4 rows
+MINHASH_A = [((2 * i + 1) * 2654435761) % MINHASH_P for i in range(N_HASHES)]
+MINHASH_B = [(i * 40503 + 17) % MINHASH_P for i in range(N_HASHES)]
+
+_NGRAM = 3
+_JACCARD_THRESHOLD = 0.8
+
+# Shared DuckDB CTE fragments (kept in one place so every oracle uses the
+# identical tokenizer/shingler).
+_DUCK_SHINGLES = f"""
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             FOR i IN range(1, len(t) - {_NGRAM - 2})]) AS shingles
+       FROM toks WHERE len(t) >= {_NGRAM})
+"""
+
+_DUCK_PAIRS = f"""
+e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
+inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------------- #
+# exact dedup                                                           #
+# --------------------------------------------------------------------- #
+
+
+@_query(
+    "dedup_exact_stats",
+    """
+    SELECT count(*) AS total_docs,
+           count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               AS distinct_docs,
+           count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+               AS duplicate_docs
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup summary: corpus size before/after normalization-hash
+    dedup. The keep-one-per-group variant is `dedup_exact_keep_first`."""
+    fp = fingerprint(F.col("text"))
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("total_docs"),
+        F.count_distinct(fp).alias("distinct_docs"),
+        (F.count("*") - F.count_distinct(fp)).alias("duplicate_docs"),
+    )
+
+
+@_query(
+    "dedup_exact_keep_first",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_doc_id, count(*) AS group_size
+    FROM documents
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup, keep the lowest doc_id per normalized-text group —
+    the canonical hash-groupBy dedup (one shuffle, map-side combine)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+        .orderBy("fp")
+    )
+
+
+# --------------------------------------------------------------------- #
+# n-gram Jaccard near-dup                                               #
+# --------------------------------------------------------------------- #
+
+
+def jaccard_pairs(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """All doc pairs sharing ≥1 word-``n``-gram, with exact Jaccard over
+    distinct shingle sets. Inverted-index join — shuffle on the shingle
+    key, no cross join. Returns (a_id, b_id, jaccard)."""
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col("text"), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    e = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(
+            F.count("*").alias("shared"),
+            F.any_value(F.col("a.n")).alias("na"),
+            F.any_value(F.col("b.n")).alias("nb"),
+        )
+    )
+    return inter.select(
+        "a_id",
+        "b_id",
+        (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias(
+            "jaccard"
+        ),
+    )
+
+
+@_query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_PAIRS}
+    SELECT a_id, b_id,
+           round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+    FROM inter
+    WHERE shared * 1.0 / (na + nb - shared) >= {_JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 (the corpus
+    plants near-dups at ≥0.9 with background ≤0.07)."""
+    pairs = jaccard_pairs(_docs(spark, sf_dir))
+    return (
+        pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH                                                         #
+# --------------------------------------------------------------------- #
+
+_DUCK_HASH32 = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+
+
+def minhash_signatures(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """Per-doc MinHash signature: columns sig_0..sig_{K-1}. Explode
+    shingles → portable 32-bit hash → K min-aggregates (all map-side
+    combinable; one shuffle on doc_id)."""
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col("text"), n).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.min((x * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+            f"sig_{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return e.groupBy("doc_id").agg(*aggs)
+
+
+def _duck_minhash_cte() -> str:
+    mins = ", ".join(
+        f"min((x * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+exp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hx AS (SELECT doc_id, {_DUCK_HASH32} AS x FROM exp),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
+"""
+
+
+def _band_exprs_duck() -> str:
+    rows = N_HASHES // N_BANDS
+    bands = []
+    for j in range(N_BANDS):
+        cols = " || '_' || ".join(f"sig_{j * rows + i}" for i in range(rows))
+        bands.append(f"SELECT doc_id, {j} AS band_idx, {cols} AS band_key FROM sig")
+    return " UNION ALL ".join(bands)
+
+
+@_query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DUCK_SHINGLES}, {_duck_minhash_cte()},
+    bands AS ({_band_exprs_duck()}),
+    cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    {_DUCK_PAIRS}
+    SELECT c.a_id, c.b_id,
+           round(i.shared * 1.0 / (i.na + i.nb - i.shared), 4) AS jaccard
+    FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+    WHERE i.shared * 1.0 / (i.na + i.nb - i.shared) >= {_JACCARD_THRESHOLD}
+    ORDER BY c.a_id, c.b_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate generation, verified
+    with exact Jaccard ≥ 0.8. The scale path: signatures are constant
+    size per doc, the band join buckets only near-identical docs, and the
+    expensive exact verify runs on candidates only."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs)
+    rows = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"sig_{j * rows + i}") for i in range(rows)]
+                ).alias("band_key"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
+        .distinct()
+    )
+    verified = jaccard_pairs(docs).where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    return (
+        cand.join(verified, ["a_id", "b_id"])
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# SimHash                                                               #
+# --------------------------------------------------------------------- #
+
+_SIM_BITS = 32
+
+
+def _duck_simhash_cte() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SIM_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIM_BITS)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS s
+        FROM documents),
+hsh AS (SELECT doc_id, {_DUCK_HASH32} AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM hsh GROUP BY doc_id),
+sims AS (SELECT doc_id, {val} AS simhash FROM bits)
+"""
+
+
+@_query(
+    "docs_simhash",
+    f"WITH {_duck_simhash_cte()} SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+)
+def docs_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash over distinct tokens: bit b is the sign of
+    Σ_tokens (±1 by token-hash bit b). Constant-size sketch; equal or
+    near-equal (low Hamming distance) sketches are near-dup candidates.
+    Plan: explode → 32 conditional sums in ONE aggregate pass (map-side
+    combinable), then a codegen'd bit-pack projection."""
+    docs = _docs(spark, sf_dir)
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("s")
+    )
+    h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(_SIM_BITS)
+    ]
+    bits = e.groupBy("doc_id").agg(*sums)
+    val = None
+    for b in range(_SIM_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return bits.select("doc_id", val.cast("long").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,88 @@
+"""Operator-level tests: dedup recall, similarity ranking, multimodal
+plumbing — properties the oracle diff can't express."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.multimodal import (
+    decode_image_features,
+    make_fake_media,
+    sample_frames,
+)
+from ballcone_spark.operators.similarity import ann_lsh, knn_bruteforce
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover nearly all true near-dup pairs."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    truth = {
+        (r["a_id"], r["b_id"]) for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in qs["dedup_minhash_lsh"](spark, SF).collect()
+    }
+    assert lsh <= truth  # exact-verified: no false positives
+    assert len(truth) > 0
+    assert len(lsh) / len(truth) >= 0.9  # 4x4 banding recall at jac>=0.8
+
+
+def test_ann_lsh_subset_of_bruteforce_corpus(spark):
+    """ANN results are real corpus vectors with correct sims (spot-check
+    against brute force for overlapping neighbors)."""
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in knn_bruteforce(emb, q, 50).collect()
+    }
+    approx = ann_lsh(emb, q, 5)
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["sim"]) < 1e-6
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = make_fake_media(spark, 50)
+    feats = decode_image_features(media, fake=True)
+    rows = {r["id"]: r for r in feats.collect()}
+    assert len(rows) == 50
+    # deterministic: recompute row 7's features driver-side
+    payload = b"payload-000007-audio"
+    expect_md5 = hashlib.md5(payload).hexdigest()
+    assert rows[7]["content_md5"] == expect_md5
+    assert rows[7]["n_bytes"] == len(payload)
+    assert len(rows[7]["feature"]) == 8
+    assert all(0 <= v <= 1 for v in rows[7]["feature"])
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = make_fake_media(spark, 3)
+    with pytest.raises(Exception):
+        # fake=False path must raise NotImplementedError inside the UDF
+        decode_image_features(media, fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    media = make_fake_media(spark, 30)
+    frames = sample_frames(media, every_nth=30, fake=True).collect()
+    # videos have n_frames = 30*(1+i%5); sampling every 30th frame yields
+    # 1 + (n_frames-1)//30 frames each
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    for i in range(2, 30, 3):  # video ids
+        n_frames = 30 * (1 + i % 5)
+        assert by_id[i] == list(range(0, n_frames, 30))
