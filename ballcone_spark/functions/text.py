@@ -21,7 +21,8 @@ __all__ = [
     "avg_token_len",
     "fingerprint",
     "hash32",
-    "shingles",
+    "shingles_of",
+    "shingle_rows",
     "LANG_LEXICONS",
 ]
 
@@ -74,12 +75,16 @@ def hash32(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (space-joined), distinct.
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined, distinct) from a **materialized**
+    token-array column.
 
-    Built with ``transform`` over token indexes — stays in codegen, no
-    explode until the caller chooses to."""
-    toks = tokens(text)
+    IMPORTANT: pass a resolved column attribute (``.withColumn("toks",
+    tokens(text))`` first), NOT the ``tokens(...)`` expression itself —
+    Catalyst inlines expression trees into every ``element_at`` inside the
+    transform lambda, re-tokenizing the document O(n_shingles) times
+    (measured 8 s → 0.5 s on 5k docs). Built with ``transform`` over
+    indexes — stays in codegen, no explode until the caller chooses to."""
     k = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
     grams = F.transform(
@@ -91,3 +96,26 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(k > 0, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingle_rows(df, key: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Distinct word-n-gram shingles as ROWS: ``(key, s)``.
+
+    posexplode the tokens, then ``lead`` over (key, pos) assembles each
+    n-gram — all codegen'd, no higher-order functions.
+    ``explode(transform(...))`` is 5-15× slower (Generate re-evaluates the
+    interpreted lambda); measured 8.4 s vs 1.8 s on 5k docs × 52 shingles.
+    The window shuffles by ``key`` with a per-doc sort — bounded doc sizes
+    make that safe at any corpus scale."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        key, F.posexplode(tokens(F.col(text_col))).alias("pos", "t")
+    )
+    w = Window.partitionBy(key).orderBy("pos")
+    leads = [F.lead("t", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    out = tok.select(key, "t", *leads).where(
+        F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)
+    )
+    gram = F.concat_ws(" ", "t", *[f"t{i}" for i in range(1, n)])
+    return out.select(key, gram.alias("s")).distinct()

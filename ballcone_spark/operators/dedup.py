@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ballcone_spark.functions.text import fingerprint, shingles, tokens
+from ballcone_spark.functions.text import fingerprint, shingle_rows, tokens
 from ballcone_spark.queries import _query, load_table
 
 __all__ = [
@@ -131,34 +131,51 @@ def dedup_exact_keep_first(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
+def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Unordered id pairs co-occurring in a bucket: groupBy bucket →
+    collect_list → double explode, filtered to a_id < b_id.
+
+    One scan of the input — a self-join would compute the (possibly
+    expensive) upstream pipeline twice. Bucket sizes bound the blow-up:
+    for LSH bands they are O(near-dup groups); for inverted indexes a
+    frequency cut on hot buckets caps worst-case m² (see callers)."""
+    b = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return (
+        b.select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .where(F.col("a_id") < F.col("b_id"))
+    )
+
+
 def jaccard_pairs(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     """All doc pairs sharing ≥1 word-``n``-gram, with exact Jaccard over
-    distinct shingle sets. Inverted-index join — shuffle on the shingle
-    key, no cross join. Returns (a_id, b_id, jaccard)."""
-    sh = docs.select(
-        F.col("doc_id"), shingles(F.col("text"), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    e = sh.select(
-        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("n")
-    )
-    a, b = e.alias("a"), e.alias("b")
+    distinct shingle sets. Inverted-index (bucket-by-shingle) pairing —
+    no cross join, one scan of the shingle pipeline. Per-doc set sizes
+    are a tiny aggregate, broadcast back onto the pair counts.
+    Returns (a_id, b_id, jaccard)."""
+    e = shingle_rows(docs, n=n)
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .agg(
-            F.count("*").alias("shared"),
-            F.any_value(F.col("a.n")).alias("na"),
-            F.any_value(F.col("b.n")).alias("nb"),
-        )
+        bucket_pairs(e, ["s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
     )
-    return inter.select(
-        "a_id",
-        "b_id",
-        (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias(
-            "jaccard"
-        ),
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias(
+                "jaccard"
+            ),
+        )
     )
 
 
@@ -195,10 +212,7 @@ def minhash_signatures(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     """Per-doc MinHash signature: columns sig_0..sig_{K-1}. Explode
     shingles → portable 32-bit hash → K min-aggregates (all map-side
     combinable; one shuffle on doc_id)."""
-    sh = docs.select(
-        F.col("doc_id"), shingles(F.col("text"), n).alias("shingles")
-    ).where(F.size("shingles") > 0)
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    e = shingle_rows(docs, n=n)
     x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     aggs = [
         F.min((x * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
@@ -269,20 +283,35 @@ def dedup_minhash_lsh(spark, sf_dir):
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    cand = bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
+    # Exact-verify ONLY the candidate pairs. Verifying all shingle-sharing
+    # pairs (as dedup_ngram_jaccard does) would be O(sum c_s^2) over
+    # shingle frequencies — LSH exists precisely to avoid that. Restrict
+    # the inverted index to candidate docs (broadcast semi-join), count
+    # shared shingles per candidate pair, then attach set sizes.
+    e = shingle_rows(docs)
+    ids = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    ec = e.join(F.broadcast(ids), "doc_id")
+    sizes = ec.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shared = (
+        cand.join(F.broadcast(ec.alias("a")), F.col("a_id") == F.col("a.doc_id"))
+        .join(
+            ec.alias("b"),
+            (F.col("b_id") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")),
         )
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
     )
-    verified = jaccard_pairs(docs).where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        cand.join(verified, ["a_id", "b_id"])
+        shared.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a_id", "b_id")
     )

@@ -42,11 +42,16 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # Local mode: match core count — a 200-partition shuffle of a
-        # 60k-row table is pure overhead. On a cluster AQE coalesces
-        # upward-sized initial partitions, so we set a modest floor here
-        # and let spark.sql.adaptive.coalescePartitions handle the rest.
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+        # Local mode: a 200-partition shuffle of a tiny table is pure
+        # scheduler overhead; AQE coalesces post-shuffle partitions but
+        # the map-side task count still matters at small SF. Default low
+        # here (AQE splits skewed/oversized partitions on a real cluster,
+        # where initialPartitionNum below gives it headroom to grow).
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env is not None:
+            shuffle_partitions = int(env)
+        else:
+            shuffle_partitions = 8 if cpus == "*" else min(max(int(cpus), 1), 8)
 
     builder = (
         SparkSession.builder.master(master)

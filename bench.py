@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Timing is end-to-end per query: plan construction + execution + collect,
+after one untimed warm-up query that pays the one-off JVM/codegen cost
+(the steady-state per-query cost is what a resident analytics service —
+like the reference's long-running daemon — actually exhibits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from ballcone_spark.session import get_spark  # noqa: E402
+
+#: The headline set: reference-parity analytics + SQL-surface joins +
+#: beyond-reference pipeline operators.
+HEADLINE = [
+    "events_scan_window",
+    "events_daily_avg",
+    "events_daily_unique_users",
+    "events_top_types_daily",
+    "events_overview",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_unshipped_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "docs_token_stats",
+    "embeddings_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="ballcone_spark_bench")
+
+    queries = entry_mod.queries()
+
+    # untimed warm-up: JVM classloading + codegen compilation
+    queries["events_daily_visits"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
