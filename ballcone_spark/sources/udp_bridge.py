@@ -1,0 +1,124 @@
+"""UDP → spool-file bridge (S1 transport).
+
+Spark has no UDP socket source; the reference's transport is nginx →
+syslog-UDP (reference ballcone/syslog_protocol.py:32, port 65140,
+README.md:122-123). This stdlib-only bridge keeps that lossy boundary
+outside the engine: it listens on UDP, appends each datagram as one line
+to a rolling spool file, and the Structured Streaming file source tails
+the spool directory (:func:`ballcone_spark.streaming.ingest.start_file_ingest`).
+
+Run standalone:  python -m ballcone_spark.sources.udp_bridge --port 65140 --spool /var/spool/ballcone
+
+Rolling policy: a new file every ``roll_seconds`` or ``roll_bytes``,
+written with a dot-prefix (hidden from the file source) and renamed into
+place on roll — the file source only ever sees complete files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import socket
+import time
+
+__all__ = ["UdpSpool", "main"]
+
+
+class UdpSpool:
+    def __init__(
+        self,
+        spool_dir: str,
+        roll_seconds: float = 5.0,
+        roll_bytes: int = 4 * 1024 * 1024,
+    ):
+        self.spool_dir = spool_dir
+        self.roll_seconds = roll_seconds
+        self.roll_bytes = roll_bytes
+        os.makedirs(spool_dir, exist_ok=True)
+        self._f = None
+        self._path = None
+        self._opened = 0.0
+        self._written = 0
+        self._seq = 0
+
+    def _publish(self) -> None:
+        """Close the in-progress file and rename it visible (atomic)."""
+        if self._f is not None:
+            self._f.close()
+            final = os.path.join(self.spool_dir, os.path.basename(self._path)[1:])
+            os.rename(self._path, final)
+            self._f = None
+
+    def _open_new(self) -> None:
+        self._seq += 1
+        self._path = os.path.join(
+            self.spool_dir, f".datagrams-{int(time.time())}-{self._seq:06d}.log"
+        )
+        self._f = open(self._path, "ab")
+        self._opened = time.monotonic()
+        self._written = 0
+
+    def _roll_due(self) -> bool:
+        return self._f is not None and (
+            time.monotonic() - self._opened >= self.roll_seconds
+            or self._written >= self.roll_bytes
+        )
+
+    def maybe_roll(self) -> None:
+        """Publish the current file if it aged out — called on idle ticks
+        too, so data never sits hidden while traffic is quiet."""
+        if self._roll_due():
+            self._publish()
+
+    def write(self, datagram: bytes) -> None:
+        if self._roll_due():
+            self._publish()
+        if self._f is None:
+            self._open_new()
+        # one datagram per line; strip embedded newlines (a datagram is a
+        # single syslog frame — the reference decodes it as one message)
+        line = datagram.replace(b"\n", b" ").rstrip() + b"\n"
+        self._f.write(line)
+        self._f.flush()
+        self._written += len(line)
+
+    def close(self) -> None:
+        self._publish()
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="UDP → spool-file bridge")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=65140)
+    ap.add_argument("--spool", required=True)
+    ap.add_argument("--roll-seconds", type=float, default=5.0)
+    args = ap.parse_args(argv)
+
+    spool = UdpSpool(args.spool, roll_seconds=args.roll_seconds)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((args.host, args.port))
+    sock.settimeout(1.0)
+
+    stop = {"flag": False}
+
+    def _term(_sig, _frm):  # graceful shutdown publishes the open file
+        stop["flag"] = True
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+    try:
+        while not stop["flag"]:
+            try:
+                data, _addr = sock.recvfrom(65536)
+            except socket.timeout:
+                spool.maybe_roll()
+                continue
+            spool.write(data)
+    finally:
+        spool.close()
+        sock.close()
+
+
+if __name__ == "__main__":
+    main()
