@@ -1,0 +1,80 @@
+"""Physical-plan inspection helpers — the iterate-on-.explain loop,
+made assertable.
+
+Usage: ``plan_str(df)`` then substring checks, or the named predicates.
+These back the plan-quality test suite (tests/test_plans.py) that pins
+the properties which matter at 100 TB: filters reaching the scan,
+dimension joins broadcasting, per-group limits pushed below shuffles,
+and **zero Python in any hot path**.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "plan_str",
+    "has_pushed_filters",
+    "has_partition_filters",
+    "read_schema_columns",
+    "uses_python",
+    "broadcast_join_count",
+    "sort_merge_join_count",
+]
+
+
+def plan_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def has_pushed_filters(df: DataFrame, fragment: str = "") -> bool:
+    """True if the parquet scan received pushed data filters (optionally
+    containing ``fragment``)."""
+    p = plan_str(df)
+    for line in p.splitlines():
+        if "PushedFilters: [" in line and "PushedFilters: []" not in line:
+            if fragment in line:
+                return True
+    return False
+
+
+def has_partition_filters(df: DataFrame, fragment: str = "") -> bool:
+    p = plan_str(df)
+    for line in p.splitlines():
+        if "PartitionFilters: [" in line and "PartitionFilters: []" not in line:
+            if fragment in line:
+                return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names in the scan's ReadSchema (column-pruning check)."""
+    import re
+
+    p = plan_str(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        for part in m.group(1).split(","):
+            name = part.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def uses_python(df: DataFrame) -> bool:
+    """Any row-at-a-time or Arrow Python evaluation in the plan."""
+    p = plan_str(df)
+    return any(
+        marker in p
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    )
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return plan_str(df).count("BroadcastHashJoin") + plan_str(df).count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return plan_str(df).count("SortMergeJoin")

@@ -1,0 +1,68 @@
+"""App-layer tests (A1-A6 composition semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+from ballcone_spark.app import Ballcone, days_before, json_value
+from tests.conftest import DAY1, DAY2, GOLDEN_ENTRIES
+
+
+def test_days_before():
+    start, stop = days_before(datetime.date(2020, 1, 10), days=7)
+    assert start == datetime.date(2020, 1, 4)
+    assert stop == datetime.date(2020, 1, 10)
+
+
+def test_json_value():
+    assert json_value(datetime.date(2020, 1, 1)) == "2020-01-01"
+    assert json_value(5) == 5
+    assert json_value("x") == "x"
+
+
+def test_dashboard(seeded_dao):
+    app = Ballcone(seeded_dao)
+    seeded_dao.batch_insert_into("second", GOLDEN_ENTRIES[:1])
+    board = app.dashboard(day=DAY2)
+    # 'test' has 1 unique ip on day2; 'second' none that day → 0
+    assert board == [
+        {"service": "test", "unique": 1},
+        {"service": "second", "unique": 0},
+    ]
+
+
+def test_overview_single_pass(seeded_dao):
+    app = Ballcone(seeded_dao)
+    ov = app.overview("test", days=7, stop=DAY2)
+    assert ov == {
+        "2020-01-01": {"visits": 2, "unique": 1},
+        "2020-01-02": {"visits": 2, "unique": 1},
+    }
+
+
+def test_top_paths_web_defaults(seeded_dao):
+    app = Ballcone(seeded_dao, top_limit=1)
+    top = app.top_paths("test", days=7, stop=DAY2)
+    # per day, top path by distinct-ip... field=ip distinct=False counts
+    # rows of ip per (day, path); ties break by group asc → "/"
+    assert [t["group"] for t in top] == ["/", "/"]
+    assert [t["date"] for t in top] == ["2020-01-01", "2020-01-02"]
+
+
+def test_sql_console_envelope(seeded_dao):
+    app = Ballcone(seeded_dao)
+    ok = app.sql("SELECT service, count(*) AS n FROM access_log GROUP BY service")
+    assert ok["columns"] == ["service", "n"]
+    assert ok["rows"] == [["test", 4]]
+    bad = app.sql("SELECT nope FROM access_log")
+    assert "error" in bad and "nope" in bad["error"]
+
+
+def test_size_ttl_cache(seeded_dao):
+    app = Ballcone(seeded_dao)
+    s1 = app.size()
+    assert s1 > 0
+    seeded_dao.batch_insert_into("more", GOLDEN_ENTRIES)
+    assert app.size() == s1  # cached
+    app._size_ttl = 0
+    assert app.size() > s1  # expired → recomputed

@@ -1,0 +1,85 @@
+"""Plan-quality gate: the physical-plan properties that decide whether
+these operators survive a 100x scale-up. Every assertion here failed or
+regressed at least conceptually during development — they are the
+.explain() iteration loop, frozen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from ballcone_spark.plans.explain import (
+    broadcast_join_count,
+    has_partition_filters,
+    has_pushed_filters,
+    plan_str,
+    read_schema_columns,
+    uses_python,
+)
+from ballcone_spark.queries import load_table
+from tests.conftest import GOLDEN_ENTRIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_no_python_in_any_registered_query(spark):
+    """Every driver-contract query is 100% JVM-side: no Python UDF, no
+    Arrow eval, nothing row-at-a-time outside codegen."""
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        if uses_python(fn(spark, SF)):
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_warehouse_date_filter_prunes_partitions(seeded_dao):
+    import datetime
+
+    df = seeded_dao.select_count_df("test", start=datetime.date(2020, 1, 2))
+    assert has_partition_filters(df, "date")
+
+
+def test_events_filter_pushed_to_scan(spark):
+    df = load_table(spark, SF, "events").where(
+        F.col("event_type") == "purchase"
+    ).select("event_id")
+    assert has_pushed_filters(df, "event_type")
+
+
+def test_column_pruning_token_stats(spark):
+    df = entry_mod.queries()["docs_token_stats"](spark, SF)
+    cols = read_schema_columns(df)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols and "n_chars" not in cols
+
+
+def test_dimension_joins_broadcast(spark):
+    df = entry_mod.queries()["tpch_q5_regional_revenue"](spark, SF)
+    assert broadcast_join_count(df) >= 4  # nation/region/supplier/customer
+    # with all dims broadcast the only shuffle join keys are fact-fact
+
+
+def test_topn_uses_window_group_limit(spark):
+    df = entry_mod.queries()["events_top_types_daily"](spark, SF)
+    assert "WindowGroupLimit" in plan_str(df)
+
+
+def test_scan_limit_is_take_ordered(spark):
+    df = entry_mod.queries()["events_scan_window"](spark, SF)
+    assert "TakeOrderedAndProject" in plan_str(df)
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    df = entry_mod.queries()["embeddings_knn_bruteforce"](spark, SF)
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert not uses_python(df)  # dot products in codegen
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Daily aggregates must partial-aggregate map-side: two HashAggregate
+    nodes around the exchange."""
+    df = entry_mod.queries()["events_daily_visits"](spark, SF)
+    p = plan_str(df)
+    assert p.count("HashAggregate") >= 2
