@@ -150,6 +150,100 @@ def docs_lang_id_confusion(spark, sf_dir):
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 shape, simplified to the subset the
+# Java AND RE2 engines treat identically — no lookahead, explicit classes)
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+@_query(
+    "docs_bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_RE}'))
+                 * 1.0 / len(string_split_regex(trim(text), '\\s+')), 4)
+               AS tokens_per_word
+    FROM documents ORDER BY doc_id
+    """,
+)
+def docs_bpe_token_estimate(spark, sf_dir):
+    """Token-count estimation with a BPE-style pre-tokenizer regex
+    (split points ≈ GPT-2's) next to plain whitespace counts — the
+    cost-estimation signal of an LLM data pipeline. Same regex text runs
+    in Spark's Java engine and DuckDB's RE2."""
+    t = F.col("text")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+    ws = token_count(t)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            bpe.alias("bpe_tokens"),
+            ws.alias("ws_tokens"),
+            F.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FP_P = 2147483647
+_FP_CTE = """
+tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents)),
+contrib AS (SELECT doc_id,
+                   (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) * pos)
+                       % 2147483647 AS c
+            FROM tok)
+"""
+
+
+@_query(
+    "docs_positional_fingerprint",
+    f"""
+    WITH {_FP_CTE}
+    SELECT doc_id, sum(c) % 2147483647 AS fingerprint
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_positional_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash-style fingerprint: Σ pos·h(token)
+    mod P. Unlike the md5 fingerprint (order-insensitive after
+    normalization), token *reordering* changes this one — the cheap
+    structural signature for near-identical-but-reordered detection.
+    One posexplode + one aggregate, map-side combinable."""
+    from ballcone_spark.functions.text import tokens
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    c = (h * (F.col("pos") + 1)) % F.lit(_FP_P)
+    return (
+        tok.select("doc_id", c.alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum("c") % F.lit(_FP_P)).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@_query("events_daily_unique_approx", None)  # approximate: rows-only check
+def events_daily_unique_approx(spark, sf_dir):
+    """HyperLogLog uniques per day (approx_count_distinct, rsd=1%) — the
+    documented opt-in for interactive dashboards at extreme scale where
+    the exact expand+aggregate distinct (events_daily_unique_users) is
+    too expensive (SURVEY.md §2 Q4 note)."""
+    from ballcone_spark.queries import load_table as _lt
+
+    return (
+        _lt(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_uniques"))
+        .orderBy("date")
+    )
+
+
 @_query(
     "docs_binary_meta",
     """

@@ -86,3 +86,82 @@ def test_frame_sampling(spark):
     for i in range(2, 30, 3):  # video ids
         n_frames = 30 * (1 + i % 5)
         assert by_id[i] == list(range(0, n_frames, 30))
+
+
+def test_approx_uniques_tracks_exact(spark):
+    """HLL opt-in (rsd=1%) stays within 5% of the exact daily uniques."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    approx = {
+        r["date"]: r["approx_uniques"]
+        for r in qs["events_daily_unique_approx"](spark, SF).collect()
+    }
+    exact = {
+        r["date"]: r["count"]
+        for r in qs["events_daily_unique_users"](spark, SF).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for d, e in exact.items():
+        assert abs(approx[d] - e) / e <= 0.05
+
+
+def test_ivf_ann_shape_and_sims(spark):
+    """IVF results: ranks 1..k contiguous, sims non-increasing per query,
+    neighbors are real corpus ids, self excluded."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["embeddings_ann_ivf"](spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_embedding_lsh_finds_planted_dups(spark):
+    """The testdata has no cos>=0.9 pairs (max ~0.51), so the driver
+    contract matches on empty=empty. Plant perturbed copies here and
+    assert the multi-probe-LSH + exact-verify path recovers exactly the
+    true pair set (no false positives, full recall on planted dups)."""
+    import numpy as np
+
+    from ballcone_spark.operators.embedding_dedup import embedding_near_dup_pairs
+    from ballcone_spark.queries import load_table
+
+    base = (
+        load_table(spark, SF, "embeddings")
+        .selectExpr("vec_id", "cast(embedding as array<double>) embedding")
+        .collect()
+    )
+    rng = np.random.default_rng(42)
+    rows = [(r["vec_id"], list(r["embedding"])) for r in base]
+    planted = []
+    for r in base[:20]:
+        v = np.array(r["embedding"])
+        v2 = v + rng.normal(0, 0.02 * np.linalg.norm(v) / len(v) ** 0.5, len(v))
+        rows.append((r["vec_id"] + 10000, [float(x) for x in v2]))
+        planted.append((r["vec_id"], r["vec_id"] + 10000))
+    # numpy ground truth at the same threshold
+    ids = [i for i, _ in rows]
+    mat = np.array([v for _, v in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.9
+    }
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(planted) <= truth  # perturbation small enough
+    assert got <= truth  # exact verification: no false positives
+    assert len(got) / len(truth) >= 0.95  # LSH recall on near-identical pairs
