@@ -67,6 +67,12 @@ def get_spark(
         # fewer, fuller input partitions at small SF while staying far
         # below executor memory at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Star-schema dims (region/nation/customer/supplier/part at any
+        # SF that fits one executor) should broadcast; the 10 MB default
+        # is conservative for 2026 executor memory. 64 MB is still tiny
+        # against executor heaps and avoids SMJ shuffles on every
+        # fact⋈dim join.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

