@@ -560,6 +560,206 @@ _sql_query(
     doc="Brand-level stats: broadcast join + exact distinct on a fact key.",
 )
 
+_sql_query(
+    "tpch_q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT /*+ BROADCAST(s, c, n1, n2) */
+             n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair volume by ship year.",
+)
+
+_sql_query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT /*+ BROADCAST(p, s, c, n1, n2, r) */
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape: supplier-nation market share inside a region.",
+)
+
+_sql_query(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT /*+ BROADCAST(p, s, n) */
+             n.n_name AS nation,
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (no partsupp in schema: profit = discounted revenue).",
+)
+
+_sql_query(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13: orders-per-customer histogram via left outer + double agg.",
+)
+
+_sql_query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+    doc="TPC-H Q17: correlated scalar subquery (per-part average threshold).",
+)
+
+_sql_query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           round(sum(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18: large-quantity orders via semi-join on an aggregated subquery.",
+)
+
+_sql_query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19: disjunctive join predicates (OR of brand/size/qty bands).",
+)
+
+_sql_query(
+    "tpch_q22_idle_customers",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+    FROM (
+      SELECT c.c_nationkey % 5 AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= DATE '2000-01-01'
+        )
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: anti join (no recent orders) + uncorrelated "
+        "scalar subquery.",
+)
+
+_sql_query(
+    "tpch_q2_min_unit_price",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 10
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    ORDER BY p.p_partkey, s.s_name
+    """,
+    doc="TPC-H Q2 shape (lineitem as part-supplier link): cheapest source per part "
+        "via correlated min subquery.",
+)
+
+_sql_query(
+    "tpch_q11_top_nations_value",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * l.l_quantity), 4) AS value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING sum(l.l_extendedprice * l.l_quantity) > (
+      SELECT 0.05 * sum(l2.l_extendedprice * l2.l_quantity) FROM lineitem l2
+    )
+    ORDER BY value DESC, n.n_name
+    """,
+    doc="TPC-H Q11 shape: HAVING against an uncorrelated scalar subquery.",
+)
+
 
 # --------------------------------------------------------------------- #
 # 3. Advanced relational surface (SURVEY.md §2.4: categories the         #
