@@ -1,0 +1,145 @@
+"""Interval / range joins — the operator family Spark has no native
+physical strategy for (a naive ``a.start <= b.end AND b.start <= a.end``
+join plans as BroadcastNestedLoopJoin, O(n·m) and undistributable when
+neither side broadcasts).
+
+Scale design — **bin-bucket then verify**, the same candidate/verify
+shape as MinHash-LSH (reference has nothing comparable; this is a
+beyond-reference operator for time-range analytics):
+
+1. explode each interval into the fixed-width time bins it covers
+   (``F.sequence`` of timestamps — per-row, codegen, no shuffle);
+2. equi-join on the bin key — a plain hash-partitioned join that
+   distributes over any cluster; candidates are pairs sharing ≥1 bin,
+   a superset of true overlaps;
+3. dedup pairs and apply the exact overlap predicate.
+
+Bin width trades shuffle volume (narrow bins → more exploded rows)
+against candidate precision (wide bins → more false candidates). For
+bounded-length intervals the exploded size is O(rows · L/bin) — linear,
+never quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ballcone_spark.queries import _query, load_table
+
+__all__ = ["overlap_pairs", "sessions_with_bounds"]
+
+
+def overlap_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    start: str = "start",
+    end: str = "end",
+    bin_expr: str = "1 hour",
+) -> DataFrame:
+    """Pairs of rows from ``a`` × ``b`` whose [start, end] intervals
+    overlap (inclusive). ``on`` = extra equi-keys (may be empty).
+
+    ``a`` columns come back prefixed ``a_``, ``b``'s ``b_``.
+    """
+
+    def binned(df: DataFrame, pfx: str) -> DataFrame:
+        cols = [F.col(c).alias(f"{pfx}{c}") for c in df.columns]
+        bins = F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start)),
+                F.date_trunc("hour", F.col(end)),
+                F.expr(f"interval {bin_expr}"),
+            )
+        ).alias("_bin")
+        return df.select(*cols, *[F.col(c).alias(c) for c in on], bins)
+
+    left = binned(a, "a_")
+    right = binned(b, "b_")
+    cand = left.join(right, on=[*on, "_bin"]).drop("_bin").distinct()
+    return cand.where(
+        (F.col(f"a_{start}") <= F.col(f"b_{end}"))
+        & (F.col(f"b_{start}") <= F.col(f"a_{end}"))
+    )
+
+
+_GAP_MIN = 30
+
+
+def sessions_with_bounds(events: DataFrame, max_user: int) -> DataFrame:
+    """Gap-based sessions (30-min timeout) with [start, end+30 min]
+    active-window bounds: (user_id, session_id, start, end)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        events.where(F.col("user_id") < max_user)
+        .withColumn("new_session", new_s)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start"),
+        (F.max("ts") + F.expr(f"interval {_GAP_MIN} minutes")).alias("end"),
+    )
+
+
+_MAX_USER = 30
+
+_SESS_CTE = f"""
+ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL {_GAP_MIN} MINUTE
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WHERE user_id < {_MAX_USER}
+),
+numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, session_id, min(ts) AS start,
+           max(ts) + INTERVAL {_GAP_MIN} MINUTE AS "end"
+    FROM numbered GROUP BY user_id, session_id
+)
+"""
+
+
+@_query(
+    "events_session_overlaps",
+    f"""
+    WITH {_SESS_CTE}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS overlapping_sessions
+    FROM sessions a JOIN sessions b
+      ON a.user_id < b.user_id
+     AND a.start <= b."end" AND b.start <= a."end"
+    GROUP BY a.user_id, b.user_id
+    ORDER BY user_a, user_b
+    """,
+)
+def events_session_overlaps(spark, sf_dir):
+    """Co-activity: for user pairs, how many of their session
+    active-windows overlapped. Spark path is the bin-bucketed range join
+    (linear explode + equi-join on hour bins + exact verify); the oracle
+    is the O(n²) interval self-join — same answer, different asymptotics.
+    Reference has no range join; this extends the SQL console surface
+    (SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessions_with_bounds(ev, _MAX_USER)
+    pairs = overlap_pairs(sess, sess, on=[], start="start", end="end")
+    return (
+        pairs.where(F.col("a_user_id") < F.col("b_user_id"))
+        .groupBy(
+            F.col("a_user_id").alias("user_a"), F.col("b_user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("overlapping_sessions"))
+        .orderBy("user_a", "user_b")
+    )

@@ -35,6 +35,7 @@ __all__ = [
     "sliding_traffic",
     "session_counts",
     "running_user_totals",
+    "dedup_stream",
 ]
 
 
@@ -134,4 +135,22 @@ def running_user_totals(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "datetime",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first record per ``keys`` within
+    the watermark horizon (``dropDuplicatesWithinWatermark``). The
+    streaming twin of the batch hash-groupBy dedup: state per key is
+    dropped once the watermark passes it, so memory is bounded by the
+    key arrival rate × horizon — the property that makes exact streaming
+    dedup viable at ingest scale (a duplicate datagram delivered twice
+    by UDP, a replayed spool file, a re-sent batch)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
     )

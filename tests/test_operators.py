@@ -165,3 +165,29 @@ def test_embedding_lsh_finds_planted_dups(spark):
     assert set(planted) <= truth  # perturbation small enough
     assert got <= truth  # exact verification: no false positives
     assert len(got) / len(truth) >= 0.95  # LSH recall on near-identical pairs
+
+
+def test_overlap_pairs_bin_edges(spark):
+    """Bin-bucketed range join is EXACT: overlaps spanning bin borders
+    are found (candidate bins cover the whole interval), and
+    same-bin-but-disjoint intervals are rejected by the verify filter."""
+    import datetime as dt
+
+    from ballcone_spark.operators.range_join import overlap_pairs
+
+    T = dt.datetime
+    rows = [
+        # id, start, end
+        (1, T(2024, 1, 1, 10, 50), T(2024, 1, 1, 11, 10)),  # spans 10h/11h bins
+        (2, T(2024, 1, 1, 11, 5), T(2024, 1, 1, 11, 20)),   # overlaps 1 in 11h bin
+        (3, T(2024, 1, 1, 11, 30), T(2024, 1, 1, 11, 40)),  # same bin as 2, disjoint
+        (4, T(2024, 1, 1, 13, 0), T(2024, 1, 1, 14, 0)),    # far away
+        (5, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 10, 50)),   # touches 1 exactly (inclusive)
+    ]
+    df = spark.createDataFrame(rows, "id int, start timestamp, end timestamp")
+    got = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in overlap_pairs(df, df, on=[]).collect()
+        if r["a_id"] != r["b_id"]
+    }
+    assert got == {(1, 2), (1, 5)}

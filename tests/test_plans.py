@@ -83,3 +83,27 @@ def test_partial_aggregation_before_shuffle(spark):
     df = entry_mod.queries()["events_daily_visits"](spark, SF)
     p = plan_str(df)
     assert p.count("HashAggregate") >= 2
+
+
+def test_star_joins_all_broadcast(spark):
+    """Fact⋈dim joins in the deep TPC-H shapes must broadcast every
+    dimension — zero sort-merge joins (at 100 TB only the fact side
+    scales; dims stay broadcastable)."""
+    from ballcone_spark.plans.explain import sort_merge_join_count
+
+    for name in [
+        "tpch_q5_regional_revenue",
+        "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+    ]:
+        df = entry_mod.queries()[name](spark, SF)
+        assert sort_merge_join_count(df) == 0, name
+
+
+def test_range_join_is_equi_join_not_nlj(spark):
+    """The bin-bucketed overlap join must plan as an equi-join on the bin
+    key (hash-partitionable), never BroadcastNestedLoopJoin."""
+    df = entry_mod.queries()["events_session_overlaps"](spark, SF)
+    assert "BroadcastNestedLoopJoin" not in plan_str(df)

@@ -134,3 +134,35 @@ def test_running_user_totals_durable_state(spark, tmp_path):
     _write_events(src, [("2020-01-02 10:00:00", "blog", "x")] * 2)
     t2 = drain()
     assert t2["blog"] == (5, 2)  # 3 restored from state + 2 new in batch
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """Duplicate (service, ip, datetime) records inside the watermark
+    horizon are emitted once; distinct records all survive."""
+    from ballcone_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "dsrc"
+    _write_events(
+        src,
+        [
+            ("2020-01-01 10:00:00", "blog", "1.1.1.1"),
+            ("2020-01-01 10:00:00", "blog", "1.1.1.1"),  # exact replay
+            ("2020-01-01 10:00:00", "blog", "9.9.9.9"),  # same ts, other ip
+            ("2020-01-01 10:05:00", "blog", "1.1.1.1"),  # later, survives
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = _drain(
+        spark,
+        dedup_stream(stream, ["service", "ip", "datetime"]),
+        "dedup_sink",
+        "append",
+        tmp_path,
+    )
+    rows = {(str(r["datetime"]), r["service"], r["ip"]) for r in out.collect()}
+    assert rows == {
+        ("2020-01-01 10:00:00", "blog", "1.1.1.1"),
+        ("2020-01-01 10:00:00", "blog", "9.9.9.9"),
+        ("2020-01-01 10:05:00", "blog", "1.1.1.1"),
+    }
+    assert out.count() == 3
