@@ -266,3 +266,81 @@ def docs_binary_meta(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_TFIDF_TOPK = 3
+_TFIDF_MAX_DOC = 100
+
+_TFIDF_CTE = f"""
+tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS f,
+              count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY doc_id) AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (SELECT t.doc_id, t.term,
+                  t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+           FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n_docs n)
+"""
+
+
+@_query(
+    "docs_tfidf_top_terms",
+    f"""
+    WITH {_TFIDF_CTE},
+    ranked AS (SELECT doc_id, term, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+               FROM scored WHERE doc_id < {_TFIDF_MAX_DOC})
+    SELECT doc_id, term, round(tfidf, 4) AS tfidf, rank
+    FROM ranked WHERE rank <= {_TFIDF_TOPK}
+    ORDER BY doc_id, rank
+    """,
+)
+def docs_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed IDF:
+    ln((N+1)/(df+1)) + 1 — sklearn's convention). The keyword-extraction
+    primitive of a text pipeline, all JVM-side:
+
+    - TF: one shuffle on (doc_id, term) with map-side partial counts;
+    - DF: the (term → doc count) table, re-aggregated from TF output —
+      at 100 TB this stays one extra shuffle of the *distinct* term
+      space, not the token stream;
+    - top-k per doc via WindowGroupLimit (rank pushed below the
+      shuffle).
+
+    Restricted to doc_id < 100 only to bound the *result* (the scoring
+    itself runs corpus-wide; the filter applies after TF so IDF matches
+    the oracle's corpus-wide statistics)."""
+    from pyspark.sql import Window
+
+    from ballcone_spark.functions.text import tokens
+
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf_counts = tok.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    w_doc = Window.partitionBy("doc_id")
+    tf = tf_counts.withColumn("tf", F.col("f") / F.sum("f").over(w_doc))
+    df = tf_counts.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.where(F.col("doc_id") < _TFIDF_MAX_DOC)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rank")
+        .orderBy("doc_id", "rank")
+    )
