@@ -378,11 +378,24 @@ class SparkDAO:
 
     # -- Q6: raw SQL console ------------------------------------------- #
 
+    #: DuckDB-dialect forms the reference's console emits verbatim
+    #: (SURVEY.md §3.3): ``pragma_database_size()`` is a table function
+    #: there; here it's a one-row view, so strip the call parens.
+    _DIALECT_REWRITES = [(re.compile(r"pragma_database_size\s*\(\s*\)"),
+                          "pragma_database_size")]
+
     def run(self, sql: str) -> DataFrame:
         """Raw SQL passthrough (reference dao.py:344-352). The whole Spark
         SQL surface — joins, windows, set ops, CTEs — is the engine here.
         Errors surface as ParseException/AnalysisException; the web layer
-        renders their message (reference web_ballcone.py:140-143)."""
+        renders their message (reference web_ballcone.py:140-143).
+
+        Tiny dialect shim: the reference console's default query is
+        ``SELECT * FROM pragma_database_size();`` (reference
+        web_ballcone.py:134) — rewritten to the compat view so it runs
+        unchanged."""
+        for pat, repl in self._DIALECT_REWRITES:
+            sql = pat.sub(repl, sql)
         return self.spark.sql(sql)
 
     def run_safe(self, sql: str) -> tuple[Optional[DataFrame], Optional[str]]:
@@ -393,5 +406,21 @@ class SparkDAO:
             return None, str(e)
 
     def register_views(self) -> None:
-        """Expose the fact table and per-service views to the SQL surface."""
+        """Expose the fact table and catalog-compat views to the SQL
+        surface. Dialect shims (SURVEY.md §3.3): ``sqlite_master`` (the
+        reference lists tables through DuckDB's sqlite compat view,
+        reference dao.py:150-160) and ``pragma_database_size`` (the
+        console default query + size probe, reference dao.py:147-148) —
+        both as plain views over this warehouse's state, so reference
+        console queries run verbatim."""
         self._fact().createOrReplaceTempView("access_log")
+        master = [(name, "table") for name in self.tables()]
+        self.spark.createDataFrame(
+            master, schema="name string, type string"
+        ).createOrReplaceTempView("sqlite_master")
+        block_size = 4096
+        size = self.size()
+        self.spark.createDataFrame(
+            [(size, block_size, -(-size // block_size))],
+            schema="database_size long, block_size long, total_blocks long",
+        ).createOrReplaceTempView("pragma_database_size")

@@ -940,3 +940,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's smoke query: per-day top event types (Q5, the most
     semantically loaded reference operator)."""
     return events_top_types_daily(spark, sf_dir)
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v
+      ON e.user_id = v.user_id AND e.ts > v.t1
+     AND e.ts <= v.t1 + INTERVAL 12 HOUR
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c
+      ON e.user_id = c.user_id AND e.ts > c.t2
+     AND e.ts <= c.t2 + INTERVAL 12 HOUR
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM v) AS users
+UNION ALL
+SELECT 2, 'click_within_12h', (SELECT count(*) FROM c)
+UNION ALL
+SELECT 3, 'purchase_within_12h', (SELECT count(*) FROM p)
+ORDER BY step_idx
+"""
+
+_sql_query(
+    "events_conversion_funnel",
+    _FUNNEL_SQL,
+    doc="Ordered conversion funnel (view → click → purchase, strictly "
+    "increasing event times per user, 12 h conversion window per step): each stage is a per-user min-ts "
+    "aggregate joined to the previous stage — hash-partitioned on "
+    "user_id throughout, partial aggregation map-side, no window over "
+    "the full event stream.",
+)

@@ -66,3 +66,27 @@ def test_size_ttl_cache(seeded_dao):
     assert app.size() == s1  # cached
     app._size_ttl = 0
     assert app.size() > s1  # expired → recomputed
+
+
+def test_console_dialect_shims(seeded_dao):
+    """The reference console's default query and its catalog queries run
+    VERBATIM: pragma_database_size() (web_ballcone.py:134), the size
+    probe (dao.py:147-148), and sqlite_master table listing
+    (dao.py:150-160)."""
+    app = Ballcone(seeded_dao)
+    out = app.sql("SELECT * FROM pragma_database_size();")
+    assert "error" not in out
+    assert out["columns"] == ["database_size", "block_size", "total_blocks"]
+    assert out["rows"][0][0] == seeded_dao.size() > 0
+
+    out = app.sql(
+        "SELECT COALESCE(total_blocks * block_size, 0) AS sz"
+        " FROM pragma_database_size()"
+    )
+    assert out["rows"][0][0] >= seeded_dao.size()
+
+    out = app.sql(
+        "SELECT DISTINCT name FROM sqlite_master"
+        " WHERE type = 'table' ORDER BY name"
+    )
+    assert [r[0] for r in out["rows"]] == seeded_dao.tables()
