@@ -344,3 +344,105 @@ def docs_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+_SAMPLE_PCT = 10
+
+
+@_query(
+    "docs_deterministic_sample",
+    f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < {_SAMPLE_PCT}
+    ORDER BY doc_id
+    """,
+)
+def docs_deterministic_sample(spark, sf_dir):
+    """Reproducible ~10% sample via content-independent key hashing
+    (md5(doc_id) mod 100) — the split primitive of a training pipeline:
+    the same doc lands on the same side of a train/eval split on every
+    engine, every run, at every scale, with no sampling state and no
+    shuffle (a pure scan filter, pushed into the row-group read).
+    `df.sample()` seeds are engine-specific; hash-bucket sampling is the
+    portable, join-stable alternative."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", bucket.alias("bucket"))
+        .where(bucket < _SAMPLE_PCT)
+        .orderBy("doc_id")
+    )
+
+
+@_query(
+    "docs_curation_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, n_chars,
+               len({_DUCK_TOKENS}) AS n_tokens,
+               len(list_distinct({_DUCK_TOKENS})) * 1.0
+                   / len({_DUCK_TOKENS}) AS uniq_ratio,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_chars >= 100 AND n_tokens >= 20 AND uniq_ratio >= 0.3
+    ),
+    deduped AS (
+        SELECT * FROM quality
+        WHERE (fp, doc_id) IN (
+            SELECT (fp, min(doc_id)) FROM quality GROUP BY fp
+        )
+    )
+    SELECT source, lang, count(*) AS kept_docs,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM deduped GROUP BY source, lang ORDER BY source, lang
+    """,
+)
+def docs_curation_pipeline(spark, sf_dir):
+    """The composed curation pass every training pipeline runs: quality
+    gate (length, token count, repetition ratio) → exact dedup (keep
+    lowest doc_id per normalized fingerprint) → per-(source, lang)
+    yield report. One scan computes all the per-doc signals (no
+    re-reads); dedup is one shuffle on the fingerprint; the report is a
+    partial-aggregated groupBy — three shuffles end to end regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        token_count(t).alias("n_tokens"),
+        uniq_token_ratio(t).alias("uniq_ratio"),
+        fingerprint(t).alias("fp"),
+    )
+    quality = scored.where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("uniq_ratio") >= 0.3)
+    )
+    w = Window.partitionBy("fp")
+    deduped = quality.withColumn("keep", F.min("doc_id").over(w)).where(
+        F.col("doc_id") == F.col("keep")
+    )
+    return (
+        deduped.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
