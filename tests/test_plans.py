@@ -107,3 +107,42 @@ def test_range_join_is_equi_join_not_nlj(spark):
     key (hash-partitionable), never BroadcastNestedLoopJoin."""
     df = entry_mod.queries()["events_session_overlaps"](spark, SF)
     assert "BroadcastNestedLoopJoin" not in plan_str(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """orders⋈lineitem bucketed on the join key at write time: the join
+    plans with ZERO Exchange (and zero Sort — sortBy buckets) — the
+    write-once shuffle that makes every later fact⋈fact join co-located."""
+    from ballcone_spark.plans.explain import plan_str
+    from ballcone_spark.plans.bucketing import bucketize
+
+    sf = "/root/testdata/sf0.001"
+    bucketize(
+        load_table(spark, sf, "orders"), "orders_b", ["o_orderkey"], 4,
+        path=str(tmp_path / "orders_b"),
+    )
+    bucketize(
+        load_table(spark, sf, "lineitem"), "lineitem_b", ["l_orderkey"], 4,
+        path=str(tmp_path / "lineitem_b"),
+    )
+    try:
+        joined = (
+            spark.table("orders_b")
+            .hint("merge")
+            .join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p
+        # the join itself is exchange-free; the only exchange allowed in
+        # the whole plan is the final groupBy's
+        assert p.count("Exchange") <= 1
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
