@@ -412,8 +412,18 @@ class SparkDAO:
         reference dao.py:150-160) and ``pragma_database_size`` (the
         console default query + size probe, reference dao.py:147-148) —
         both as plain views over this warehouse's state, so reference
-        console queries run verbatim."""
+        console queries run verbatim.
+
+        Per-service views too: the reference's console addresses each
+        service as a physical table (``SELECT * FROM mysite`` — tables
+        created at reference syslog_protocol.py:61-65), so every known
+        service gets an Entry-shaped view over its partition. Service
+        names are pre-validated ``\\A[\\w]+\\Z`` — safe as identifiers."""
         self._fact().createOrReplaceTempView("access_log")
+        for service in self.tables():
+            self.table(service).select(*_ENTRY_COLS).createOrReplaceTempView(
+                service
+            )
         master = [(name, "table") for name in self.tables()]
         self.spark.createDataFrame(
             master, schema="name string, type string"

@@ -6,11 +6,19 @@ Scale design:
 
 - **Exact** dedup is a hash groupBy — one shuffle on a 32-hex key, partial
   aggregation map-side. At 100 TB the md5 keys are ~uniform → no skew.
-- **n-gram Jaccard** uses the inverted-index self-join (explode shingles,
-  join on shingle, count shared) — never an O(n²) cross join. Shuffle is
-  on the shingle key; hot shingles (stopword trigrams) are the skew risk,
-  handled by AQE skew-join; at extreme scale drop top-frequency shingles
-  (a standard df-cut) — not needed at test SF.
+- **n-gram Jaccard** uses the inverted-index bucket join (explode
+  shingles, bucket by shingle) — never an O(n²) cross join — with a
+  **document-frequency cut**: shingles appearing in more than ``max_df``
+  docs (stopword trigrams — the buckets whose collect_list would
+  materialize multi-GB rows at corpus scale) are dropped *before* the
+  bucket shuffle via an anti-join against the (tiny, Zipf-tailed,
+  broadcastable) hot-shingle list. Candidates then come from rare-shingle
+  co-occurrence only, and exact Jaccard is verified per candidate pair
+  from the full shingle sets (array_intersect) — so the df-cut changes
+  candidate *generation*, never the reported Jaccard value. A true
+  near-dup pair (J ≥ 0.8) shares ~80% of its shingles; for it to be
+  missed, every single shared shingle would have to be corpus-hot —
+  vanishingly unlikely at any sensible ``max_df``.
 - **MinHash-LSH** is the linear-scale path: constant-size signature per
   doc (16 hashes), band join on (band_idx, band_key) buckets, candidate
   pairs verified with true Jaccard. Only near-identical docs collide, so
@@ -42,6 +50,9 @@ __all__ = [
     "MINHASH_P",
     "N_HASHES",
     "N_BANDS",
+    "bucket_pairs",
+    "exact_jaccard_on_pairs",
+    "hot_shingles",
     "jaccard_pairs",
     "minhash_signatures",
 ]
@@ -95,6 +106,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS duplicate_docs
     FROM documents
     """,
+    driver=False,  # summary of dedup_exact_keep_first (group_size covers it)
 )
 def dedup_exact_stats(spark, sf_dir):
     """Exact dedup summary: corpus size before/after normalization-hash
@@ -136,19 +148,29 @@ def dedup_exact_keep_first(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
-def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Unordered id pairs co-occurring in a bucket: groupBy bucket →
     collect_list → double explode, filtered to a_id < b_id.
 
     One scan of the input — a self-join would compute the (possibly
     expensive) upstream pipeline twice. Bucket sizes bound the blow-up:
-    for LSH bands they are O(near-dup groups); for inverted indexes a
-    frequency cut on hot buckets caps worst-case m² (see callers)."""
+    for LSH bands they are O(near-dup groups); inverted-index callers must
+    df-cut hot buckets *before* this function (see ``jaccard_pairs``) so
+    no giant array is ever collected. ``max_bucket`` is a belt-and-braces
+    cap: buckets wider than it are dropped entirely (candidate loss, never
+    wrong values — callers verify pairs exactly)."""
     b = (
         df.groupBy(*bucket_cols)
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        b = b.where(F.size("ids") <= max_bucket)
     return (
         b.select(F.explode("ids").alias("a_id"), "ids")
         .select("a_id", F.explode("ids").alias("b_id"))
@@ -156,32 +178,55 @@ def bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str = "doc_id") 
     )
 
 
-def jaccard_pairs(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
-    """All doc pairs sharing ≥1 word-``n``-gram, with exact Jaccard over
-    distinct shingle sets. Inverted-index (bucket-by-shingle) pairing —
-    no cross join, one scan of the shingle pipeline. Per-doc set sizes
-    are a tiny aggregate, broadcast back onto the pair counts.
-    Returns (a_id, b_id, jaccard)."""
-    e = shingle_rows(docs, n=n)
-    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        bucket_pairs(e, ["s"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+#: df-cut threshold: shingles in more docs than this are dropped from the
+#: inverted index (candidate generation only — Jaccard values are exact-
+#: verified from full shingle sets). At 100 TB the hot list is the Zipf
+#: head (stopword n-grams) — small and broadcastable at any corpus size.
+_MAX_DF = 64
+
+
+def hot_shingles(e: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df``. Input
+    ``e(doc_id, s)`` has distinct (doc, shingle) rows; the aggregate is
+    partial (map-side combine), shuffle volume = distinct shingle space."""
     return (
-        inter.join(F.broadcast(na), "a_id")
-        .join(F.broadcast(nb), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias(
-                "jaccard"
-            ),
-        )
+        e.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
     )
+
+
+def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """Exact Jaccard for candidate pairs (a_id, b_id): attach each side's
+    distinct shingle set (a per-row array — no shingle-keyed shuffle) via
+    two doc_id equi-joins, then |A∩B| / |A∪B| as a pure map
+    (array_intersect). AQE broadcasts the (small) candidate side at
+    runtime; if candidates ever outgrow broadcast these degrade to
+    hash-partitioned joins on doc_id — linear, never quadratic."""
+    sets = docs.withColumn("toks", tokens(F.col("text"))).select(
+        "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(a, "a_id").join(b, "b_id").select("a_id", "b_id", jac.alias("jaccard"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, n: int = _NGRAM, max_df: int = _MAX_DF) -> DataFrame:
+    """Doc pairs sharing ≥1 *rare* word-``n``-gram, with exact Jaccard
+    over full distinct shingle sets. Candidate generation is the
+    inverted index with the df-cut (hot shingles anti-joined out before
+    the bucket shuffle — no stopword mega-bucket is ever collected);
+    verification attaches the full sets per pair, so reported Jaccard is
+    exact regardless of the cut. Returns (a_id, b_id, jaccard)."""
+    e = shingle_rows(docs, n=n)
+    rare = e.join(F.broadcast(hot_shingles(e, max_df)), "s", "left_anti")
+    cand = bucket_pairs(rare, ["s"]).distinct()
+    return exact_jaccard_on_pairs(docs, cand, n=n)
 
 
 @_query(
@@ -197,7 +242,12 @@ def jaccard_pairs(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 (the corpus
-    plants near-dups at ≥0.9 with background ≤0.07)."""
+    plants near-dups at ≥0.9 with background ≤0.07). Candidates come from
+    the df-cut inverted index (hot shingles dropped pre-shuffle); values
+    are exact-verified from full shingle sets, so the oracle (which
+    enumerates ALL shingle-sharing pairs) agrees as long as every true
+    near-dup pair shares at least one rare shingle — guaranteed by
+    construction for J ≥ 0.8 at any sensible max_df."""
     pairs = jaccard_pairs(_docs(spark, sf_dir))
     return (
         pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
@@ -304,32 +354,15 @@ def dedup_minhash_lsh(spark, sf_dir):
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
     cand = bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
-    # Exact-verify ONLY the candidate pairs. Verifying all shingle-sharing
-    # pairs (as dedup_ngram_jaccard does) would be O(sum c_s^2) over
-    # shingle frequencies — LSH exists precisely to avoid that. Shingle
-    # sets are per-row arrays (bounded: docs have bounded length), so the
-    # verify is two equi-joins on doc_id attaching the sets, then a pure
-    # map: |A∩B| via array_intersect — no shuffle keyed on shingles at
-    # all. ``cand`` is small (O(near-dup groups)) → AQE broadcasts these
-    # joins at any corpus scale; if it ever grows, they degrade to
-    # hash-partitioned joins on doc_id, which is still linear.
-    sets = docs.withColumn("toks", tokens(F.col("text"))).select(
-        "doc_id", shingles_of(F.col("toks")).alias("sh")
-    )
-    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    # Plain equi-joins on doc_id: the candidate side is small (O(near-dup
-    # groups)) so AQE picks broadcast at runtime; at a corpus scale where
-    # it can't, these degrade to hash-partitioned joins on doc_id —
-    # linear, never a shingle-keyed shuffle. (An explicit broadcast hint
-    # measured SLOWER here: forcing the build relation adds two driver
-    # collect jobs that AQE's runtime decision avoids.)
+    # Exact-verify ONLY the candidate pairs (exact_jaccard_on_pairs: two
+    # doc_id equi-joins attaching per-row shingle arrays + array_intersect
+    # — never a shingle-keyed shuffle). Verifying all shingle-sharing
+    # pairs would be O(sum c_s^2) over shingle frequencies; LSH exists
+    # precisely to avoid that. (An explicit broadcast hint measured SLOWER
+    # here: forcing the build relation adds two driver collect jobs that
+    # AQE's runtime decision avoids.)
     return (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .select("a_id", "b_id", jac.alias("jaccard"))
+        exact_jaccard_on_pairs(docs, cand)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a_id", "b_id")

@@ -173,27 +173,43 @@ def ivf_ann(
 
     ``centroids``: (cell_id, centroid array<double>). Cost per query is
     corpus/n_cells; recall is bounded by routing (probe more cells for
-    higher recall). Returns (query_id, neighbor_id, sim, rank)."""
-    cent = F.broadcast(centroids)
+    higher recall). Returns (query_id, neighbor_id, sim, rank).
 
-    def assign(df, vec_col, id_cols):
-        scored = df.crossJoin(cent).withColumn(
-            "_d", cosine(F.col(vec_col), F.col("centroid"))
+    Routing is a **map-side argmax**: the codebook collapses to one row
+    holding an array<struct(cell_id, centroid)>, broadcast onto every
+    corpus row, and the nearest cell is ``array_max`` over a ``transform``
+    fold — struct comparison is lexicographic, so max(sim, -cell_id)
+    gives highest-similarity cell with ties to the lowest cell_id. Zero
+    Exchange before the cell join (gated in tests/test_plans.py); the old
+    formulation crossJoined corpus×cells then picked argmax with a
+    row_number window partitioned by vec_id, shuffling corpus×n_cells
+    rows — exactly the shuffle IVF exists to avoid."""
+    cells = centroids.agg(
+        F.collect_list(F.struct("cell_id", "centroid")).alias("_cells")
+    )
+
+    def assign(df, vec_col):
+        best = F.array_max(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    cosine(F.col(vec_col), c["centroid"]).alias("sim"),
+                    (-c["cell_id"]).alias("neg_cell"),
+                ),
+            )
         )
-        w = Window.partitionBy(*id_cols).orderBy(F.col("_d").desc(), "cell_id")
         return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_d", "centroid")
+            df.join(F.broadcast(cells))
+            .withColumn("cell_id", -best["neg_cell"])
+            .drop("_cells")
         )
 
-    corpus = assign(emb, "embedding", ["vec_id"])
+    corpus = assign(emb, "embedding")
     q = assign(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         ),
         "qe",
-        ["query_id"],
     )
     cand = corpus.join(F.broadcast(q), "cell_id").where(
         F.col("query_id") != F.col("vec_id")

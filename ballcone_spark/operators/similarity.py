@@ -19,18 +19,37 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["cosine", "knn_bruteforce", "ann_lsh"]
+__all__ = ["cosine", "knn_bruteforce", "ann_lsh", "PLANES"]
 
 _K = 5
 _N_QUERIES = 5  # vec_id < 5
 _N_PLANES = 8
 _DIM = 64
+
+
+def _plane_weight_py(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1): first 8
+    md5 hex digits of "plane_{p}_dim_{d}" → int, folded to ‰ precision.
+    Computed once in Python and embedded as literals in BOTH the Spark
+    plan and the oracle SQL — any engine reproduces the same planes, and
+    neither evaluates md5 per row."""
+    h = int(hashlib.md5(f"plane_{p}_dim_{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+#: PLANES[p] = 64 weights of hyperplane p (exact multiples of 0.001 —
+#: parse identically as doubles in Spark and DuckDB).
+PLANES: list[list[float]] = [
+    [_plane_weight_py(p, d) for d in range(_DIM)] for p in range(_N_PLANES)
+]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,24 +152,16 @@ def embeddings_label_centroids(spark, sf_dir):
     )
 
 
-def _plane_weight(p: int, d: int) -> Column:
-    """Deterministic pseudo-random hyperplane weight in [-1, 1): derived
-    from md5 so any engine reproduces the same planes."""
-    h = F.conv(F.substring(F.md5(F.lit(f"plane_{p}_dim_{d}")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    return (h % 2001 - 1000) / 1000.0
-
-
 def ann_lsh(
     emb: DataFrame, queries: DataFrame, k: int, n_planes: int = _N_PLANES
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucketing + exact rerank
-    within the query's bucket. Recall < 1 by design; the oracle check for
-    this query is rows-only (approximation is engine-specific semantics,
-    SURVEY.md §2 note on non-SQL-expressible ops)."""
+    within the query's bucket. Recall < 1 by design — quantified
+    engine-checkably by ``embeddings_ann_lsh_recall`` (the planes are
+    deterministic literals, so the oracle reproduces the exact same
+    bucketing and the recall number is hash-comparable)."""
     planes = [
-        F.array(*[_plane_weight(p, d) for d in range(_DIM)]) for p in range(n_planes)
+        F.array(*[F.lit(w) for w in PLANES[p]]) for p in range(n_planes)
     ]
 
     def bucket(col: Column) -> Column:
@@ -188,9 +199,80 @@ def ann_lsh(
     )
 
 
-@_query("embeddings_ann_lsh", None)  # rows-only: approximate by design
+@_query("embeddings_ann_lsh", None, driver=False)  # superseded by _recall
 def embeddings_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 for vec_id<5 (same output shape as
-    the brute-force baseline; compare recall offline)."""
+    the brute-force baseline). The driver-checked variant is
+    ``embeddings_ann_lsh_recall``, which hash-verifies the full bucketing
+    + rerank against the oracle."""
     emb = _emb(spark, sf_dir)
     return ann_lsh(emb, emb.where(F.col("vec_id") < _N_QUERIES), _K)
+
+
+def _duck_bucket_expr(vec: str) -> str:
+    """DuckDB bucket id of a DOUBLE[] column: same sign-bit fold over the
+    same literal planes the Spark path uses."""
+    terms = []
+    for p in range(_N_PLANES):
+        arr = "[" + ", ".join(repr(w) for w in PLANES[p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@_query(
+    "embeddings_ann_lsh_recall",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    buck AS (SELECT vec_id, e, {_duck_bucket_expr('e')} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM buck
+          WHERE vec_id < {_N_QUERIES}),
+    ann_scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                          list_cosine_similarity(q.qe, c.e) AS sim
+                   FROM q JOIN buck c
+                     ON q.bucket = c.bucket AND c.vec_id != q.query_id),
+    ann AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank FROM ann_scored)
+            WHERE rank <= {_K}),
+    bf_scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, c.e) AS sim
+                  FROM q JOIN v c ON c.vec_id != q.query_id),
+    bf AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rank FROM bf_scored)
+           WHERE rank <= {_K})
+    SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           round(count(a.neighbor_id) / {_K}.0, 4) AS recall
+    FROM bf b LEFT JOIN ann a
+      ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+)
+def embeddings_ann_lsh_recall(spark, sf_dir):
+    """recall@5 of hyperplane-LSH ANN vs the exact brute-force top-5, per
+    query — a deterministic, hash-comparable quality signal for the
+    approximate path (VERDICT r1 #9). The LSH planes are md5-derived
+    literals shared verbatim with the oracle, so DuckDB reproduces the
+    exact bucketing; recall counts neighbor-ID membership only, immune to
+    last-ulp similarity noise. Plan: the ANN side touches only same-bucket
+    candidates; the brute-force side is the one-scan broadcast baseline."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    bf = knn_bruteforce(emb, q, _K).select("query_id", "neighbor_id")
+    ann = (
+        ann_lsh(emb, q, _K)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / float(_K), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

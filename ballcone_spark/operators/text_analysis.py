@@ -15,6 +15,7 @@ from ballcone_spark.functions.text import (
     distinct_tokens,
     fingerprint,
     token_count,
+    tokens,
     uniq_token_ratio,
 )
 from ballcone_spark.queries import _query, load_table
@@ -26,31 +27,73 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 shape, simplified to the subset the
+# Java AND RE2 engines treat identically — no lookahead, explicit classes)
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+_FP_P = 2147483647
+
+
 @_query(
     "docs_token_stats",
     f"""
-    SELECT doc_id,
+    WITH tokp AS (
+        SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents)
+    ),
+    posfp AS (
+        SELECT doc_id,
+               CAST(sum((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) * pos)
+                        % {_FP_P}) % {_FP_P} AS BIGINT) AS positional_fp
+        FROM tokp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
            len({_DUCK_TOKENS}) AS n_tokens,
            len(list_distinct({_DUCK_TOKENS})) AS n_uniq_tokens,
            round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
                  * 1.0 / len({_DUCK_TOKENS}), 4) AS avg_token_len,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-    FROM documents ORDER BY doc_id
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+           round(len(regexp_extract_all(text, '{_BPE_RE}'))
+                 * 1.0 / len({_DUCK_TOKENS}), 4) AS tokens_per_word,
+           p.positional_fp
+    FROM documents d JOIN posfp p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
     """,
 )
 def docs_token_stats(spark, sf_dir):
-    """Per-doc token counting + fingerprint: whitespace tokenizer, distinct
-    count, mean token length, portable md5 fingerprint. One narrow
-    projection — no shuffle at all."""
+    """Per-doc token statistics in ONE narrow, shuffle-free projection:
+    whitespace token count, distinct count, mean token length, md5
+    content fingerprint (order-insensitive after normalization), BPE-style
+    pre-tokenizer count (GPT-2-shaped regex — the LLM cost-estimation
+    signal; same regex text runs in Spark's Java engine and DuckDB's RE2),
+    and an order-SENSITIVE positional fingerprint Σ pos·h(token) mod P —
+    the cheap structural signature for reordered-near-identical detection.
+    The positional fp is a per-row higher-order-function fold (transform
+    with index + aggregate), so even it costs no explode and no shuffle —
+    the whole query is a pure map over the corpus scan."""
     t = F.col("text")
+    ts = tokens(t)
+    h = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")  # noqa: E731
+    contrib = F.transform(ts, lambda tok, i: (h(tok) * (i + 1)) % F.lit(_FP_P))
+    posfp = (
+        F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, c: acc + c)
+        % F.lit(_FP_P)
+    )
+    bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+    ws = token_count(t)
     return (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
-            token_count(t).alias("n_tokens"),
+            ws.alias("n_tokens"),
             F.size(distinct_tokens(t)).alias("n_uniq_tokens"),
             F.round(avg_token_len(t), 4).alias("avg_token_len"),
             fingerprint(t).alias("fp"),
+            bpe.alias("bpe_tokens"),
+            F.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
+            posfp.alias("positional_fp"),
         )
         .orderBy("doc_id")
     )
@@ -68,6 +111,7 @@ def docs_token_stats(spark, sf_dir):
            sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs
     FROM documents GROUP BY source ORDER BY source
     """,
+    driver=False,  # quality signals + per-source report covered by curation
 )
 def docs_quality_by_source(spark, sf_dir):
     """Corpus quality profile per source: length, token, repetition and
@@ -150,11 +194,6 @@ def docs_lang_id_confusion(spark, sf_dir):
     )
 
 
-# BPE-ish pre-tokenizer regex (GPT-2 shape, simplified to the subset the
-# Java AND RE2 engines treat identically — no lookahead, explicit classes)
-_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
-
-
 @_query(
     "docs_bpe_token_estimate",
     f"""
@@ -166,6 +205,7 @@ _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
                AS tokens_per_word
     FROM documents ORDER BY doc_id
     """,
+    driver=False,  # merged into docs_token_stats (bpe_tokens column)
 )
 def docs_bpe_token_estimate(spark, sf_dir):
     """Token-count estimation with a BPE-style pre-tokenizer regex
@@ -187,7 +227,6 @@ def docs_bpe_token_estimate(spark, sf_dir):
     )
 
 
-_FP_P = 2147483647
 _FP_CTE = """
 tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
@@ -203,9 +242,10 @@ contrib AS (SELECT doc_id,
     "docs_positional_fingerprint",
     f"""
     WITH {_FP_CTE}
-    SELECT doc_id, sum(c) % 2147483647 AS fingerprint
+    SELECT doc_id, CAST(sum(c) % 2147483647 AS BIGINT) AS fingerprint
     FROM contrib GROUP BY doc_id ORDER BY doc_id
     """,
+    driver=False,  # merged into docs_token_stats (positional_fp column)
 )
 def docs_positional_fingerprint(spark, sf_dir):
     """Order-sensitive rolling-hash-style fingerprint: Σ pos·h(token)
@@ -228,7 +268,8 @@ def docs_positional_fingerprint(spark, sf_dir):
     )
 
 
-@_query("events_daily_unique_approx", None)  # approximate: rows-only check
+@_query("events_daily_unique_approx", None, driver=False)  # HLL opt-in;
+# exact twin events_daily_unique_users is the driver-checked surface
 def events_daily_unique_approx(spark, sf_dir):
     """HyperLogLog uniques per day (approx_count_distinct, rsd=1%) — the
     documented opt-in for interactive dashboards at extreme scale where
@@ -347,6 +388,7 @@ def docs_tfidf_top_terms(spark, sf_dir):
 
 
 _SAMPLE_PCT = 10
+_TRAIN_PCT = 80  # curation pipeline's train-split share
 
 
 @_query(
@@ -360,6 +402,8 @@ _SAMPLE_PCT = 10
           % 100 < {_SAMPLE_PCT}
     ORDER BY doc_id
     """,
+    driver=False,  # the hash-bucket sample primitive is driver-checked as
+    # the sampling stage of docs_curation_pipeline
 )
 def docs_deterministic_sample(spark, sf_dir):
     """Reproducible ~10% sample via content-independent key hashing
@@ -402,20 +446,30 @@ def docs_deterministic_sample(spark, sf_dir):
         WHERE (fp, doc_id) IN (
             SELECT (fp, min(doc_id)) FROM quality GROUP BY fp
         )
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 100 < {_TRAIN_PCT}
     )
-    SELECT source, lang, count(*) AS kept_docs,
-           round(avg(n_tokens), 4) AS avg_tokens
-    FROM deduped GROUP BY source, lang ORDER BY source, lang
+    SELECT d.source, d.lang, count(*) AS kept_docs,
+           CAST(count(s.doc_id) AS BIGINT) AS train_docs,
+           round(avg(d.n_tokens), 4) AS avg_tokens
+    FROM deduped d LEFT JOIN sampled s ON d.doc_id = s.doc_id
+    GROUP BY d.source, d.lang ORDER BY d.source, d.lang
     """,
 )
 def docs_curation_pipeline(spark, sf_dir):
     """The composed curation pass every training pipeline runs: quality
     gate (length, token count, repetition ratio) → exact dedup (keep
-    lowest doc_id per normalized fingerprint) → per-(source, lang)
-    yield report. One scan computes all the per-doc signals (no
-    re-reads); dedup is one shuffle on the fingerprint; the report is a
-    partial-aggregated groupBy — three shuffles end to end regardless of
-    corpus size."""
+    lowest doc_id per normalized fingerprint) → deterministic hash-bucket
+    train-split sample (md5(doc_id) mod 100 < 80: content-independent,
+    engine-portable, shuffle-free — the docs_deterministic_sample
+    primitive, EXTRA_QUERIES) → per-(source, lang) yield report with kept
+    and train counts. One scan computes all per-doc signals; dedup is one
+    shuffle on the fingerprint; the sample is a pure map predicate; the
+    report is a partial-aggregated groupBy — three shuffles end to end
+    regardless of corpus size."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
@@ -438,10 +492,17 @@ def docs_curation_pipeline(spark, sf_dir):
     deduped = quality.withColumn("keep", F.min("doc_id").over(w)).where(
         F.col("doc_id") == F.col("keep")
     )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    in_train = F.when(bucket < _TRAIN_PCT, 1)
     return (
         deduped.groupBy("source", "lang")
         .agg(
             F.count("*").alias("kept_docs"),
+            F.count(in_train).alias("train_docs"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
         .orderBy("source", "lang")

@@ -20,6 +20,7 @@ __all__ = [
     "uses_python",
     "broadcast_join_count",
     "sort_merge_join_count",
+    "global_window_count",
 ]
 
 
@@ -78,3 +79,17 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 def sort_merge_join_count(df: DataFrame) -> int:
     return plan_str(df).count("SortMergeJoin")
+
+
+def global_window_count(df: DataFrame) -> int:
+    """Number of Window nodes with an EMPTY partition spec — each one is an
+    Exchange SinglePartition + full-input single-task sort, the plan shape
+    that cannot scale past one executor. A partitioned Window prints three
+    bracket groups (functions, partition keys, ordering); a global one only
+    two — so one ``], [`` separator instead of two."""
+    n = 0
+    for line in plan_str(df).splitlines():
+        s = line.strip().lstrip("+-:* ")
+        if s.startswith("Window ") and s.count("], [") < 2:
+            n += 1
+    return n

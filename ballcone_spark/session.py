@@ -73,6 +73,11 @@ def get_spark(
         # against executor heaps and avoids SMJ shuffles on every
         # fact⋈dim join.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # The testdata parquet stores TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read ns as long (queries.load_table
+        # truncates to micros). Set here once per session, not inside
+        # query builds (global conf mutation mid-build is race-prone).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

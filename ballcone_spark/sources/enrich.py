@@ -137,8 +137,21 @@ def enrich_geoip_with_table(
     fine for a lookup table of O(100k) ranges when the probe side streams
     through it; for the 100 TB case pre-bucket the ranges by /8 prefix
     and add an equality key on ``prefix`` to make it a broadcast hash
-    join, which is what we do here."""
-    r = ranges.withColumn("prefix", (F.col("start_ip") / 16777216).cast("int"))
+    join, which is what we do here. Each range is exploded into EVERY /8
+    prefix it spans (``sequence(start div 2^24, end div 2^24)``), not just
+    its start's — a range crossing a /8 boundary (supernets, merged
+    blocks) must be probe-able from its tail prefixes too, else those IPs
+    silently resolve to NULL. Well-formed GeoLite2 rows span one prefix
+    and explode to exactly one row."""
+    r = ranges.withColumn(
+        "prefix",
+        F.explode(
+            F.sequence(
+                (F.col("start_ip") / 16777216).cast("int"),
+                (F.col("end_ip") / 16777216).cast("int"),
+            )
+        ),
+    )
     ipl = ipv4_to_long(F.col(ip_col))
     probe = df.withColumn("_ipl", ipl).withColumn(
         "_prefix", (F.col("_ipl") / 16777216).cast("int")

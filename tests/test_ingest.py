@@ -122,6 +122,88 @@ def ip_long(s: str) -> int:
     return a * 16777216 + b * 65536 + c * 256 + d
 
 
+def test_malformed_percent_escape_does_not_poison_batch(spark):
+    """Attacker-controlled path with a bad %-escape must neither crash the
+    batch (url_decode raises CANNOT_DECODE_URL) nor be dropped: it falls
+    back to the raw path, like the reference's urllib.parse.unquote which
+    never raises."""
+    lines = [
+        _dgram({**GOOD, "path": "/a%zzb"}),
+        _dgram({**GOOD, "path": "/ok%20fine"}),
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    rows = {r["path"] for r in parse_datagrams(df).collect()}
+    assert rows == {"/a%zzb", "/ok fine"}
+
+
+def test_service_normalized_like_reference(spark):
+    """Reference strips + lowercases the service before validation
+    (syslog_protocol.py:55): ' Example ' must land in partition
+    'example', not be dropped or split into a case-variant partition."""
+    lines = [
+        _dgram({**GOOD, "service": " Example "}),
+        _dgram({**GOOD, "service": "EXAMPLE"}),
+        _dgram({**GOOD, "service": "ex ample"}),  # invalid even after norm
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    got = [r["service"] for r in parse_datagrams(df).collect()]
+    assert got == ["example", "example"]
+
+
+def test_geoip_range_crossing_slash8_boundary(spark):
+    """A range spanning a /8 border must match probes in its tail prefix
+    (the r1 bucketing keyed only on the start's /8 — tail IPs got NULL)."""
+    ranges = spark.createDataFrame(
+        [(ip_long("9.255.0.0"), ip_long("10.0.1.255"), "XC")],
+        "start_ip long, end_ip long, country_iso_code string",
+    )
+    df = spark.createDataFrame(
+        [("9.255.0.7",), ("10.0.1.5",), ("10.0.2.1",)], "ip string"
+    )
+    got = {r["ip"]: r["country_iso_code"] for r in
+           enrich_geoip_with_table(df, ranges).collect()}
+    assert got == {"9.255.0.7": "XC", "10.0.1.5": "XC", "10.0.2.1": None}
+
+
+def test_compact_warehouse_per_partition(spark, tmp_path):
+    """Compaction folds micro-batch files per (service, date) partition
+    dir with an atomic two-rename swap: same rows after, fewer files,
+    never a window with the whole data dir missing."""
+    import os
+
+    from ballcone_spark.streaming.ingest import compact_warehouse
+
+    data = str(tmp_path / "data")
+    rows = [
+        ("svc_a", datetime.date(2020, 1, 1), i, f"/p{i}") for i in range(6)
+    ] + [("svc_b", datetime.date(2020, 1, 2), i, f"/q{i}") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "service string, date date, n int, path string"
+    )
+    # three separate appends → ≥3 files per partition
+    for k in range(3):
+        (
+            df.where(F.col("n") % 3 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("service", "date")
+            .parquet(data)
+        )
+
+    def part_files(svc, d):
+        p = os.path.join(data, f"service={svc}", f"date={d}")
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert len(part_files("svc_a", "2020-01-01")) >= 3
+    before = {tuple(r) for r in spark.read.parquet(data).collect()}
+    compact_warehouse(spark, data, target_file_mb=128)
+    spark.catalog.clearCache()
+    after = {tuple(r) for r in spark.read.parquet(data).collect()}
+    assert after == before
+    assert len(part_files("svc_a", "2020-01-01")) == 1
+    assert len(part_files("svc_b", "2020-01-02")) == 1
+
+
 def test_streaming_ingest_end_to_end(spark, tmp_path):
     """Spool files → streaming parse/enrich → partitioned warehouse →
     DAO queries see the rows."""

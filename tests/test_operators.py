@@ -89,13 +89,17 @@ def test_frame_sampling(spark):
 
 
 def test_approx_uniques_tracks_exact(spark):
-    """HLL opt-in (rsd=1%) stays within 5% of the exact daily uniques."""
+    """HLL opt-in (rsd=1%) stays within 5% of the exact daily uniques.
+    (Lives in EXTRA_QUERIES: the exact twin is the driver-checked one.)"""
     import __spark_entry__ as m
+    from ballcone_spark.queries import EXTRA_QUERIES
 
     qs = m.queries()
     approx = {
         r["date"]: r["approx_uniques"]
-        for r in qs["events_daily_unique_approx"](spark, SF).collect()
+        for r in EXTRA_QUERIES["events_daily_unique_approx"]
+        .fn(spark, SF)
+        .collect()
     }
     exact = {
         r["date"]: r["count"]
@@ -165,6 +169,91 @@ def test_embedding_lsh_finds_planted_dups(spark):
     assert set(planted) <= truth  # perturbation small enough
     assert got <= truth  # exact verification: no false positives
     assert len(got) / len(truth) >= 0.95  # LSH recall on near-identical pairs
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed exact-ntile must reproduce the single-partition
+    ntile() window bit-for-bit (tile sizes AND members) on unique keys."""
+    from pyspark.sql import Window
+
+    from ballcone_spark.operators.ranking import exact_ntile, global_row_number
+
+    rows = [(i, float((i * 37) % 101) + i / 1000.0) for i in range(523)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    want = {
+        (r["id"], r["t"])
+        for r in df.withColumn(
+            "t", F.ntile(7).over(Window.orderBy("x"))
+        ).collect()
+    }
+    got = {
+        (r["id"], r["tile"])
+        for r in exact_ntile(df, "x", 7, num_buckets=8, tile_col="tile").collect()
+    }
+    assert got == want
+    # global_row_number is a permutation of 1..N consistent with the order
+    ranked = global_row_number(df, "x", num_buckets=8).collect()
+    by_rn = sorted(ranked, key=lambda r: r["rn"])
+    assert [r["rn"] for r in by_rn] == list(range(1, 524))
+    xs = [r["x"] for r in by_rn]
+    assert xs == sorted(xs)
+
+
+def test_jaccard_df_cut_survives_hot_shingle(spark):
+    """Adversarial corpus: every doc shares one corpus-wide hot trigram
+    (the stopword mega-bucket that used to collect one giant array). The
+    df-cut drops it from the inverted index, the bucket join never sees
+    it, and the reported pairs still exactly match the brute-force
+    Jaccard ground truth because near-dups share plenty of rare shingles."""
+    from itertools import combinations
+
+    from ballcone_spark.functions.text import shingles_of, tokens
+    from ballcone_spark.operators.dedup import hot_shingles, jaccard_pairs
+    from ballcone_spark.functions.text import shingle_rows
+
+    hot = "the quick fox"
+    docs = []
+    for i in range(40):
+        # unique tail per doc, shared hot prefix
+        body = " ".join(f"w{i}_{j}" for j in range(12))
+        docs.append((i, f"{hot} {body}"))
+    # plant near-dup pair: doc 100/101 differ by one token
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs.append((100, f"{hot} {base}"))
+    docs.append((101, f"{hot} {base} lambda"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    # the hot shingle really is cut (df == 42 > max_df=16)
+    e = shingle_rows(df, n=3)
+    hot_set = {r["s"] for r in hot_shingles(e, max_df=16).collect()}
+    assert any(hot in s or s in ("the quick fox",) for s in hot_set)
+
+    got = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(df, max_df=16).collect()
+    }
+    # brute-force ground truth over distinct shingle sets
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", shingles_of(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    truth = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            truth[(a, b)] = round(inter / len(sets[a] | sets[b]), 4)
+    # pairs sharing ONLY the hot shingle are legitimately absent from the
+    # candidate set; everything with a rare shared shingle must agree
+    rare_truth = {
+        k: v
+        for k, v in truth.items()
+        if sets[k[0]] & sets[k[1]] - {s for s in hot_set}
+    }
+    assert got == rare_truth
+    assert (100, 101) in got  # the planted near-dup survives the cut
+    assert got[(100, 101)] >= 0.6
 
 
 def test_overlap_pairs_bin_edges(spark):

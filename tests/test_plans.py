@@ -90,6 +90,7 @@ def test_star_joins_all_broadcast(spark):
     dimension — zero sort-merge joins (at 100 TB only the fact side
     scales; dims stay broadcastable)."""
     from ballcone_spark.plans.explain import sort_merge_join_count
+    from ballcone_spark.queries import EXTRA_QUERIES
 
     for name in [
         "tpch_q5_regional_revenue",
@@ -98,8 +99,55 @@ def test_star_joins_all_broadcast(spark):
         "tpch_q9_product_profit",
         "tpch_q10_returned_items",
     ]:
-        df = entry_mod.queries()[name](spark, SF)
+        spec = entry_mod.queries().get(name) or EXTRA_QUERIES[name].fn
+        df = spec(spark, SF)
         assert sort_merge_join_count(df) == 0, name
+
+
+def test_broadcast_hints_survive_without_auto_threshold(spark):
+    """The VERDICT r1 regression gate: with autoBroadcastJoinThreshold=-1
+    (the stand-in for dims outgrowing the threshold at real scale), the
+    alias-named BROADCAST hints alone must still produce the intended
+    broadcast joins. Round 1 shipped hints naming base tables while every
+    relation was aliased — Spark silently dropped them and q5 planned five
+    SortMergeJoins the moment auto-broadcast was off."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected = {
+            "tpch_q3_unshipped_orders": 1,   # customer
+            "tpch_q5_regional_revenue": 4,   # nation/region/supplier/customer
+            "tpch_q10_returned_items": 2,    # customer/nation
+            "tpch_q14_promo_effect": 1,      # part
+            "tpch_q7_nation_volume": 4,      # the r1 template that worked
+        }
+        for name, n_dims in expected.items():
+            df = entry_mod.queries()[name](spark, SF)
+            assert broadcast_join_count(df) >= n_dims, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_routing_is_map_side(spark):
+    """IVF cell assignment must be a map-side argmax over the broadcast
+    codebook: no Exchange keyed on vec_id, no window partitioned by
+    vec_id (the r1 formulation shuffled corpus×n_cells rows through a
+    row_number window), and the argmax fold visible in the plan."""
+    df = entry_mod.queries()["embeddings_ann_ivf"](spark, SF)
+    p = plan_str(df)
+    assert "array_max(transform(" in p          # the fold exists
+    assert "hashpartitioning(vec_id" not in p   # corpus never shuffles to route
+    assert "windowspecdefinition(vec_id" not in p
+
+
+def test_decile_has_no_global_window(spark):
+    """lineitem_decile_revenue must not contain a partition-less Window
+    (single-task global sort of the fact table). The distributed exact
+    ntile keeps every window bucketed."""
+    from ballcone_spark.plans.explain import global_window_count
+
+    df = entry_mod.queries()["lineitem_decile_revenue"](spark, SF)
+    assert global_window_count(df) == 0
 
 
 def test_range_join_is_equi_join_not_nlj(spark):
