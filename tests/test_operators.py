@@ -113,9 +113,9 @@ def test_approx_uniques_tracks_exact(spark):
 def test_ivf_ann_shape_and_sims(spark):
     """IVF results: ranks 1..k contiguous, sims non-increasing per query,
     neighbors are real corpus ids, self excluded."""
-    import __spark_entry__ as m
+    from ballcone_spark.queries import EXTRA_QUERIES
 
-    rows = m.queries()["embeddings_ann_ivf"](spark, SF).collect()
+    rows = EXTRA_QUERIES["embeddings_ann_ivf"].fn(spark, SF).collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append(r)

@@ -11,8 +11,16 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from ballcone_spark.queries import EXTRA_QUERIES, QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+#: Driver-exported queries PLUS the demoted EXTRA_QUERIES variants — the
+#: driver checks only the exported 50, but every oracle-bearing query
+#: keeps machine-checked parity here (ADVICE r2: demotions must not lose
+#: continuous oracle coverage).
+ALL_SPECS = {**QUERIES, **EXTRA_QUERIES}
+ORACLE_NAMES = sorted(n for n, s in ALL_SPECS.items() if s.oracle is not None)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -52,14 +60,14 @@ def duck_con():
     return _duck()
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+@pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck_con, name):
-    q = entry_mod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    spec = ALL_SPECS[name]
+    sdf = spec.fn(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck_con.execute(entry_mod.oracle_sql()[name])
+    res = duck_con.execute(spec.oracle)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 

@@ -133,7 +133,7 @@ def test_ivf_routing_is_map_side(spark):
     codebook: no Exchange keyed on vec_id, no window partitioned by
     vec_id (the r1 formulation shuffled corpus×n_cells rows through a
     row_number window), and the argmax fold visible in the plan."""
-    df = entry_mod.queries()["embeddings_ann_ivf"](spark, SF)
+    df = entry_mod.queries()["embeddings_ann_ivf_recall"](spark, SF)
     p = plan_str(df)
     assert "array_max(transform(" in p          # the fold exists
     assert "hashpartitioning(vec_id" not in p   # corpus never shuffles to route
