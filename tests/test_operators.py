@@ -113,6 +113,8 @@ def test_approx_uniques_tracks_exact(spark):
 def test_ivf_ann_shape_and_sims(spark):
     """IVF results: ranks 1..k contiguous, sims non-increasing per query,
     neighbors are real corpus ids, self excluded."""
+    import __spark_entry__  # noqa: F401 — registers EXTRA_QUERIES
+
     from ballcone_spark.queries import EXTRA_QUERIES
 
     rows = EXTRA_QUERIES["embeddings_ann_ivf"].fn(spark, SF).collect()
