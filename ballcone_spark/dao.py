@@ -418,12 +418,40 @@ class SparkDAO:
         service as a physical table (``SELECT * FROM mysite`` — tables
         created at reference syslog_protocol.py:61-65), so every known
         service gets an Entry-shaped view over its partition. Service
-        names are pre-validated ``\\A[\\w]+\\Z`` — safe as identifiers."""
+        names are pre-validated ``\\A[\\w]+\\Z`` — safe as identifiers.
+
+        Namespace guard (ADVICE r2): temp views share one global
+        namespace with the analytics dataset views (``events``,
+        ``lineitem``, ...) registered by :mod:`ballcone_spark.queries`.
+        A syslog-supplied service named after one of those would clobber
+        it — and the query layer's registration cache would then skip
+        re-registration, silently resolving analytics SQL against the
+        service partition. Reserved names are therefore never shadowed
+        (the reference has the same hazard the other way: a service named
+        ``sqlite_master`` would be unaddressable there too); for every
+        view this method DOES (re)register, the query layer's cache entry
+        is invalidated so the next analytics build re-asserts its own
+        binding."""
+        from ballcone_spark.queries import (
+            TABLES,
+            _VIEWS_REGISTERED,
+        )
+
+        reserved = set(TABLES) | {
+            "access_log",
+            "sqlite_master",
+            "pragma_database_size",
+        }
+        app_id = self.spark.sparkContext.applicationId
         self._fact().createOrReplaceTempView("access_log")
+        _VIEWS_REGISTERED.pop((app_id, "access_log"), None)
         for service in self.tables():
+            if service in reserved:
+                continue  # console reaches it via `access_log WHERE service=...`
             self.table(service).select(*_ENTRY_COLS).createOrReplaceTempView(
                 service
             )
+            _VIEWS_REGISTERED.pop((app_id, service), None)
         master = [(name, "table") for name in self.tables()]
         self.spark.createDataFrame(
             master, schema="name string, type string"

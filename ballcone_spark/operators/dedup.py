@@ -178,11 +178,19 @@ def bucket_pairs(
     )
 
 
-#: df-cut threshold: shingles in more docs than this are dropped from the
+#: df-cut floor: shingles in more docs than this are dropped from the
 #: inverted index (candidate generation only — Jaccard values are exact-
 #: verified from full shingle sets). At 100 TB the hot list is the Zipf
 #: head (stopword n-grams) — small and broadcastable at any corpus size.
+#: :func:`jaccard_pairs` scales the effective cut with corpus size
+#: (ADVICE r2: a FIXED cut silently drops any near-dup family larger
+#: than it — all shingles shared family-wide have df ≥ family size).
 _MAX_DF = 64
+
+#: effective cut = max(_MAX_DF, n_docs // _DF_SCALE_DIVISOR): a family
+#: must exceed 2% of the whole corpus before the df-cut could hide it —
+#: at that size it is boilerplate, which exact/MinHash dedup handles.
+_DF_SCALE_DIVISOR = 50
 
 
 def hot_shingles(e: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
@@ -216,13 +224,23 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame, n: int = _NGRAM) ->
     )
 
 
-def jaccard_pairs(docs: DataFrame, n: int = _NGRAM, max_df: int = _MAX_DF) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, n: int = _NGRAM, max_df: int | None = None
+) -> DataFrame:
     """Doc pairs sharing ≥1 *rare* word-``n``-gram, with exact Jaccard
     over full distinct shingle sets. Candidate generation is the
     inverted index with the df-cut (hot shingles anti-joined out before
     the bucket shuffle — no stopword mega-bucket is ever collected);
     verification attaches the full sets per pair, so reported Jaccard is
-    exact regardless of the cut. Returns (a_id, b_id, jaccard)."""
+    exact regardless of the cut. Returns (a_id, b_id, jaccard).
+
+    ``max_df=None`` (default) scales the cut with corpus size:
+    ``max(64, n_docs // 50)`` — so a near-dup family is only ever at
+    risk of being df-cut away once it exceeds 2% of the corpus (the
+    one count() this costs runs at plan-build time; the registered
+    query is ``cacheable=False`` so the count can never go stale)."""
+    if max_df is None:
+        max_df = max(_MAX_DF, docs.count() // _DF_SCALE_DIVISOR)
     e = shingle_rows(docs, n=n)
     rare = e.join(F.broadcast(hot_shingles(e, max_df)), "s", "left_anti")
     cand = bucket_pairs(rare, ["s"]).distinct()
@@ -239,6 +257,7 @@ def jaccard_pairs(docs: DataFrame, n: int = _NGRAM, max_df: int = _MAX_DF) -> Da
     WHERE shared * 1.0 / (na + nb - shared) >= {_JACCARD_THRESHOLD}
     ORDER BY a_id, b_id
     """,
+    cacheable=False,  # the corpus-scaled df-cut runs a count() at build
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 (the corpus

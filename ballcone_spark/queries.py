@@ -142,12 +142,22 @@ QUERIES: dict[str, QuerySpec] = {}
 #: construction AND Catalyst analysis — the prepared-statement semantics a
 #: resident analytics daemon has (the reference's DuckDB connection
 #: likewise reuses its catalog state across requests). Execution is NOT
-#: cached: every collect() re-runs the physical plan against storage.
+#: cached: every collect() re-runs the physical plan against storage —
+#: EXCEPT for builds that run driver-side jobs at plan time and bake the
+#: results in as literals (the distributed exact-ntile's bucket offsets,
+#: data-dependent df-cuts): those must pass ``cacheable=False`` so a
+#: data change between calls can never serve stale literals (ADVICE r2).
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _plan_cached(name: str, build: Callable[[SparkSession, str], DataFrame]):
+def _plan_cached(
+    name: str,
+    build: Callable[[SparkSession, str], DataFrame],
+    cacheable: bool = True,
+):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if not cacheable:
+            return build(spark, sf_dir)
         key = (spark.sparkContext.applicationId, sf_dir, name)
         df = _PLAN_CACHE.get(key)
         if df is None:
@@ -169,11 +179,19 @@ def _plan_cached(name: str, build: Callable[[SparkSession, str], DataFrame]):
 EXTRA_QUERIES: dict[str, QuerySpec] = {}
 
 
-def _query(name: str, oracle: Optional[str], doc: str = "", driver: bool = True):
+def _query(
+    name: str,
+    oracle: Optional[str],
+    doc: str = "",
+    driver: bool = True,
+    cacheable: bool = True,
+):
     def deco(fn):
         target = QUERIES if driver else EXTRA_QUERIES
         target[name] = QuerySpec(
-            _plan_cached(name, fn), oracle, doc or (fn.__doc__ or "").strip()
+            _plan_cached(name, fn, cacheable=cacheable),
+            oracle,
+            doc or (fn.__doc__ or "").strip(),
         )
         return fn
 
@@ -1013,6 +1031,9 @@ _sql_query(
     SELECT decile, count(*) AS n, round(sum(rev), 4) AS revenue
     FROM scored GROUP BY decile ORDER BY decile
     """,
+    cacheable=False,  # exact_ntile bakes data-dependent bucket offsets
+    # into the plan as literals — a cached plan would serve stale ranks
+    # if the input changed between calls (ADVICE r2)
 )
 def lineitem_decile_revenue(spark, sf_dir):
     """ntile(10) decile revenue analysis — Spark side uses the distributed

@@ -114,19 +114,29 @@ def compact_warehouse(
     Run periodically to fold micro-batch files together.
 
     Guarantee (and its limits, stated honestly): the swap is atomic **per
-    partition directory** — each (service, date) dir is snapshotted,
-    rewritten to a sibling tmp dir, and swapped with two ``os.rename``
-    calls, so a reader never observes a missing or half-written partition
-    (POSIX rename is atomic; between the two renames a reader can see the
-    partition momentarily absent — the old all-at-once variant deleted
-    the ENTIRE data dir before renaming, a much wider window that also
-    silently discarded any micro-batch appended after the snapshot
-    read). Appends that land in a partition dir *after* its snapshot are
-    preserved: the swap is skipped for that partition when new files are
-    detected (the stream owns the dir; compaction retries it next run).
-    For a shared production lake use a table format with a transaction
-    log; for this engine's single-writer spool the per-partition swap +
-    skip-on-conflict is exact."""
+    partition directory** and **never discards an appended file**. Order
+    of operations (fixing the ADVICE r2 TOCTOU — a list-then-rename race
+    could move a mid-compaction append into the doomed dir):
+
+    1. snapshot the partition's parquet files and rewrite them compacted
+       into a sibling tmp dir;
+    2. ``os.rename(part_dir, old)`` FIRST — from this instant no writer
+       can add to the doomed dir unseen: anything that landed between
+       the snapshot and this rename travelled into ``old`` and is found
+       by the post-rename re-listing;
+    3. re-list ``old``: every file NOT in the snapshot (a mid-compaction
+       append) is moved into the new compacted dir before anything is
+       deleted;
+    4. ``os.rename(tmp, part_dir)``; if a writer re-created ``part_dir``
+       in the gap, fall back to moving the compacted files in one by one
+       (Spark part-file names are globally unique, so merging is safe);
+    5. delete ``old`` — at this point it holds only snapshot files,
+       every byte of which lives compacted in the new dir.
+
+    A reader can see the partition momentarily absent between the two
+    renames (unavoidable with plain dirs; a table format with a
+    transaction log removes even that window — documented trade). Data
+    loss windows: none."""
     if not os.path.isdir(warehouse_data_dir):
         return
     root = warehouse_data_dir.rstrip("/")
@@ -161,14 +171,25 @@ def compact_warehouse(
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
-            now = sorted(
-                f for f in os.listdir(part_dir) if f.endswith(".parquet")
-            )
-            if now != snapshot:
-                # a micro-batch appended mid-compaction: keep its data,
-                # drop this rewrite, retry on the next run
-                shutil.rmtree(tmp, ignore_errors=True)
-                continue
-            os.rename(part_dir, old)
-            os.rename(tmp, part_dir)
-            shutil.rmtree(old)
+            os.rename(part_dir, old)  # appends after this are impossible;
+            # appends before it travelled INTO old and are rescued below
+            snap_set = set(snapshot)
+            extras = [
+                f
+                for f in os.listdir(old)
+                if f.endswith(".parquet") and f not in snap_set
+            ]
+            for f in extras:
+                os.rename(os.path.join(old, f), os.path.join(tmp, f))
+                crc = os.path.join(old, f".{f}.crc")
+                if os.path.exists(crc):
+                    os.rename(crc, os.path.join(tmp, f".{f}.crc"))
+            try:
+                os.rename(tmp, part_dir)
+            except OSError:
+                # a writer re-created part_dir in the rename gap: merge the
+                # compacted files in (part-file names are globally unique)
+                for f in os.listdir(tmp):
+                    os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
+                os.rmdir(tmp)
+            shutil.rmtree(old)  # only snapshot files remain — all compacted

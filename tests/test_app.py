@@ -90,3 +90,39 @@ def test_console_dialect_shims(seeded_dao):
         " WHERE type = 'table' ORDER BY name"
     )
     assert [r[0] for r in out["rows"]] == seeded_dao.tables()
+
+
+def test_service_view_cannot_clobber_dataset_views(seeded_dao):
+    """ADVICE r2 namespace guard: a syslog-supplied service named after
+    an analytics dataset view ('events', 'lineitem', ...) or a catalog
+    shim must NOT shadow it — and the query layer's view-registration
+    cache must be invalidated for anything register_views rebinds, so a
+    later analytics build re-asserts its own binding."""
+    import ballcone_spark.queries as q
+    from ballcone_spark.queries import load_table
+
+    spark = seeded_dao.spark
+    sf = "/root/testdata/sf0.001"
+    # analytics surface binds `events` (and caches the registration)
+    q._register_views(spark, sf, ["events"])
+    expected = load_table(spark, sf, "events").count()
+
+    # a hostile-but-valid service name arrives and views are rebuilt
+    seeded_dao.batch_insert_into("events", GOLDEN_ENTRIES[:1])
+    seeded_dao.batch_insert_into("mysite", GOLDEN_ENTRIES)
+    seeded_dao.register_views()
+
+    # the dataset view survives; the service is still reachable through
+    # the unified table (the documented path for reserved names)
+    assert spark.table("events").count() == expected
+    n = spark.sql(
+        "SELECT count(*) AS n FROM access_log WHERE service = 'events'"
+    ).collect()[0]["n"]
+    assert n == 1
+    # and a normal service name IS addressable verbatim
+    assert spark.sql("SELECT count(*) AS n FROM mysite").collect()[0]["n"] == 4
+
+    # cache invalidation: register_views popped its rebound names, so a
+    # fresh analytics build re-registers instead of trusting a stale entry
+    app_id = spark.sparkContext.applicationId
+    assert (app_id, "mysite") not in q._VIEWS_REGISTERED

@@ -204,6 +204,58 @@ def test_compact_warehouse_per_partition(spark, tmp_path):
     assert len(part_files("svc_b", "2020-01-02")) == 1
 
 
+def test_compact_rescues_mid_compaction_append(spark, tmp_path, monkeypatch):
+    """ADVICE r2 TOCTOU regression: a micro-batch file appended AFTER the
+    snapshot but BEFORE the partition-dir rename must survive compaction
+    (the r2 code moved it into the doomed dir and deleted it). The append
+    is injected at the last possible instant by hooking os.rename."""
+    import os
+
+    from ballcone_spark.streaming import ingest as ingest_mod
+
+    data = str(tmp_path / "data")
+    part = os.path.join(data, "service=svc", "date=2020-01-01")
+    df = spark.createDataFrame(
+        [("svc", datetime.date(2020, 1, 1), i) for i in range(4)],
+        "service string, date date, n int",
+    )
+    for k in range(2):
+        (
+            df.where(F.col("n") % 2 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("service", "date")
+            .parquet(data)
+        )
+    late = spark.createDataFrame(
+        [("svc", datetime.date(2020, 1, 1), 99)],
+        "service string, date date, n int",
+    ).where(F.col("n") == 99)
+
+    real_rename = os.rename
+    injected = {"done": False}
+
+    def rename_hook(src, dst):
+        # the first part_dir→old rename is the race window's close: write
+        # the late append just before it happens
+        if not injected["done"] and dst.endswith("._compact_old"):
+            injected["done"] = True
+            late.coalesce(1).write.mode("append").partitionBy(
+                "service", "date"
+            ).parquet(data)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(ingest_mod.os, "rename", rename_hook)
+    ingest_mod.compact_warehouse(spark, data, target_file_mb=128)
+    monkeypatch.undo()
+    spark.catalog.clearCache()
+    assert injected["done"]
+    got = sorted(r["n"] for r in spark.read.parquet(data).collect())
+    assert got == [0, 1, 2, 3, 99]  # the late row survived
+    assert not os.path.exists(part + "._compact_old")
+    assert not os.path.exists(part + "._compact_tmp")
+
+
 def test_streaming_ingest_end_to_end(spark, tmp_path):
     """Spool files → streaming parse/enrich → partitioned warehouse →
     DAO queries see the rows."""
