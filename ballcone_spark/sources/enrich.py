@@ -10,16 +10,26 @@ library ships in this container, so each has two implementations:
   broadcast-joined CIDR→country lookup table (the scale-correct design:
   the GeoLite2 database IS a range table; shipping it as a broadcast
   DataFrame beats per-row mmdb lookups and keeps everything in codegen).
-- **Library path** (gated behind import-try): Arrow-batched pandas UDFs
-  wrapping ``maxminddb``/``httpagentparser`` when installed, for output
-  parity with the reference. ``HAVE_MAXMINDDB``/``HAVE_HTTPAGENTPARSER``
-  report availability.
+- **Library path** (:func:`enrich_user_agent_library`,
+  :func:`enrich_geoip_library`): Arrow-batched pandas UDFs wrapping
+  ``httpagentparser.detect`` / ``maxminddb.Reader.get`` for output
+  parity with the reference; ``HAVE_MAXMINDDB``/``HAVE_HTTPAGENTPARSER``
+  report availability and the functions raise ``ImportError`` without
+  them. The detect/get callables are injectable, so the Spark plumbing
+  (Arrow batch shape, struct schema, null handling) is pinned by tests
+  with deterministic fakes even in containers without the libraries;
+  a parity test against the regex path runs wherever the real libraries
+  exist (skip-if-absent).
 """
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this container
     import maxminddb  # noqa: F401
@@ -40,7 +50,9 @@ __all__ = [
     "HAVE_HTTPAGENTPARSER",
     "parse_user_agent_cols",
     "enrich_user_agent",
+    "enrich_user_agent_library",
     "enrich_geoip_with_table",
+    "enrich_geoip_library",
     "ipv4_to_long",
     "enrich",
 ]
@@ -54,13 +66,16 @@ _BOT_RE = r"(?i)(bot|crawler|spider|slurp|curl|wget|python-requests|scrapy)"
 
 # (browser_name, version-capture regex) in match-priority order. Edge and
 # Opera must precede Chrome; Chrome precedes Safari (UA strings nest).
+# iOS re-skins carry their own tokens (CriOS/FxiOS/EdgiOS — WebKit
+# mandated, distinct from the desktop tokens); IE11 dropped the MSIE
+# token for Trident/…rv:11.0.
 _BROWSERS = [
     ("Edge", r"Edg(?:e|A|iOS)?/([\d.]+)"),
-    ("Opera", r"OPR/([\d.]+)"),
-    ("Firefox", r"Firefox/([\d.]+)"),
-    ("Chrome", r"Chrome/([\d.]+)"),
+    ("Opera", r"(?:OPR|Opera Mini)/([\d.]+)"),
+    ("Firefox", r"(?:Firefox|FxiOS)/([\d.]+)"),
+    ("Chrome", r"(?:Chrome|CriOS)/([\d.]+)"),
     ("Safari", r"Version/([\d.]+).*Safari"),
-    ("MSIE", r"MSIE ([\d.]+)"),
+    ("MSIE", r"(?:MSIE |Trident/.*rv:)([\d.]+)"),
 ]
 
 _PLATFORMS = [
@@ -106,6 +121,79 @@ def enrich_user_agent(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
     for name, col in cols.items():
         df = df.withColumn(name, col)
     return df
+
+
+# --------------------------------------------------------------------- #
+# User-Agent: library-parity path (Arrow-batched pandas UDF)            #
+# --------------------------------------------------------------------- #
+
+_UA_STRUCT = T.StructType(
+    [
+        T.StructField("platform_name", T.StringType()),
+        T.StructField("platform_version", T.StringType()),
+        T.StructField("browser_name", T.StringType()),
+        T.StructField("browser_version", T.StringType()),
+        T.StructField("is_robot", T.BooleanType()),
+    ]
+)
+
+_UA_FIELDS = [f.name for f in _UA_STRUCT.fields]
+
+
+def _ua_struct_udf(detect_fn: Callable[[str], dict]):
+    """Arrow-batched struct UDF over any ``detect(ua) -> dict`` callable
+    shaped like ``httpagentparser.detect``. Field extraction mirrors the
+    reference verbatim (reference ballcone/syslog_protocol.py:83-87):
+    ``platform.name/version``, ``browser.name/version``, ``bot``, each
+    ``None`` when absent."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_UA_STRUCT)
+    def parse(ua: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in ua:
+            if v is None:
+                rows.append((None, None, None, None, None))
+                continue
+            d = detect_fn(v) or {}
+            rows.append(
+                (
+                    d.get("platform", {}).get("name", None),
+                    d.get("platform", {}).get("version", None),
+                    d.get("browser", {}).get("name", None),
+                    d.get("browser", {}).get("version", None),
+                    d.get("bot", None),
+                )
+            )
+        return pd.DataFrame(rows, columns=_UA_FIELDS)
+
+    return parse
+
+
+def enrich_user_agent_library(
+    df: DataFrame,
+    ua_col: str = "user_agent",
+    detect_fn: Optional[Callable[[str], dict]] = None,
+) -> DataFrame:
+    """S5 with reference-identical outputs: ``httpagentparser.detect``
+    behind an Arrow-batched pandas UDF (one Python round-trip per Arrow
+    batch, never per row). ``detect_fn`` is injectable for tests; by
+    default it requires ``httpagentparser`` and raises ``ImportError``
+    with the regex fallback named when absent."""
+    if detect_fn is None:
+        if not HAVE_HTTPAGENTPARSER:
+            raise ImportError(
+                "httpagentparser is not installed — use enrich_user_agent "
+                "(the JVM-side regex path) or install the library for "
+                "reference parity"
+            )
+        import httpagentparser
+
+        detect_fn = httpagentparser.detect
+    parsed = df.withColumn("_ua", _ua_struct_udf(detect_fn)(F.col(ua_col)))
+    for name in _UA_FIELDS:
+        parsed = parsed.withColumn(name, F.col(f"_ua.{name}"))
+    return parsed.drop("_ua")
 
 
 # --------------------------------------------------------------------- #
@@ -164,6 +252,66 @@ def enrich_geoip_with_table(
         "left",
     )
     return joined.drop("_ipl", "_prefix", "prefix", "start_ip", "end_ip")
+
+
+# --------------------------------------------------------------------- #
+# GeoIP: library-parity path (maxminddb behind a pandas UDF)            #
+# --------------------------------------------------------------------- #
+
+#: per-worker-process mmdb readers, keyed by path — maxminddb mmaps the
+#: file, so one open per executor process amortizes across all batches.
+_MMDB_READERS: dict = {}
+
+
+def _iso_code(get_fn: Callable[[str], Optional[dict]], ip: str) -> Optional[str]:
+    """Reference ``Ballcone.iso_code`` verbatim (reference
+    ballcone/core.py:60-64) + a guard for malformed IPs (maxminddb raises
+    ValueError; the reference never sees one because ``ip_address()``
+    validated upstream — our streaming path is PERMISSIVE instead)."""
+    try:
+        geo = get_fn(ip)
+    except ValueError:
+        return None
+    return geo["country"].get("iso_code", None) if geo and "country" in geo else None
+
+
+def enrich_geoip_library(
+    df: DataFrame,
+    mmdb_path: str,
+    ip_col: str = "ip",
+    get_fn: Optional[Callable[[str], Optional[dict]]] = None,
+) -> DataFrame:
+    """S4 with reference-identical outputs: a MaxMind ``.mmdb`` lookup
+    behind an Arrow-batched pandas UDF. ``mmdb_path`` must be reachable
+    on every executor (ship it with ``spark.sparkContext.addFile`` and
+    pass ``SparkFiles.get(...)``). ``get_fn`` is injectable for tests;
+    by default requires ``maxminddb``."""
+    if get_fn is None and not HAVE_MAXMINDDB:
+        raise ImportError(
+            "maxminddb is not installed — use enrich_geoip_with_table "
+            "(the broadcast range-join path) or install the library for "
+            "reference parity"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def iso(ips: pd.Series) -> pd.Series:
+        if get_fn is not None:
+            get = get_fn
+        else:
+            import maxminddb
+
+            reader = _MMDB_READERS.get(mmdb_path)
+            if reader is None:
+                reader = _MMDB_READERS[mmdb_path] = maxminddb.open_database(
+                    mmdb_path
+                )
+            get = reader.get
+        return ips.map(
+            lambda ip: None if ip is None else _iso_code(get, ip)
+        )
+
+    return df.withColumn("country_iso_code", iso(F.col(ip_col)))
 
 
 def enrich(
