@@ -19,9 +19,12 @@ both sides of a co-located join must use the SAME bucket count (Spark
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["bucketize"]
+__all__ = ["bucketize", "ensure_bucketed"]
 
 
 def bucketize(
@@ -38,3 +41,34 @@ def bucketize(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(name)
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+) -> str:
+    """Idempotently materialize a bucketed copy of a testdata table and
+    return its catalog name (``bkt_<table>_<sf>``). The write-once
+    shuffle runs only when the session hasn't registered the table yet —
+    every later equi-join on ``keys`` against another table bucketed with
+    the same count is exchange-free. The copy is a snapshot of the source
+    at bucketize time (the same immutable-input contract the testdata
+    parquet itself has)."""
+    from ballcone_spark.queries import load_table
+
+    sf_key = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    name = f"bkt_{table}_{sf_key}"
+    if not spark.catalog.tableExists(name):
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        bucketize(
+            load_table(spark, sf_dir, table),
+            name,
+            keys,
+            n_buckets,
+            path=os.path.join(repo_root, "spark-warehouse", name),
+        )
+    return name

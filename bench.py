@@ -37,6 +37,10 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    # bucketed fact⋈fact: cold pays the one-off bucketize write, steady
+    # state measures the exchange-free SortMergeJoin (compare with
+    # tpch_q3/q10's shuffled orders⋈lineitem)
+    "orders_lineitem_bucketed_revenue",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "docs_token_stats",
