@@ -548,3 +548,42 @@ def test_ua_library_vs_regex_parity(spark):
     for u, a, b in zip(mainstream, regex_rows, lib_rows):
         if b["browser_name"] is not None:
             assert a["browser_name"] == b["browser_name"], u
+
+
+def test_parse_pipeline_never_crashes_on_fuzz(spark):
+    """Drop-don't-crash under adversarial input (the reference's core
+    ingest guarantee, syslog_protocol.py:33-59): 300 seeded-random hostile
+    lines — binary-ish garbage, truncated frames, deep JSON, huge
+    numbers, bad escapes, null bytes — run through the FULL parse+enrich
+    pipeline in one batch. Nothing may throw; survivors must carry a
+    valid service and timestamp."""
+    import random
+
+    from ballcone_spark.streaming.ingest import ingest_pipeline
+
+    rng = random.Random(20240813)
+    alphabet = "<>{}[]\"'\\:%,.\x00\x01\u20ac日本 abc0123456789"
+    lines = []
+    for i in range(150):
+        lines.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120))))
+    # structured-but-hostile variants
+    for i in range(150):
+        svc = rng.choice(["ok_svc", "bad svc", "", "a" * 500, "svc\x00", "日本"])
+        date = rng.choice([
+            "2024-02-01T00:00:00Z", "not-a-date", "9999-99-99T99:99:99Z",
+            "2024-02-01T00:00:00+99:00", "",
+        ])
+        status = rng.choice(["200", "99999999999999999999", "-1", "NaN", "2e3"])
+        path = rng.choice(["/x", "/%zz%%%", "/%7E" * 200, "%", ""])
+        frame = rng.choice(["<190>x: ", "<99999>x: ", "", "<190>"])
+        lines.append(
+            frame + '{"service":"%s","date":"%s","status":"%s","path":"%s",'
+            '"length":%s,"generation_time_milli":1e308,"ip":"1.2.3.4",'
+            '"host":"h","referrer":"","user_agent":"UA"}'
+            % (svc, date, status, path, rng.choice(["1", "99999999999999999999"]))
+        )
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    rows = ingest_pipeline(df).collect()  # must not raise
+    assert len(rows) <= len(lines)
+    for r in rows:
+        assert r["service"] and r["datetime"] is not None

@@ -282,3 +282,33 @@ def test_overlap_pairs_bin_edges(spark):
         if r["a_id"] != r["b_id"]
     }
     assert got == {(1, 2), (1, 5)}
+
+
+def test_kmeans_codebook_properties(spark):
+    """Lloyd's k-means trainer: k cells, assignments partition the
+    corpus, objective (mean cosine-to-centroid) is non-decreasing over
+    iterations, empty cells survive with their previous centroid."""
+    from ballcone_spark.operators.kmeans import (
+        assign_cells,
+        kmeans_inertia,
+        train_ivf_codebook,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding"
+    )
+    n = emb.count()
+    prev = None
+    for iters in (1, 2, 4):
+        book = train_ivf_codebook(spark, emb, k=8, iters=iters)
+        assert book.count() == 8
+        assigned = assign_cells(emb, book)
+        assert assigned.count() == n  # a partition of the corpus
+        obj = kmeans_inertia(emb, book)
+        if prev is not None:
+            assert obj >= prev - 1e-9  # Lloyd's monotonicity
+        prev = obj
+    # trained codebook beats the raw seeds by a real margin
+    seeds = train_ivf_codebook(spark, emb, k=8, iters=0)
+    assert prev > kmeans_inertia(emb, seeds)
