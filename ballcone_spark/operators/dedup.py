@@ -439,3 +439,119 @@ def docs_simhash(spark, sf_dir):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         val = term if val is None else val + term
     return bits.select("doc_id", val.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------- #
+# SimHash Hamming near-dup (block-pigeonhole candidates, EXACT)         #
+# --------------------------------------------------------------------- #
+
+_SIM_BITS_WIDE = 60  # 15 md5 hex digits; 4 blocks × 15 bits
+_SIM_BLOCKS = 4
+_SIM_BLOCK_BITS = _SIM_BITS_WIDE // _SIM_BLOCKS
+_HAMMING_MAX = 2
+
+
+def simhash_signatures_df(docs: DataFrame, bits: int = _SIM_BITS_WIDE) -> DataFrame:
+    """(doc_id, simhash) with a ``bits``-wide sketch (the 32-bit variant
+    in docs_simhash is too coarse for pairing on small-vocab corpora)."""
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("s")
+    )
+    h = F.conv(F.substring(F.md5("s"), 1, (bits + 3) // 4), 16, 10).cast("long")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = e.groupBy("doc_id").agg(*sums)
+    val = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return agg.select("doc_id", val.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = _HAMMING_MAX
+) -> DataFrame:
+    """(a_id, b_id, hamming ≤ max_hamming) over 60-bit SimHash sketches.
+
+    Candidate generation is EXACT by pigeonhole, not probabilistic: the
+    sketch splits into 4 disjoint 15-bit blocks, and any pair within
+    Hamming ≤ 3 differs in at most 3 blocks — so it must agree exactly on
+    at least one. Each doc emits 4 (block_idx, block_value) keys; pairs
+    sharing a key are the complete candidate set (requires
+    ``max_hamming ≤ _SIM_BLOCKS - 1``), then one xor+bit_count verifies.
+    Everything is equi-joins on a bounded key space — at 100 TB the only
+    risk is a hot block value (mass-identical sketches), which is the
+    exact-dup family exact dedup removes first."""
+    assert max_hamming <= _SIM_BLOCKS - 1
+    sigs = simhash_signatures_df(docs)
+    mask = (1 << _SIM_BLOCK_BITS) - 1
+    keyed = sigs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * _SIM_BLOCK_BITS).bitwiseAND(mask)
+                    for i in range(_SIM_BLOCKS)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    cand = bucket_pairs(keyed, ["blk", "bv"], id_col="doc_id").distinct()
+    a = sigs.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _duck_simhash_wide_cte() -> str:
+    hash_expr = f"CAST(('0x' || substr(md5(s), 1, {(_SIM_BITS_WIDE + 3) // 4})) AS BIGINT)"
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SIM_BITS_WIDE)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(_SIM_BITS_WIDE)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS s
+        FROM documents),
+hsh AS (SELECT doc_id, {hash_expr} AS h FROM tok),
+wbits AS (SELECT doc_id, {sums} FROM hsh GROUP BY doc_id),
+wsims AS (SELECT doc_id, {val} AS simhash FROM wbits)
+"""
+
+
+@_query(
+    "dedup_simhash_hamming",
+    f"""
+    WITH {_duck_simhash_wide_cte()}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM wsims a JOIN wsims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ORDER BY a_id, b_id
+    """,
+    driver=False,  # registry is at the 50-entry cap; the local oracle
+    # diff (tests/test_oracle_diff.py) hash-checks it — and unlike the
+    # cosine-LSH recall gate, this compare is EXACT: pigeonhole makes the
+    # Spark candidate set provably complete vs the O(n²) oracle
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 2 over 60-bit sketches —
+    block-pigeonhole candidate generation (complete by construction),
+    xor+bit_count verification. The oracle is the O(n²) definition."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
