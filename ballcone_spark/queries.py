@@ -2,7 +2,7 @@
 as a ``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL
 string for differential checking.
 
-Two families:
+Four families:
 
 1. **Ballcone-shaped analytics** over the ``events`` table (the reference's
    typed query layer Q2–Q5 / A1–A2, re-keyed onto
@@ -15,6 +15,13 @@ Two families:
    (the reference's Q6 console, reference ballcone/dao.py:344-352, makes
    the whole SQL engine part of the API — joins/sorts/aggregates are
    exercised here as SURVEY.md §2.4 prescribes).
+3. **Physical-layout demonstrations**: the bucketed fact⋈fact join
+   (``orders_lineitem_bucketed_revenue`` — exchange-free SortMergeJoin
+   over write-time buckets) and the end-to-end ingest replay
+   (``ingest_replay_stats`` — S1–S5 over a committed spool fixture,
+   hash-verified against a DuckDB replica of every parse/enrich stage).
+4. **LLM-pipeline operators** (registered from ``operators/`` at import):
+   dedup, similarity/ANN with recall gates, text analysis, multimodal.
 
 Float discipline: double aggregates are rounded to 4 decimals **in both**
 the Spark plan and the oracle SQL, so summation-order differences between
