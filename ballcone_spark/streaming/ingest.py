@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 from ballcone_spark.sources.enrich import enrich
 from ballcone_spark.sources.syslog import parse_datagrams
 
-__all__ = ["ingest_pipeline", "start_file_ingest", "compact_warehouse"]
+__all__ = [
+    "ingest_pipeline",
+    "start_file_ingest",
+    "compact_warehouse",
+    "expire_partitions",
+]
 
 _FACT_ORDER = [
     "service",
@@ -193,3 +198,45 @@ def compact_warehouse(
                     os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
                 os.rmdir(tmp)
             shutil.rmtree(old)  # only snapshot files remain — all compacted
+
+
+def expire_partitions(
+    warehouse_data_dir: str,
+    older_than: "datetime.date",
+    service: str | None = None,
+) -> list[str]:
+    """Retention maintenance: delete ``date=<d>`` partition dirs with
+    ``d < older_than`` (optionally for one service). Returns the removed
+    relative partition paths.
+
+    The reference has no retention story at all (DuckDB tables grow
+    forever); with a date-partitioned warehouse, retention is a pure
+    file-listing operation — no engine involvement, no rewrite, and
+    partition pruning means queries never read expired data even
+    mid-delete. Deletion per partition dir is atomic from a reader's
+    perspective in the same sense as compaction's swap (a dir either
+    lists or it doesn't); a date dir that fails to parse is left alone
+    rather than guessed about."""
+    import datetime as _dt
+    import shutil as _shutil
+
+    removed: list[str] = []
+    root = warehouse_data_dir.rstrip("/")
+    if not os.path.isdir(root):
+        return removed
+    for svc_entry in sorted(os.scandir(root), key=lambda e: e.path):
+        if not svc_entry.is_dir() or not svc_entry.name.startswith("service="):
+            continue
+        if service is not None and svc_entry.name != f"service={service}":
+            continue
+        for date_entry in sorted(os.scandir(svc_entry.path), key=lambda e: e.path):
+            if not date_entry.is_dir() or not date_entry.name.startswith("date="):
+                continue
+            try:
+                d = _dt.date.fromisoformat(date_entry.name.split("=", 1)[1])
+            except ValueError:
+                continue  # not ours to delete
+            if d < older_than:
+                _shutil.rmtree(date_entry.path)
+                removed.append(f"{svc_entry.name}/{date_entry.name}")
+    return removed

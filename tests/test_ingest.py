@@ -587,3 +587,33 @@ def test_parse_pipeline_never_crashes_on_fuzz(spark):
     assert len(rows) <= len(lines)
     for r in rows:
         assert r["service"] and r["datetime"] is not None
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Retention deletes only date partitions strictly older than the
+    cutoff (optionally per service); unparseable dirs survive."""
+    import os
+
+    from ballcone_spark.streaming.ingest import expire_partitions
+
+    data = str(tmp_path / "data")
+    rows = [
+        ("a", datetime.date(2020, 1, d), d) for d in (1, 2, 3)
+    ] + [("b", datetime.date(2020, 1, 2), 9)]
+    spark.createDataFrame(rows, "service string, date date, n int").write.mode(
+        "append"
+    ).partitionBy("service", "date").parquet(data)
+    os.makedirs(os.path.join(data, "service=a", "date=not-a-date"))
+
+    removed = expire_partitions(data, datetime.date(2020, 1, 2), service="a")
+    assert removed == ["service=a/date=2020-01-01"]
+    spark.catalog.clearCache()
+    left = sorted(
+        (r["service"], str(r["date"])) for r in spark.read.parquet(data).collect()
+    )
+    assert left == [
+        ("a", "2020-01-02"), ("a", "2020-01-03"), ("b", "2020-01-02")
+    ]
+    assert os.path.isdir(os.path.join(data, "service=a", "date=not-a-date"))
+    # no service filter: b's old days (none) unaffected, cutoff respected
+    assert expire_partitions(data, datetime.date(2020, 1, 2)) == []
