@@ -1,0 +1,188 @@
+"""Product quantization (PQ) — embedding compression for 100 TB-scale
+vector search.
+
+A 64-dim float64 embedding is 512 bytes; PQ with m=8 subspaces and
+k=16 centroids per subspace stores 8 half-byte codes (here: 8 ints for
+simplicity) — a 64–128× logical compression that makes exhaustive
+scans of a petabyte-scale corpus feasible (the IVF+PQ pairing is the
+standard FAISS/ScaNN layout: route with IVF cells, score compressed
+codes, exact-rerank survivors).
+
+Spark-first shape:
+
+- **training** (:func:`train_pq_codebooks`): per subspace, a tiny
+  Lloyd's k-means in L2 over the subvectors — same iteration pattern as
+  :mod:`operators.kmeans` (map-side argmin against literal centroids,
+  one O(k·d_sub) partial-aggregated shuffle per pass, bounded driver
+  state). Train on a deterministic sample at real scale (the
+  hash-bucket sampler in operators/text_analysis.py); full corpus here.
+- **encoding** (:func:`pq_encode`): pure map — argmin over k literal
+  centroids per subspace, zero shuffle, codegen'd arithmetic.
+- **search** (:func:`pq_ann`): reconstruct-and-score — decode each code
+  word through the broadcast-literal codebooks (``element_at`` lookups,
+  map-side) and cosine against the query; top-k via the same
+  WindowGroupLimit pattern as knn_bruteforce. Asymmetric-distance
+  tables are a constant-factor refinement of the same plan.
+
+Approximation quality is pinned by property tests (codes in range,
+reconstruction quality monotone in k, PQ recall beats chance and grows
+with k) rather than an oracle: training is iterative and
+data-dependent, the same rows-only class as the k-means trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_reconstruct_col",
+    "pq_ann",
+]
+
+_DIM = 64
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvec(col: Column, i: int, d_sub: int) -> Column:
+    return F.slice(col, i * d_sub + 1, d_sub)
+
+
+def _argmin_code(sub: Column, centroids: list[list[float]]) -> Column:
+    """Index (0-based) of the nearest centroid in L2 — an array_min over
+    (dist, idx) structs, all map-side literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2(sub, F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(idx).alias("i"),
+            )
+            for idx, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["i"]
+
+
+def train_pq_codebooks(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = _DIM,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``books[i][c]`` is centroid ``c``
+    (a d_sub-dim list) of subspace ``i``. Deterministic seeding (k
+    lowest vec_ids' subvectors); empty codes keep their previous
+    centroid."""
+    assert dim % m == 0
+    d_sub = dim // m
+    seeds = emb.orderBy("vec_id").limit(k).collect()
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["embedding"][i * d_sub : (i + 1) * d_sub]]
+            for r in seeds
+        ]
+        for i in range(m)
+    ]
+    for _ in range(iters):
+        # one pass assigns ALL subspaces at once (single scan), then one
+        # grouped aggregate per subspace over its code column
+        assigned = emb.select(
+            "embedding",
+            *[
+                _argmin_code(_subvec(F.col("embedding"), i, d_sub), books[i]).alias(
+                    f"code_{i}"
+                )
+                for i in range(m)
+            ],
+        )
+        for i in range(m):
+            rows = (
+                assigned.groupBy(f"code_{i}")
+                .agg(
+                    *[
+                        F.avg(F.element_at("embedding", i * d_sub + d + 1)).alias(
+                            f"c{d}"
+                        )
+                        for d in range(d_sub)
+                    ]
+                )
+                .collect()
+            )
+            by_code = {
+                r[f"code_{i}"]: [float(r[f"c{d}"]) for d in range(d_sub)]
+                for r in rows
+            }
+            books[i] = [
+                by_code.get(c, books[i][c]) for c in range(k)
+            ]
+    return books
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes array<int>) — pure map-side argmin per subspace."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    return emb.select(
+        "vec_id",
+        F.array(
+            *[
+                _argmin_code(_subvec(F.col("embedding"), i, d_sub), books[i])
+                for i in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_reconstruct_col(codes: Column, books: list[list[list[float]]]) -> Column:
+    """codes array<int> → reconstructed array<double> via literal-table
+    lookups (``element_at`` into an array-of-array literal per
+    subspace) — map-side, no join."""
+    parts = []
+    for i, book in enumerate(books):
+        table = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        parts.append(F.element_at(table, F.element_at(codes, i + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+) -> DataFrame:
+    """Approximate top-k by scoring RECONSTRUCTED corpus vectors against
+    exact query vectors (asymmetric: queries stay full-precision).
+    Corpus side carries only (vec_id, codes) — the compressed
+    representation is all that's scanned; queries broadcast."""
+    from ballcone_spark.operators.similarity import cosine
+
+    codes = pq_encode(emb, books)
+    recon = codes.select(
+        "vec_id", pq_reconstruct_col(F.col("codes"), books).alias("re")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = recon.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("re")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -312,3 +312,50 @@ def test_kmeans_codebook_properties(spark):
     # trained codebook beats the raw seeds by a real margin
     seeds = train_ivf_codebook(spark, emb, k=8, iters=0)
     assert prev > kmeans_inertia(emb, seeds)
+
+
+def test_pq_quantization_properties(spark):
+    """Product quantization: codes in range, reconstruction quality
+    grows with codebook size, compressed-domain ANN beats chance by a
+    wide margin (random vectors are PQ's hardest case — measured 0.65
+    mean recon cosine at k=16 vs 0.28 at k=2; recall ~0.28 vs ~0.01
+    chance)."""
+    from ballcone_spark.operators.quantization import (
+        pq_ann,
+        pq_encode,
+        pq_reconstruct_col,
+        train_pq_codebooks,
+    )
+    from ballcone_spark.operators.similarity import cosine, knn_bruteforce
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding"
+    )
+
+    def recon_quality(k):
+        books = train_pq_codebooks(spark, emb, m=8, k=k, iters=2)
+        codes = pq_encode(emb, books)
+        flat = [c for r in codes.select("codes").limit(50).collect() for c in r["codes"]]
+        assert all(0 <= c < k for c in flat)
+        mc = (
+            emb.join(codes, "vec_id")
+            .select(
+                cosine(
+                    F.col("embedding"), pq_reconstruct_col(F.col("codes"), books)
+                ).alias("c")
+            )
+            .agg(F.avg("c"))
+            .first()[0]
+        )
+        return books, mc
+
+    _, lo = recon_quality(2)
+    books16, hi = recon_quality(16)
+    assert hi > lo + 0.2  # quality monotone in codebook size
+    assert hi > 0.5
+
+    q = emb.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, q, 5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_ann(emb, q, books16, 5).collect()}
+    assert len(bf & pq) / len(bf) >= 0.15  # ≫ ~0.01 chance
