@@ -555,3 +555,76 @@ def dedup_simhash_hamming(spark, sf_dir):
     block-pigeonhole candidate generation (complete by construction),
     xor+bit_count verification. The oracle is the O(n²) definition."""
     return simhash_near_dup_pairs(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------- #
+# Pair lists → dedup clusters (iterative min-label propagation)         #
+# --------------------------------------------------------------------- #
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list: (doc_id, cluster_id)
+    where cluster_id is the MIN doc_id reachable through the pair graph —
+    the step that turns pairwise near-dup evidence (Jaccard / MinHash /
+    SimHash / embedding pairs all emit (a_id, b_id)) into keep-one-per-
+    cluster dedup groups.
+
+    Algorithm: min-label propagation with **pointer jumping**. Each round
+    (a) every node adopts the smallest label among itself and its
+    neighbors, then (b) compresses paths by adopting its label's label
+    (``l(id) ← min(l(id), l(l(id)))``) — the doubling step that turns
+    O(diameter) rounds into O(log diameter) (a bare propagation loop
+    measurably fails to converge on a 30-node chain within 20 rounds;
+    with jumping it closes in 6). Each round is two hash-partitioned
+    joins + one aggregate — no single-point state, labels never
+    collected; a driver-side change probe stops early at fixpoint.
+
+    Iterative and data-dependent — rows-only class, like the k-means
+    trainer. Semantics pinned by tests on known graph shapes."""
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        step = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer jumping: follow label→label one hop (labels are node
+        # ids, so every label has a row)
+        x, y = step.alias("x"), step.alias("y")
+        jumped = x.join(y, F.col("x.label") == F.col("y.id"), "left").select(
+            F.col("x.id").alias("id"),
+            F.least(
+                F.col("x.label"),
+                F.coalesce(F.col("y.label"), F.col("x.label")),
+            ).alias("label"),
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # checkpoint the lineage: each round otherwise doubles plan depth
+        labels = jumped.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -359,3 +359,45 @@ def test_pq_quantization_properties(spark):
     bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, q, 5).collect()}
     pq = {(r["query_id"], r["neighbor_id"]) for r in pq_ann(emb, q, books16, 5).collect()}
     assert len(bf & pq) / len(bf) >= 0.15  # ≫ ~0.01 chance
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation: chains, cliques, and singleton-free output
+    on a known graph — (1-2-3-4 chain), (10-11-12 triangle), (20-21)."""
+    from ballcone_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id int, b_id int",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_long_chain_and_composition(spark):
+    """A 30-node chain converges (diameter-bound rounds with early stop);
+    composing with the Jaccard pair list yields a partition of the docs
+    that appear in pairs."""
+    from ballcone_spark.operators.dedup import dedup_clusters, jaccard_pairs
+    from ballcone_spark.queries import load_table
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "a_id int, b_id int"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert set(got.values()) == {100} and len(got) == 31
+
+    pairs = jaccard_pairs(load_table(spark, SF, "documents")).where(
+        F.col("jaccard") >= 0.8
+    )
+    clusters = dedup_clusters(pairs.select("a_id", "b_id"))
+    ids_in_pairs = {
+        r["a_id"] for r in pairs.collect()
+    } | {r["b_id"] for r in pairs.collect()}
+    labeled = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert set(labeled) == ids_in_pairs        # exactly the paired docs
+    for d, c in labeled.items():
+        assert c <= d and c in labeled          # labels are member minima
