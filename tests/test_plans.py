@@ -222,3 +222,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ensure_bucketed_reregisters_without_rewrite(spark):
+    """A fresh session must reuse existing bucketized files by
+    re-creating external-table metadata, not re-paying the bucketize
+    shuffle — and the reused table still joins exchange-free."""
+    import os
+
+    from ballcone_spark.plans.bucketing import ensure_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    name = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    # resolve the data path from the catalog
+    loc = [r for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+           if r["col_name"] == "Location"][0]["data_type"]
+    path = loc.replace("file:", "")
+    mtimes = {f: os.path.getmtime(os.path.join(path, f))
+              for f in os.listdir(path) if f.endswith(".parquet")}
+    assert mtimes
+    n_before = spark.table(name).count()
+    # simulate a fresh session: metadata gone, data retained (external)
+    spark.sql(f"DROP TABLE {name}")
+    assert os.path.isdir(path)
+    name2 = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    assert name2 == name
+    after = {f: os.path.getmtime(os.path.join(path, f))
+             for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after == mtimes  # no rewrite
+    assert spark.table(name).count() == n_before
+    # bucketing metadata survived the round-trip: still exchange-free
+    joined = (
+        spark.table(name).hint("merge")
+        .join(spark.table(name).selectExpr("o_orderkey AS k"),
+              F.col("o_orderkey") == F.col("k"))
+        .groupBy("o_orderpriority").count()
+    )
+    p = plan_str(joined)
+    assert "SortMergeJoin" in p
+    assert "hashpartitioning(o_orderkey" not in p
