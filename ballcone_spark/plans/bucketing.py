@@ -60,7 +60,11 @@ def ensure_bucketed(
     from ballcone_spark.queries import load_table
 
     sf_key = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    name = f"bkt_{table}_{sf_key}"
+    # bucket count is part of the identity: re-registration binds
+    # CLUSTERED BY metadata to existing files, which is only sound when
+    # the spec matches what was written — a different count must land in
+    # a different table/path, never inherit stale buckets
+    name = f"bkt_{table}_{sf_key}_b{n_buckets}"
     if spark.catalog.tableExists(name):
         return name
     repo_root = os.path.dirname(
