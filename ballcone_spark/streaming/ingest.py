@@ -28,6 +28,7 @@ tools/duck-upgrade.sh).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,17 +141,31 @@ def compact_warehouse(
 
     A reader can see the partition momentarily absent between the two
     renames (unavoidable with plain dirs; a table format with a
-    transaction log removes even that window — documented trade). Data
-    loss windows: none."""
+    transaction log removes even that window — documented trade).
+
+    Reader isolation (ADVICE r3): helper dirs live in the SAME parent as
+    the partition but with a ``.``-prefixed basename
+    (``.date=<d>._compact_tmp`` / ``._compact_old``), so Hadoop's
+    hidden-file filter excludes them from partition discovery — a
+    concurrent read mid-swap can never see the tmp/old copies as extra
+    partitions (the old naming ``date=<d>._compact_tmp`` was discovered
+    as a real string-typed partition, returning duplicate rows).
+
+    Crash recovery: each run begins by sweeping leftover helper dirs via
+    :func:`_recover_partition`. A ``_compact_manifest`` file written
+    into tmp BEFORE the partition rename records the compacted snapshot,
+    so recovery can always tell rescued mid-compaction appends apart
+    from snapshot files and resume the swap exactly where it died —
+    no crash point loses a row or leaves a helper dir behind."""
     if not os.path.isdir(warehouse_data_dir):
         return
     root = warehouse_data_dir.rstrip("/")
     target_bytes = target_file_mb * 1024 * 1024
-    import shutil
 
     for svc_entry in sorted(os.scandir(root), key=lambda e: e.path):
         if not svc_entry.is_dir() or not svc_entry.name.startswith("service="):
             continue
+        _sweep_compaction_leftovers(svc_entry.path)
         for date_entry in sorted(os.scandir(svc_entry.path), key=lambda e: e.path):
             if not date_entry.is_dir() or not date_entry.name.startswith("date="):
                 continue
@@ -164,10 +179,7 @@ def compact_warehouse(
                 os.path.getsize(os.path.join(part_dir, f)) for f in snapshot
             )
             n_files = max(1, part_bytes // target_bytes)
-            tmp = part_dir + "._compact_tmp"
-            old = part_dir + "._compact_old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
+            tmp, old = _helper_dirs(part_dir)
             (
                 spark.read.parquet(
                     *[os.path.join(part_dir, f) for f in snapshot]
@@ -176,6 +188,9 @@ def compact_warehouse(
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
+            # manifest before the rename: from here recovery knows the
+            # snapshot set even if we die between any two steps below
+            _write_manifest(tmp, snapshot)
             os.rename(part_dir, old)  # appends after this are impossible;
             # appends before it travelled INTO old and are rescued below
             snap_set = set(snapshot)
@@ -189,6 +204,7 @@ def compact_warehouse(
                 crc = os.path.join(old, f".{f}.crc")
                 if os.path.exists(crc):
                     os.rename(crc, os.path.join(tmp, f".{f}.crc"))
+            os.remove(os.path.join(tmp, _MANIFEST))
             try:
                 os.rename(tmp, part_dir)
             except OSError:
@@ -198,6 +214,101 @@ def compact_warehouse(
                     os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
                 os.rmdir(tmp)
             shutil.rmtree(old)  # only snapshot files remain — all compacted
+
+
+_MANIFEST = "_compact_manifest"
+
+
+def _helper_dirs(part_dir: str) -> tuple[str, str]:
+    """Hidden-basename helper dirs for a partition dir, in the same
+    parent (same filesystem → atomic renames) but invisible to Hadoop
+    partition discovery (basename starts with ``.``)."""
+    parent, base = os.path.split(part_dir.rstrip("/"))
+    return (
+        os.path.join(parent, f".{base}._compact_tmp"),
+        os.path.join(parent, f".{base}._compact_old"),
+    )
+
+
+def _write_manifest(tmp: str, snapshot: list[str]) -> None:
+    p = os.path.join(tmp, _MANIFEST)
+    with open(p + ".part", "w") as fh:
+        fh.write("\n".join(snapshot))
+    os.rename(p + ".part", p)
+
+
+def _read_manifest(tmp: str) -> set[str] | None:
+    p = os.path.join(tmp, _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return {line for line in fh.read().splitlines() if line}
+
+
+def _sweep_compaction_leftovers(svc_dir: str) -> None:
+    """Crash recovery: finish or roll back any interrupted compaction in
+    this service dir before compacting anew. Covers every crash point of
+    :func:`compact_warehouse` (see the proof table in each branch)."""
+    for entry in sorted(os.scandir(svc_dir), key=lambda e: e.path):
+        name = entry.name
+        if not entry.is_dir() or not name.startswith(".date="):
+            continue
+        for suffix in ("._compact_tmp", "._compact_old"):
+            if name.endswith(suffix):
+                part_dir = os.path.join(svc_dir, name[1 : -len(suffix)])
+                _recover_partition(part_dir)
+                break
+
+
+def _recover_partition(part_dir: str) -> None:
+    tmp, old = _helper_dirs(part_dir)
+    snap = _read_manifest(tmp) if os.path.isdir(tmp) else None
+    if os.path.isdir(old):
+        if snap is None:
+            # manifest gone: either it was never written (crash before
+            # the partition rename never creates `old`, so this branch
+            # means the manifest was already consumed — crash during the
+            # fallback merge) or a legacy run. `old` holds only snapshot
+            # files whose data lives compacted in tmp/part_dir.
+            if not os.path.isdir(part_dir) and os.path.isdir(tmp):
+                os.rename(tmp, part_dir)
+            elif os.path.isdir(tmp):
+                for f in os.listdir(tmp):
+                    if not os.path.exists(os.path.join(part_dir, f)):
+                        os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(part_dir):
+                os.rename(old, part_dir)  # last resort: originals intact
+            else:
+                shutil.rmtree(old)
+            return
+        # manifest present: crash between the partition rename and the
+        # manifest removal. tmp = compacted snapshot (+ already-moved
+        # extras); old = snapshot files (+ not-yet-moved extras).
+        if not os.path.isdir(part_dir):
+            os.remove(os.path.join(tmp, _MANIFEST))
+            os.rename(tmp, part_dir)
+        else:
+            # writer re-created part_dir mid-crash: merge tmp in
+            for f in os.listdir(tmp):
+                if f == _MANIFEST:
+                    continue
+                if not os.path.exists(os.path.join(part_dir, f)):
+                    os.rename(os.path.join(tmp, f), os.path.join(part_dir, f))
+            shutil.rmtree(tmp)
+        for f in os.listdir(old):
+            if f.endswith(".parquet") and f not in snap:
+                dst = os.path.join(part_dir, f)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(old, f), dst)
+                    crc = os.path.join(old, f".{f}.crc")
+                    if os.path.exists(crc):
+                        os.rename(crc, os.path.join(part_dir, f".{f}.crc"))
+        shutil.rmtree(old)
+    elif os.path.isdir(tmp):
+        # no `old`: the partition rename never happened, so part_dir is
+        # intact and tmp is a doomed partial/complete rewrite — discard.
+        shutil.rmtree(tmp)
 
 
 def expire_partitions(

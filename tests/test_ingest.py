@@ -252,8 +252,142 @@ def test_compact_rescues_mid_compaction_append(spark, tmp_path, monkeypatch):
     assert injected["done"]
     got = sorted(r["n"] for r in spark.read.parquet(data).collect())
     assert got == [0, 1, 2, 3, 99]  # the late row survived
-    assert not os.path.exists(part + "._compact_old")
-    assert not os.path.exists(part + "._compact_tmp")
+    tmp, old = ingest_mod._helper_dirs(part)
+    assert not os.path.exists(old)
+    assert not os.path.exists(tmp)
+
+
+def test_compact_helper_dirs_hidden_from_readers(spark, tmp_path, monkeypatch):
+    """ADVICE r3: helper dirs must be invisible to partition discovery.
+    A concurrent read taken while BOTH the tmp copy and the live dir
+    exist must return exactly the original rows with the `date` column
+    still typed date (the old `date=<d>._compact_tmp` naming doubled the
+    rows and flipped the partition type to string)."""
+    import os
+
+    from ballcone_spark.streaming import ingest as ingest_mod
+
+    data = str(tmp_path / "data")
+    df = spark.createDataFrame(
+        [("svc", datetime.date(2020, 1, 1), i) for i in range(4)],
+        "service string, date date, n int",
+    )
+    for k in range(2):
+        (
+            df.where(F.col("n") % 2 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("service", "date")
+            .parquet(data)
+        )
+    seen: dict = {}
+    real_rename = os.rename
+
+    def rename_hook(src, dst):
+        # fires at the part_dir→old rename: tmp is fully written and
+        # sits next to the still-live partition dir — the worst moment
+        if dst.endswith("._compact_old") and "rows" not in seen:
+            mid = spark.read.parquet(data)
+            seen["rows"] = sorted(r["n"] for r in mid.collect())
+            seen["date_type"] = dict(mid.dtypes)["date"]
+        real_rename(src, dst)
+
+    monkeypatch.setattr(ingest_mod.os, "rename", rename_hook)
+    ingest_mod.compact_warehouse(spark, data, target_file_mb=128)
+    monkeypatch.undo()
+    assert seen["rows"] == [0, 1, 2, 3]  # no duplicates from tmp
+    assert seen["date_type"] == "date"  # partition type not poisoned
+    # helper basenames are dot-prefixed, in the same parent
+    tmp, old = ingest_mod._helper_dirs(
+        os.path.join(data, "service=svc", "date=2020-01-01")
+    )
+    assert os.path.basename(tmp).startswith(".")
+    assert os.path.basename(old).startswith(".")
+
+
+@pytest.mark.parametrize("crash_at", ["after_tmp", "after_part_rename", "mid_extras"])
+def test_compact_crash_recovery(spark, tmp_path, monkeypatch, crash_at):
+    """A compaction killed at any step leaves helper dirs that the next
+    run's sweep must resolve with zero row loss and zero duplicates."""
+    import os
+
+    from ballcone_spark.streaming import ingest as ingest_mod
+
+    data = str(tmp_path / "data")
+    part = os.path.join(data, "service=svc", "date=2020-01-01")
+    df = spark.createDataFrame(
+        [("svc", datetime.date(2020, 1, 1), i) for i in range(4)],
+        "service string, date date, n int",
+    )
+    for k in range(2):
+        (
+            df.where(F.col("n") % 2 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("service", "date")
+            .parquet(data)
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    real_rename = os.rename
+    state = {"renames": 0}
+
+    def rename_hook(src, dst):
+        if crash_at == "after_tmp" and dst.endswith("._compact_old"):
+            raise Boom()  # tmp written+manifested, partition not renamed
+        real_rename(src, dst)
+        if crash_at == "after_part_rename" and dst.endswith("._compact_old"):
+            # also plant a late append INTO old via the race window, so
+            # recovery must rescue a non-snapshot extra
+            extra = spark.createDataFrame(
+                [("svc", datetime.date(2020, 1, 1), 99)],
+                "service string, date date, n int",
+            )
+            extra.coalesce(1).write.mode("append").partitionBy(
+                "service", "date"
+            ).parquet(data)
+            # the append re-created part_dir? No — it recreated the dir;
+            # move its file into old to simulate landing pre-rename
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    old_dir = dst
+                    real_rename(
+                        os.path.join(part, f), os.path.join(old_dir, f)
+                    )
+            import shutil as _sh
+
+            _sh.rmtree(part)
+            raise Boom()
+
+    monkeypatch.setattr(ingest_mod.os, "rename", rename_hook)
+    if crash_at == "mid_extras":
+        # crash after moving manifest-removal but before tmp→part rename
+        real_remove = os.remove
+
+        def remove_hook(p):
+            real_remove(p)
+            if p.endswith(ingest_mod._MANIFEST):
+                raise Boom()
+
+        monkeypatch.setattr(ingest_mod.os, "remove", remove_hook)
+    try:
+        ingest_mod.compact_warehouse(spark, data, target_file_mb=128)
+        crashed = False
+    except Boom:
+        crashed = True
+    monkeypatch.undo()
+    assert crashed or crash_at == "mid_extras"  # mid_extras raises via remove
+    spark.catalog.clearCache()
+    # second run: sweep must recover, then compact normally
+    ingest_mod.compact_warehouse(spark, data, target_file_mb=128)
+    spark.catalog.clearCache()
+    got = sorted(r["n"] for r in spark.read.parquet(data).collect())
+    expect = [0, 1, 2, 3] + ([99] if crash_at == "after_part_rename" else [])
+    assert got == expect
+    tmp, old = ingest_mod._helper_dirs(part)
+    assert not os.path.exists(tmp) and not os.path.exists(old)
 
 
 def test_streaming_ingest_end_to_end(spark, tmp_path):
