@@ -398,6 +398,14 @@ class SparkDAO:
             sql = pat.sub(repl, sql)
         return self.spark.sql(sql)
 
+    def _is_persistent_table(self, name: str) -> bool:
+        """True iff ``name`` resolves to a persistent (managed/external)
+        session-catalog table — the kind a temp view would shadow."""
+        try:
+            return not self.spark.catalog.getTable(name).isTemporary
+        except Exception:
+            return False
+
     def run_safe(self, sql: str) -> tuple[Optional[DataFrame], Optional[str]]:
         """SQL console error envelope: (result, error_message)."""
         try:
@@ -448,6 +456,18 @@ class SparkDAO:
         for service in self.tables():
             if service in reserved:
                 continue  # console reaches it via `access_log WHERE service=...`
+            if service.startswith("bkt_") or self._is_persistent_table(
+                service
+            ):
+                # ADVICE r3: temp views win name resolution over session
+                # catalog tables — a service named e.g. bkt_lineitem_...
+                # would silently shadow a bucketized table and redirect
+                # bucketed-join queries to service data. The bkt_ prefix
+                # is reserved for ballcone_spark.plans.bucketing; any
+                # other persistent-catalog collision is likewise never
+                # shadowed (temp views don't block: this method's own
+                # prior registrations must stay re-registerable).
+                continue
             self.table(service).select(*_ENTRY_COLS).createOrReplaceTempView(
                 service
             )

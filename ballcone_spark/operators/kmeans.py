@@ -87,12 +87,18 @@ def train_ivf_codebook(
 ) -> DataFrame:
     """Lloyd's k-means over ``emb(vec_id, embedding array<double>)``.
     Returns ``(cell_id, centroid array<double>)`` with exactly ``k``
-    rows. Deterministic seeding: the k lowest vec_ids."""
+    rows. Deterministic seeding: the k lowest vec_ids. Raises
+    ``ValueError`` when the corpus has fewer than ``k`` rows — the
+    'exactly k' contract is otherwise unsatisfiable (ADVICE r3)."""
     seeds = (
         emb.orderBy("vec_id")
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"k={k} exceeds corpus size {len(seeds)}: cannot seed k cells"
+        )
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)
     ]

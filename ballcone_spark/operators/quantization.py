@@ -88,6 +88,12 @@ def train_pq_codebooks(
     assert dim % m == 0
     d_sub = dim // m
     seeds = emb.orderBy("vec_id").limit(k).collect()
+    if len(seeds) < k:
+        # ADVICE r3: with < k rows the empty-code backfill books[i][c]
+        # would IndexError; fail with the actual contract violation
+        raise ValueError(
+            f"k={k} exceeds corpus size {len(seeds)}: cannot seed k codes"
+        )
     books: list[list[list[float]]] = [
         [
             [float(x) for x in r["embedding"][i * d_sub : (i + 1) * d_sub]]

@@ -71,6 +71,15 @@ def ensure_bucketed(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     path = os.path.join(repo_root, "spark-warehouse", name)
+    if os.path.isdir(path) and not os.path.exists(
+        os.path.join(path, "_SUCCESS")
+    ):
+        # ADVICE r3: a bucketize that crashed mid-commit leaves a partial
+        # file set; without the committer's _SUCCESS marker the directory
+        # is not authoritative — discard and rewrite below.
+        import shutil
+
+        shutil.rmtree(path)
     if os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):

@@ -126,3 +126,36 @@ def test_service_view_cannot_clobber_dataset_views(seeded_dao):
     # fresh analytics build re-registers instead of trusting a stale entry
     app_id = spark.sparkContext.applicationId
     assert (app_id, "mysite") not in q._VIEWS_REGISTERED
+
+
+def test_service_view_cannot_shadow_catalog_tables(seeded_dao):
+    """ADVICE r3: temp views win name resolution over session-catalog
+    tables, so a valid service named like a bucketized table
+    (bkt_*) — or any persistent catalog table — must not get a view;
+    otherwise bucketed-join queries silently read service data."""
+    from ballcone_spark.plans.bucketing import ensure_bucketed
+
+    spark = seeded_dao.spark
+    bkt = ensure_bucketed(
+        spark, "/root/testdata/sf0.001", "orders", ["o_orderkey"], 4
+    )
+    n_orders = spark.table(bkt).count()
+
+    # hostile-but-valid service names: the bucketized table itself and
+    # an unrelated bkt_-prefixed name
+    seeded_dao.batch_insert_into(bkt, GOLDEN_ENTRIES[:2])
+    seeded_dao.batch_insert_into("bkt_other", GOLDEN_ENTRIES[:1])
+    seeded_dao.register_views()
+
+    # the catalog table still resolves to orders data, not service rows
+    assert spark.table(bkt).count() == n_orders
+    assert "o_orderkey" in spark.table(bkt).columns
+    # both services remain reachable through the unified fact table
+    for svc, expect in [(bkt, 2), ("bkt_other", 1)]:
+        n = spark.sql(
+            f"SELECT count(*) AS n FROM access_log WHERE service = '{svc}'"
+        ).collect()[0]["n"]
+        assert n == expect
+    # idempotency: a second register_views still rebinds normal services
+    seeded_dao.register_views()
+    assert spark.table(bkt).count() == n_orders

@@ -314,6 +314,25 @@ def test_kmeans_codebook_properties(spark):
     assert prev > kmeans_inertia(emb, seeds)
 
 
+def test_trainers_reject_k_above_corpus_size(spark):
+    """ADVICE r3: k > corpus rows violated the 'exactly k' contract
+    (kmeans) or crashed in the empty-code backfill (PQ). Both trainers
+    must now fail fast with a clear ValueError."""
+    import pytest as _pytest
+
+    from ballcone_spark.operators.kmeans import train_ivf_codebook
+    from ballcone_spark.operators.quantization import train_pq_codebooks
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(3)],
+        "vec_id int, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="exceeds corpus size"):
+        train_ivf_codebook(spark, tiny, k=8, iters=1)
+    with _pytest.raises(ValueError, match="exceeds corpus size"):
+        train_pq_codebooks(spark, tiny, m=8, k=16, iters=1)
+
+
 def test_pq_quantization_properties(spark):
     """Product quantization: codes in range, reconstruction quality
     grows with codebook size, compressed-domain ANN beats chance by a

@@ -261,3 +261,32 @@ def test_ensure_bucketed_reregisters_without_rewrite(spark):
     p = plan_str(joined)
     assert "SortMergeJoin" in p
     assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_ensure_bucketed_rejects_partial_commit(spark):
+    """ADVICE r3: a bucketize that crashed mid-commit (parquet files
+    present but no _SUCCESS marker) must NOT be re-registered as
+    authoritative — ensure_bucketed discards the partial dir and
+    rewrites."""
+    import os
+    import shutil
+
+    from ballcone_spark.plans.bucketing import ensure_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    name = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    loc = [r for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+           if r["col_name"] == "Location"][0]["data_type"]
+    path = loc.replace("file:", "")
+    n_full = spark.table(name).count()
+    spark.sql(f"DROP TABLE {name}")
+    # simulate the crash: delete _SUCCESS and half the part files
+    os.remove(os.path.join(path, "_SUCCESS"))
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    for f in parts[: len(parts) // 2]:
+        os.remove(os.path.join(path, f))
+    name2 = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    assert name2 == name
+    # the partial set was discarded and rewritten: full rows, marker back
+    assert spark.table(name).count() == n_full
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
