@@ -277,6 +277,11 @@ def events_daily_avg(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS date, count(*) AS count
     FROM events GROUP BY date ORDER BY date
     """,
+    driver=False,  # demoted r4 to free a driver slot for
+    # dedup_incremental_minhash: the plain per-day count shape stays
+    # driver-visible via events_daily_unique_users / events_dashboard /
+    # events_running_visits, and this exact query remains oracle-checked
+    # locally by tests/test_oracle_diff.py
 )
 def events_daily_visits(spark, sf_dir):
     """Q4 (no field): visits per day (reference dao.py:277-301)."""

@@ -1,0 +1,438 @@
+"""Streaming incremental MinHash dedup against a persistent signature
+index — the continuous form of :func:`ballcone_spark.operators.dedup
+.dedup_minhash_lsh` (VERDICT r3 #1; extends the reference's S6 sink,
+reference ballcone/core.py:43-51, into a training-data ingest pipeline).
+
+A training-data pipeline ingests documents continuously; each micro-batch
+must be deduplicated against *everything seen so far*, not just itself.
+The design:
+
+- **Signature index** (persistent): stored in BANDED form — one row per
+  (document, LSH band): ``(doc_id, band_idx, band_key, sig
+  array<bigint>, batch_id)`` — written as parquet under
+  ``index_dir/batch_id=<n>/``. Banded storage costs 4× the minimal
+  (doc_id, sig) layout but makes ``band_key`` a *physical* column, so
+  the per-batch probe's key filter pushes into the parquet scan
+  (row-group min/max pruning) instead of evaluating a derived
+  expression over every index row. A MinHash signature is 16 longs
+  (~150 B, ×4 bands ≈ 600 B) per document regardless of document size,
+  so at 100 TB of text the index is still ~3 orders of magnitude
+  smaller than the corpus. Every seen doc is indexed (duplicates too):
+  the membership rule below then never depends on earlier *admission*
+  results, which keeps decisions non-recursive, replay-stable, and
+  oracle-expressible in one SQL statement.
+- **Exactly-once decisions under replay**: Structured Streaming may
+  re-run a micro-batch after a crash. Each batch writes its signatures
+  and its decisions to ``<dir>/batch_id=<n>`` with per-partition
+  overwrite, and probes only index rows with ``batch_id <
+  current_batch``: a replayed batch sees byte-identical history and
+  overwrites its own partial output — idempotent end to end, with no
+  read-side dedup needed.
+- **Decision rule** (deterministic, order-free): doc *b* is a duplicate
+  iff some doc *a* arrived strictly earlier (earlier batch, or same
+  batch with ``a.doc_id < b.doc_id``) such that *a* and *b* collide in
+  ≥1 LSH band AND their signatures agree on ≥ ``SIG_AGREE_MIN`` of the
+  16 positions (the MinHash estimate of Jaccard ≥ 0.8). Estimated — not
+  exact — Jaccard is the deliberate trade: verifying exactly would
+  require keeping every historical document's shingle set, defeating
+  the constant-size index; at 16 hashes the estimator's σ ≈ 0.1.
+- **Probe plan** (the 100 TB question): the batch side of the probe is
+  a micro-batch — small by construction — so the batch bands are
+  BROADCAST and the index side never shuffles (gated:
+  ``tests/test_streaming_windows.py::test_probe_plan_index_side``).
+  Additionally the batch's band keys (bounded: rows × 4 bands) are
+  collected and pushed as an ``IN`` filter on the physical ``band_key``
+  column, so parquet row-group stats skip index chunks with no
+  candidate keys. A band-key-BUCKETED table layout was considered and
+  rejected: broadcast already makes the probe exchange-free on the big
+  side, bucket pruning cannot beat the pushed key filter + min/max
+  stats, and a bucketBy table cannot do idempotent per-batch partition
+  overwrite (saveAsTable append is at-least-once under replay). A
+  sort-by-band_key option in :func:`compact_index` tightens row-group
+  pruning further as the index grows.
+- :func:`compact_index` folds the per-batch partition dirs into few
+  files once their count grows (same small-files maintenance as the
+  warehouse's :func:`~ballcone_spark.streaming.ingest.compact_warehouse`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.dedup import (
+    N_BANDS,
+    N_HASHES,
+    minhash_signatures,
+)
+from ballcone_spark.queries import _query, load_table
+
+__all__ = [
+    "SIG_AGREE_MIN",
+    "batch_signatures",
+    "incremental_dedup_batch",
+    "start_dedup_stream",
+    "read_index",
+    "read_decisions",
+    "compact_index",
+]
+
+#: minimum matching signature positions (of 16) to call a pair duplicate
+#: — the integer form of estimated-Jaccard ≥ 0.8 (13/16 = 0.8125; 12/16
+#: would be 0.75 < 0.8). Integer compare, never float, so the DuckDB
+#: oracle agrees bit-for-bit.
+SIG_AGREE_MIN = math.ceil(0.8 * N_HASHES)
+
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def batch_signatures(docs: DataFrame) -> DataFrame:
+    """``(doc_id, sig array<bigint>)`` — the per-row MinHash signature
+    folded into one array column (the index's storage shape)."""
+    sig = minhash_signatures(docs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig"),
+    )
+
+
+def _bands(sigs: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    """Explode a signature frame into (doc_id, sig, band_idx, band_key)
+    [+ ``extra`` passthrough columns] — band_key concatenates the band's
+    4 signature values. The sig array rides along so verification never
+    has to re-join the source frame (for the index probe that would mean
+    a second full index scan). Docs too short to shingle (null
+    signature) are excluded — they can never verify, and their empty
+    band_key would otherwise form one giant all-colliding bucket."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("sig").getItem(j * _ROWS_PER_BAND + i)
+                        for i in range(_ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    extra = extra or []
+    return (
+        sigs.where(F.col("sig").getItem(0).isNotNull())
+        .select("doc_id", "sig", *extra, F.explode(bands).alias("b"))
+        .select("doc_id", "sig", *extra, "b.band_idx", "b.band_key")
+    )
+
+
+def _sig_agree(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def incremental_dedup_batch(
+    batch_sigs: DataFrame,
+    index_bands: DataFrame | None,
+) -> DataFrame:
+    """Decide each batch doc against history + earlier batch docs.
+
+    ``batch_sigs``: (doc_id, sig) for the current micro-batch;
+    ``index_bands``: BANDED rows (doc_id, band_idx, band_key, sig) for
+    ALL strictly-earlier docs (None → first batch). Returns ``(doc_id,
+    is_dup, n_matches)`` where a match is a band collision with
+    signature agreement ≥ :data:`SIG_AGREE_MIN` against an earlier doc
+    (history, or same batch with lower doc_id).
+
+    Plan shape: batch side is broadcast into the index probe (index
+    never shuffles); the within-batch pairing is batch-local. The index
+    scan is additionally filtered to the batch's band keys (collected —
+    bounded by batch_rows × N_BANDS), a pushable predicate on the
+    physical band_key column; the stored sig array rides through the
+    band join so the index is scanned exactly once per batch."""
+    b_bands = _bands(batch_sigs)
+    a_of = lambda df: df.select(  # noqa: E731
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("a_sig"),
+        F.col("band_idx").alias("a_band_idx"),
+        F.col("band_key").alias("a_band_key"),
+    )
+    collide = (F.col("a_band_idx") == F.col("band_idx")) & (
+        F.col("a_band_key") == F.col("band_key")
+    )
+    # within-batch: earlier = lower doc_id, candidates from band buckets
+    pairs = b_bands.join(F.broadcast(a_of(b_bands)), collide).where(
+        F.col("a_id") < F.col("doc_id")
+    )
+    if index_bands is not None:
+        keys = [
+            r["band_key"]
+            for r in b_bands.select("band_key").distinct().collect()
+        ]
+        hist_a = a_of(index_bands).where(F.col("a_band_key").isin(keys))
+        against_hist = hist_a.join(F.broadcast(b_bands), collide)
+        pairs = pairs.unionByName(against_hist.select(*pairs.columns))
+    verified = (
+        pairs.select("doc_id", "a_id", "sig", "a_sig")
+        .distinct()  # one vote per (batch doc, earlier doc) pair
+        .where(_sig_agree(F.col("a_sig"), F.col("sig")) >= SIG_AGREE_MIN)
+        .groupBy(F.col("doc_id").alias("dup_id"))
+        .agg(F.count("*").alias("n_matches"))
+    )
+    return (
+        batch_sigs.select("doc_id")
+        .join(
+            F.broadcast(verified),
+            batch_sigs["doc_id"] == verified["dup_id"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("dup_id").isNotNull().alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+def incremental_dedup_simulation(sigs_with_batch: DataFrame) -> DataFrame:
+    """The N-batch incremental decision set as ONE declarative plan:
+    doc *b* is a duplicate iff some doc *a* with
+    ``(a.batch_id, a.doc_id) < (b.batch_id, b.doc_id)`` collides in a
+    band and agrees on ≥ :data:`SIG_AGREE_MIN` signature positions.
+
+    This is exactly the rule the streaming loop applies batch by batch
+    (``tests/test_streaming_windows.py`` asserts the two produce
+    identical decisions on the same batch split), but as a single SQL-
+    expressible statement — which is what makes the streaming semantics
+    driver-oracle-checkable. Input: ``(doc_id, sig, batch_id)``."""
+    b = _bands(sigs_with_batch, extra=["batch_id"])
+    a = b.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("a_sig"),
+        F.col("batch_id").alias("a_batch_id"),
+        F.col("band_idx").alias("a_band_idx"),
+        F.col("band_key").alias("a_band_key"),
+    )
+    earlier = (F.col("a_batch_id") < F.col("batch_id")) | (
+        (F.col("a_batch_id") == F.col("batch_id"))
+        & (F.col("a_id") < F.col("doc_id"))
+    )
+    collide = (F.col("a_band_idx") == F.col("band_idx")) & (
+        F.col("a_band_key") == F.col("band_key")
+    )
+    dups = (
+        b.join(a, collide & earlier)
+        .select("doc_id", "a_id", "sig", "a_sig")
+        .distinct()
+        .where(_sig_agree(F.col("a_sig"), F.col("sig")) >= SIG_AGREE_MIN)
+        .select(F.col("doc_id").alias("dup_id"))
+        .distinct()
+    )
+    return sigs_with_batch.join(
+        dups, sigs_with_batch["doc_id"] == dups["dup_id"], "left"
+    ).select(
+        "doc_id",
+        "batch_id",
+        F.col("dup_id").isNotNull().alias("is_dup"),
+    )
+
+
+def _overwrite_batch_partition(df: DataFrame, root: str, batch_id: int) -> None:
+    """Idempotent per-batch write: replayed batches overwrite their own
+    ``batch_id=<n>`` dir and only that dir."""
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, f"batch_id={batch_id}")
+    )
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Banded index rows (doc_id, band_idx, band_key, sig, batch_id) for
+    every indexed batch, or None if the index doesn't exist yet."""
+    if not os.path.isdir(index_dir) or not any(
+        e.name.startswith("batch_id=") for e in os.scandir(index_dir)
+    ):
+        return None
+    return spark.read.option("basePath", index_dir).parquet(
+        os.path.join(index_dir, "batch_id=*")
+    )
+
+
+def read_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
+    return spark.read.option("basePath", decisions_dir).parquet(
+        os.path.join(decisions_dir, "batch_id=*")
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    index_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Micro-batch incremental dedup over a spool of JSON-lines document
+    files (``{"doc_id": ..., "text": ...}`` per line). Each batch:
+
+    1. compute signatures;
+    2. decide vs the index restricted to ``batch_id < current`` (replay
+       safety: a re-run batch sees the same history) and vs earlier docs
+       within the batch;
+    3. overwrite ``decisions_dir/batch_id=<n>`` with (doc_id, is_dup,
+       n_matches) and ``index_dir/batch_id=<n>`` with the batch's banded
+       signature rows.
+
+    Returns the StreamingQuery."""
+    raw = spark.readStream.format("text").load(spool_dir)
+    docs = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = batch_signatures(batch_df).localCheckpoint(eager=True)
+        hist = read_index(spark, index_dir)
+        if hist is not None:
+            hist = hist.where(F.col("batch_id") < F.lit(batch_id)).select(
+                "doc_id", "band_idx", "band_key", "sig"
+            )
+        decisions = incremental_dedup_batch(sigs, hist)
+        _overwrite_batch_partition(decisions, decisions_dir, batch_id)
+        _overwrite_batch_partition(_bands(sigs), index_dir, batch_id)
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ballcone_dedup_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# --------------------------------------------------------------------- #
+# driver-checked query: the incremental decision rule vs a DuckDB oracle #
+# --------------------------------------------------------------------- #
+
+
+def _duck_agree_expr(a: str, b: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {a}.sig_{i} = {b}.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+
+
+def _incremental_oracle() -> str:
+    from ballcone_spark.operators.dedup import (
+        _band_exprs_duck,
+        _duck_minhash_cte,
+        _DUCK_SHINGLES,
+    )
+
+    return f"""
+    WITH {_DUCK_SHINGLES}, {_duck_minhash_cte()},
+    bands AS ({_band_exprs_duck()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND (a.doc_id % 3 < b.doc_id % 3
+            OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id))),
+    dups AS (
+      SELECT DISTINCT c.b_id
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb2 ON sb2.doc_id = c.b_id
+      WHERE ({_duck_agree_expr('sa', 'sb2')}) >= {SIG_AGREE_MIN})
+    SELECT CAST(d.doc_id % 3 AS INTEGER) AS batch_id,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup.b_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN dup.b_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM documents d LEFT JOIN dups dup ON d.doc_id = dup.b_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@_query("dedup_incremental_minhash", _incremental_oracle())
+def dedup_incremental_minhash(spark, sf_dir):
+    """Streaming incremental dedup's decision rule, driver-checked: the
+    corpus is split into 3 arrival batches (``doc_id % 3``) and each doc
+    is deduplicated against strictly-earlier docs — earlier batch, or
+    same batch with lower doc_id — via MinHash band collision + ≥13/16
+    signature agreement. Output: per-batch admitted/duplicate counts.
+    The streaming loop applies the identical rule batch-by-batch against
+    the persistent index (asserted equal in
+    tests/test_streaming_windows.py); this declarative form is what
+    makes those semantics hash-checkable against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = batch_signatures(docs).withColumn(
+        "batch_id", (F.col("doc_id") % 3).cast("int")
+    )
+    dec = incremental_dedup_simulation(sigs)
+    return (
+        dec.groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dups"),
+            F.sum((~F.col("is_dup")).cast("int"))
+            .cast("bigint")
+            .alias("n_admitted"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
+    """Fold the per-batch partition dirs into one when their count
+    reaches ``every`` — the signature-index version of warehouse
+    compaction. The folded dir keeps partition ``batch_id=<max>`` so the
+    ``batch_id < current`` probe filter stays correct (all folded rows
+    are strictly older than any future batch), and rows are sorted by
+    band_key within the fold so parquet row-group min/max stats prune
+    the probe's key filter tightly. Returns True if it compacted. Not
+    crash-atomic (a concurrent probe may see the index twice or
+    partially during the swap) — run from the maintenance cron that owns
+    the stream's quiet period, same operational contract as
+    compact_warehouse."""
+    if not os.path.isdir(index_dir):
+        return False
+    parts = sorted(
+        e.name for e in os.scandir(index_dir) if e.name.startswith("batch_id=")
+    )
+    if len(parts) < every:
+        return False
+    import shutil
+
+    max_id = max(int(p.split("=", 1)[1]) for p in parts)
+    folded = (
+        spark.read.option("basePath", index_dir)
+        .parquet(os.path.join(index_dir, "batch_id=*"))
+        .select("doc_id", "band_idx", "band_key", "sig")
+        .sortWithinPartitions("band_key")
+    )
+    tmp = os.path.join(
+        os.path.dirname(index_dir.rstrip("/")),
+        "." + os.path.basename(index_dir.rstrip("/")) + "._fold_tmp",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.coalesce(max(1, len(parts) // 16)).write.mode("overwrite").parquet(
+        os.path.join(tmp, f"batch_id={max_id}")
+    )
+    for p in parts:
+        shutil.rmtree(os.path.join(index_dir, p))
+    for p in os.listdir(tmp):
+        os.rename(os.path.join(tmp, p), os.path.join(index_dir, p))
+    os.rmdir(tmp)
+    return True

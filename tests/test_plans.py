@@ -80,7 +80,9 @@ def test_knn_broadcasts_queries_not_corpus(spark):
 def test_partial_aggregation_before_shuffle(spark):
     """Daily aggregates must partial-aggregate map-side: two HashAggregate
     nodes around the exchange."""
-    df = entry_mod.queries()["events_daily_visits"](spark, SF)
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["events_daily_visits"].fn(spark, SF)  # demoted r4
     p = plan_str(df)
     assert p.count("HashAggregate") >= 2
 

@@ -166,3 +166,252 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
         ("2020-01-01 10:05:00", "blog", "1.1.1.1"),
     }
     assert out.count() == 3
+
+
+# --------------------------------------------------------------------- #
+# incremental MinHash dedup vs the persistent signature index (r4)      #
+# --------------------------------------------------------------------- #
+
+BASE = ("the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions beneath the ancient stone bridge at midnight")
+OTHER = ("completely different subject matter entirely about submarine "
+         "navigation sonar arrays and deep ocean pressure hull engineering "
+         "with ballast tanks")
+THIRD = ("quarterly financial projections estimate modest revenue growth "
+         "across retail segments despite persistent supply chain headwinds "
+         "and currency fluctuations")
+
+
+def _write_docs(path, docs):
+    import json as _json
+
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"docs-{len(list(path.iterdir()))}.jsonl", "w") as f:
+        for doc_id, text in docs:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run_dedup(spark, tmp_path):
+    from ballcone_spark.streaming.dedup_stream import start_dedup_stream
+
+    q = start_dedup_stream(
+        spark,
+        str(tmp_path / "spool"),
+        str(tmp_path / "index"),
+        str(tmp_path / "decisions"),
+        str(tmp_path / "ckpt_dedup"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Planted near-dups ACROSS micro-batches are caught by the index
+    probe; checkpoint resume keeps the index consistent (batch 2 runs
+    with the same checkpoint after a stop)."""
+    from ballcone_spark.streaming.dedup_stream import (
+        read_decisions,
+        read_index,
+    )
+
+    spool = tmp_path / "spool"
+    _write_docs(spool, [(1, BASE), (2, OTHER), (3, BASE)])  # 3 dups 1
+    _run_dedup(spark, tmp_path)
+    d1 = {r["doc_id"]: r["is_dup"] for r in
+          read_decisions(spark, str(tmp_path / "decisions")).collect()}
+    assert d1 == {1: False, 2: False, 3: True}
+
+    # second batch arrives after a full stop: 4 dups doc 1 (history!),
+    # 5 is fresh, 6 dups 5 within the batch
+    _write_docs(spool, [(4, BASE), (5, THIRD), (6, THIRD)])
+    _run_dedup(spark, tmp_path)
+    dec = read_decisions(spark, str(tmp_path / "decisions"))
+    d2 = {r["doc_id"]: r["is_dup"] for r in dec.collect()}
+    assert d2 == {1: False, 2: False, 3: True, 4: True, 5: False, 6: True}
+    # the index holds every seen doc across both batches (banded rows)
+    idx = read_index(spark, str(tmp_path / "index"))
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 3, 4, 5, 6]
+    assert idx.select("batch_id").distinct().count() == 2
+    # replay-safety invariant: decisions carry their batch partition
+    n_b = dict(
+        dec.groupBy("batch_id").count().orderBy("batch_id").collect()
+    )
+    assert n_b == {0: 3, 1: 3}
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id re-run after a crash) must
+    reproduce byte-identical decisions and not grow the index: the probe
+    reads only batch_id < current and the writes overwrite their own
+    partition."""
+    from ballcone_spark.streaming.dedup_stream import (
+        _bands,
+        _overwrite_batch_partition,
+        batch_signatures,
+        incremental_dedup_batch,
+        read_index,
+    )
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "index")
+    b1 = spark.createDataFrame([(1, BASE), (2, OTHER)], "doc_id long, text string")
+    _overwrite_batch_partition(_bands(batch_signatures(b1)), index_dir, 0)
+
+    b2 = spark.createDataFrame([(3, BASE), (4, OTHER + " q")], "doc_id long, text string")
+    s2 = batch_signatures(b2)
+
+    def run_batch2():
+        hist = read_index(spark, index_dir).where(F.col("batch_id") < 1).select(
+            "doc_id", "band_idx", "band_key", "sig"
+        )
+        dec = incremental_dedup_batch(s2, hist)
+        out = sorted((r["doc_id"], r["is_dup"], r["n_matches"]) for r in dec.collect())
+        _overwrite_batch_partition(_bands(s2), index_dir, 1)
+        return out
+
+    first = run_batch2()
+    second = run_batch2()  # the replay
+    assert first == second
+    assert first[0] == (3, True, 1)  # 3 dups 1 via the index
+    idx = read_index(spark, index_dir)
+    assert idx.select("doc_id").distinct().count() == 4  # no double-append
+    assert idx.count() == 16  # 4 docs × 4 banded rows, exactly once
+
+
+def test_streaming_decisions_match_declarative_simulation(spark, tmp_path):
+    """The batch-by-batch streaming loop and the single-statement
+    simulation (the driver-checked form) implement the SAME decision
+    rule: identical is_dup per doc on the same batch split."""
+    from ballcone_spark.streaming.dedup_stream import (
+        batch_signatures,
+        incremental_dedup_simulation,
+        read_decisions,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, BASE), (2, OTHER), (3, BASE),
+        (4, BASE + " extra"), (5, OTHER), (6, "tiny"),
+        (7, OTHER + " deep dive"), (8, BASE),
+    ]
+    spool = tmp_path / "spool"
+    _write_docs(spool, docs[:3])
+    _run_dedup(spark, tmp_path)
+    _write_docs(spool, docs[3:6])
+    _run_dedup(spark, tmp_path)
+    _write_docs(spool, docs[6:])
+    _run_dedup(spark, tmp_path)
+    dec = read_decisions(spark, str(tmp_path / "decisions"))
+    streamed = {r["doc_id"]: r["is_dup"] for r in dec.collect()}
+
+    batch_of = {d[0]: i // 3 for i, d in enumerate(docs)}
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = batch_signatures(all_docs).withColumn(
+        "batch_id",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in batch_of.items() for x in kv]
+            ),
+            F.col("doc_id").cast("int"),
+        ),
+    )
+    simulated = {
+        r["doc_id"]: r["is_dup"]
+        for r in incremental_dedup_simulation(sigs).collect()
+    }
+    assert streamed == simulated
+    assert simulated[8] is True  # cross-batch dup caught in both paths
+
+
+def test_probe_plan_index_side(spark, tmp_path):
+    """100 TB gate: the index side of the probe must not shuffle — the
+    (small) batch side is broadcast — and the batch's band keys must be
+    pushed into the index scan for row-group pruning."""
+    from ballcone_spark.streaming.dedup_stream import (
+        _bands,
+        _overwrite_batch_partition,
+        batch_signatures,
+        incremental_dedup_batch,
+        read_index,
+    )
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "index")
+    hist_docs = spark.createDataFrame(
+        [(i, f"{BASE} variant {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    _overwrite_batch_partition(
+        _bands(batch_signatures(hist_docs)), index_dir, 0
+    )
+    batch = spark.createDataFrame(
+        [(100, BASE + " variant 3"), (101, OTHER)], "doc_id long, text string"
+    )
+    hist = read_index(spark, index_dir).where(F.col("batch_id") < 1).select(
+        "doc_id", "band_idx", "band_key", "sig"
+    )
+    dec = incremental_dedup_batch(batch_signatures(batch), hist)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the index never shuffles: no repartition by band key in the plan
+    assert "hashpartitioning(band_key" not in plan
+    assert "hashpartitioning(a_band_key" not in plan
+    # the collected batch band keys reach the index parquet scan as a
+    # PUSHED filter on the physical band_key column (banded storage is
+    # what makes this possible — a sig-derived key could never push)
+    assert "PushedFilters: [In(band_key" in plan.replace("\n", " ") or (
+        "PushedFilters:" in plan and "In(band_key" in plan
+    )
+
+
+def test_compact_index_preserves_decisions(spark, tmp_path):
+    """Folding per-batch index partitions must not change future
+    decisions, and the folded partition keeps batch_id = max (stays
+    strictly older than any future batch)."""
+    import os
+
+    from ballcone_spark.streaming.dedup_stream import (
+        _bands,
+        _overwrite_batch_partition,
+        batch_signatures,
+        compact_index,
+        incremental_dedup_batch,
+        read_index,
+    )
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "index")
+    for b in range(3):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        _overwrite_batch_partition(
+            _bands(batch_signatures(docs)), index_dir, b
+        )
+    probe = spark.createDataFrame(
+        [(999, BASE + " b1 i2"), (998, OTHER)], "doc_id long, text string"
+    )
+
+    def decide():
+        hist = read_index(spark, index_dir).where(F.col("batch_id") < 50)
+        return sorted(
+            (r["doc_id"], r["is_dup"])
+            for r in incremental_dedup_batch(
+                batch_signatures(probe),
+                hist.select("doc_id", "band_idx", "band_key", "sig"),
+            ).collect()
+        )
+
+    before = decide()
+    assert compact_index(spark, index_dir, every=3)
+    spark.catalog.clearCache()
+    after = decide()
+    assert before == after
+    parts = sorted(
+        e for e in os.listdir(index_dir) if e.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=2"]  # folded under the max seen batch
+    assert read_index(spark, index_dir).select("doc_id").distinct().count() == 9
