@@ -24,16 +24,24 @@ Spark-first shape:
   WindowGroupLimit pattern as knn_bruteforce. Asymmetric-distance
   tables are a constant-factor refinement of the same plan.
 
-Approximation quality is pinned by property tests (codes in range,
-reconstruction quality monotone in k, PQ recall beats chance and grows
-with k) rather than an oracle: training is iterative and
-data-dependent, the same rows-only class as the k-means trainer.
+Approximation quality of TRAINED codebooks is pinned by property tests
+(codes in range, reconstruction quality monotone in k, PQ recall beats
+chance and grows with k): training is iterative and data-dependent, the
+same rows-only class as the k-means trainer. The ENCODE → reconstruct →
+compressed-domain-score path itself is driver-oracle-checked
+(``embeddings_pq_ann_recall``, VERDICT r3 #3): with ``iters=0`` the
+codebooks are exactly the 16 lowest vec_ids' subvectors, which DuckDB
+derives relationally (``WHERE vec_id < 16``) — the full PQ pipeline
+becomes one SQL statement on both sides and the per-query recall@5 vs
+brute force is hash-verified.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ballcone_spark.queries import _query, load_table
 
 __all__ = [
     "train_pq_codebooks",
@@ -192,6 +200,91 @@ def pq_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------- #
+# driver-checked query: the PQ pipeline vs a DuckDB oracle               #
+# --------------------------------------------------------------------- #
+
+_M = 8
+_K_CODES = 16
+_K_NN = 5
+_N_QUERIES = 5
+_D_SUB = _DIM // _M
+
+_PQ_RECALL_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb AS (SELECT t.i AS sub, s.vec_id AS code,
+              s.e[t.i*{_D_SUB}+1 : t.i*{_D_SUB}+{_D_SUB}] AS cvec
+       FROM v s, range(0,{_M}) t(i) WHERE s.vec_id < {_K_CODES}),
+enc_scored AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(
+             list_zip(v.e[cb.sub*{_D_SUB}+1 : cb.sub*{_D_SUB}+{_D_SUB}], cb.cvec),
+             x -> (x[1]-x[2])**2)) AS d2
+  FROM v CROSS JOIN cb),
+enc AS (SELECT vec_id, sub, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                     ORDER BY d2, code) AS rn FROM enc_scored) WHERE rn = 1),
+recon AS (SELECT e.vec_id, flatten(list(cb.cvec ORDER BY e.sub)) AS re
+          FROM enc e JOIN cb ON cb.sub = e.sub AND cb.code = e.code
+          GROUP BY e.vec_id),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_N_QUERIES}),
+pq_scored AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, r.re) AS sim
+              FROM q JOIN recon r ON r.vec_id != q.query_id),
+pq AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank FROM pq_scored)
+       WHERE rank <= {_K_NN}),
+bf_scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, c.e) AS sim
+              FROM q JOIN v c ON c.vec_id != q.query_id),
+bf AS (SELECT query_id, neighbor_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank FROM bf_scored)
+       WHERE rank <= {_K_NN})
+SELECT b.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       round(count(a.neighbor_id) / {_K_NN}.0, 4) AS recall
+FROM bf b LEFT JOIN pq a
+  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+
+@_query("embeddings_pq_ann_recall", _PQ_RECALL_ORACLE, cacheable=False)
+def embeddings_pq_ann_recall(spark, sf_dir):
+    """recall@5 of compressed-domain PQ ANN vs the exact brute-force
+    top-5, per query. Codebooks are the iters=0 seeds — the 16 lowest
+    vec_ids' subvectors — so DuckDB derives the identical codebooks from
+    the table and the whole encode → reconstruct → score → top-k path is
+    hash-verified (VERDICT r3 #3; non-vacuous: measured recall 0.2–0.4
+    vs ~0.0025 chance at sf0.01). ``cacheable=False`` because the seed
+    collect runs at plan build (same class as the jaccard df-cut).
+    Recall counts neighbor-ID membership only — immune to last-ulp
+    similarity differences between engines."""
+    from ballcone_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = train_pq_codebooks(spark, emb, m=_M, k=_K_CODES, iters=0)
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    bf = knn_bruteforce(emb, q, _K_NN).select("query_id", "neighbor_id")
+    pq = (
+        pq_ann(emb, q, books, _K_NN)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / float(_K_NN), 4).alias("recall"),
+        )
+        .orderBy("query_id")
     )
 
 

@@ -420,6 +420,10 @@ def events_overview(spark, sf_dir):
            count(*) AS count, round(avg(value), 4) AS avg_value
     FROM events GROUP BY k_bucket ORDER BY k_bucket
     """,
+    driver=False,  # demoted r4 to free a driver slot for
+    # embeddings_pq_ann_recall (VERDICT r3 #3's suggested swap): the
+    # JSON-extraction path stays oracle-checked locally by
+    # tests/test_oracle_diff.py
 )
 def events_json_props(spark, sf_dir):
     """Semi-structured path: extract a JSON field from ``props`` and
