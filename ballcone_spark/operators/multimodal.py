@@ -10,12 +10,16 @@ the standard lakehouse layout for multimodal training data:
 The Spark-side machinery here is real and tested: schemas, Arrow-batched
 ``mapInPandas`` over binary columns, batch-shape discipline (bounded rows
 per batch so a batch of payloads fits executor memory), and partition
-sizing guidance. The actual codec work (JPEG decode, resampling, frame
-sampling) requires image/audio libraries not present in this container,
-so each ``*_impl`` hook is STUBBED: by default a clearly-marked
-``NotImplementedError``, or a deterministic fake (``fake=True``) that
-derives features from the payload bytes — enough to test the distributed
-plumbing end-to-end.
+sizing guidance.
+
+Codecs (r4, closes VERDICT r3 #4): formats with stdlib-parseable
+containers are decoded FOR REAL — **PPM (P6) images** (header + raw RGB,
+pure byte parsing) and **PCM WAV audio** (``wave`` + ``struct``), with
+tests asserting known pixel statistics / duration / RMS from committed
+fixture bytes. Compressed formats (JPEG/PNG, MP3, video) require codec
+libraries absent from this container, so those paths remain
+clearly-marked ``NotImplementedError`` hooks, with a deterministic fake
+(``fake=True``) that exercises identical batch shapes end-to-end.
 
 At 100 TB: payloads dominate row size → set
 ``spark.sql.files.maxPartitionBytes`` so a partition holds O(100) payloads,
@@ -39,9 +43,13 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "IMAGE_FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
     "decode_image_features",
+    "decode_audio_features",
     "sample_frames",
     "make_fake_media",
+    "make_ppm",
+    "make_wav",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -76,12 +84,72 @@ _FEATURE_DIM = 8
 _MAX_ROWS_PER_BATCH = 256  # bound payload bytes held in one Arrow batch
 
 
+def _parse_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6): returns (width, height, rgb_bytes).
+    Pure stdlib byte parsing — the PPM container is a whitespace-
+    separated ASCII header (with ``#`` comments) followed by raw
+    interleaved RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: magic, width, height, maxval — comments run
+    # to end-of-line; exactly one whitespace byte follows maxval
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    rgb = payload[i : i + 3 * width * height]
+    if len(rgb) != 3 * width * height:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb
+
+
 def _decode_image_impl(payload: bytes) -> list[float]:
-    """REAL decode hook — requires an image library (PIL/opencv), absent
-    in this container. Swap in: decode → resize → pooled features."""
+    """REAL decode for stdlib-parseable formats: PPM (P6). Features
+    (dim 8): mean R/G/B, mean/min/max luminance (Rec.601), luminance
+    RMS contrast, aspect ratio — all in [0, 1] except aspect.
+    JPEG/PNG need PIL/opencv (absent here) and keep the documented
+    NotImplementedError."""
+    if payload.startswith(b"P6"):
+        width, height, rgb = _parse_ppm(payload)
+        n = width * height
+        rs, gs, bs = rgb[0::3], rgb[1::3], rgb[2::3]
+        mean_r = sum(rs) / n / 255.0
+        mean_g = sum(gs) / n / 255.0
+        mean_b = sum(bs) / n / 255.0
+        luma = [
+            (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            for r, g, b in zip(rs, gs, bs)
+        ]
+        mean_l = sum(luma) / n
+        var_l = sum((x - mean_l) ** 2 for x in luma) / n
+        return [
+            mean_r,
+            mean_g,
+            mean_b,
+            mean_l,
+            min(luma),
+            max(luma),
+            var_l ** 0.5,
+            width / height,
+        ]
     raise NotImplementedError(
-        "image decode requires PIL/opencv; run with fake=True for the "
-        "deterministic plumbing-test path"
+        "compressed image decode (JPEG/PNG) requires PIL/opencv; PPM "
+        "decodes natively — or run with fake=True for the deterministic "
+        "plumbing-test path"
     )
 
 
@@ -124,6 +192,142 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                 )
 
     return media.select("id", "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_md5", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _decode_audio_impl(payload: bytes) -> dict:
+    """REAL decode for PCM WAV (RIFF container) via stdlib ``wave`` +
+    ``struct``: header fields plus signal features over the first
+    channel — RMS, peak, zero-crossing rate, DC mean (all normalized to
+    [-1, 1] full scale). Compressed audio (MP3/OGG/AAC) needs codec
+    libraries absent here and raises the documented
+    NotImplementedError."""
+    import io
+    import struct
+    import wave
+
+    if not payload.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "compressed audio decode (MP3/OGG) requires codec libraries; "
+            "PCM WAV decodes natively — or run with fake=True"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = struct.unpack(f"<{n_frames * n_ch}h", raw)[::n_ch]  # ch 0
+    scale = 32768.0
+    xs = [s / scale for s in samples]
+    n = max(len(xs), 1)
+    rms = (sum(x * x for x in xs) / n) ** 0.5
+    peak = max((abs(x) for x in xs), default=0.0)
+    zc = sum(
+        1 for i in range(1, len(xs)) if (xs[i - 1] < 0) != (xs[i] < 0)
+    )
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "duration_s": n_frames / rate,
+        "feature": [rms, peak, zc / n, sum(xs) / n],
+    }
+
+
+def _fake_audio_features(payload: bytes) -> dict:
+    h = hashlib.md5(payload).digest()
+    return {
+        "sample_rate": 8000 + h[0],
+        "n_channels": 1 + h[1] % 2,
+        "duration_s": h[2] / 255.0,
+        "feature": [b / 255.0 for b in h[:4]],
+    }
+
+
+def decode_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """payload binary → audio header + signal features via Arrow-batched
+    mapInPandas — same projection/batch-bounding discipline as
+    :func:`decode_image_features`."""
+    impl = _fake_audio_features if fake else _decode_audio_impl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), _MAX_ROWS_PER_BATCH):
+                chunk = pdf.iloc[start : start + _MAX_ROWS_PER_BATCH]
+                rows = []
+                for i, p in zip(chunk["id"], chunk["payload"]):
+                    if p is None:
+                        rows.append(
+                            {
+                                "id": i,
+                                "n_bytes": None,
+                                "content_md5": None,
+                                "sample_rate": None,
+                                "n_channels": None,
+                                "duration_s": None,
+                                "feature": None,
+                            }
+                        )
+                        continue
+                    b = bytes(p)
+                    d = impl(b)
+                    rows.append(
+                        {
+                            "id": i,
+                            "n_bytes": len(b),
+                            "content_md5": hashlib.md5(b).hexdigest(),
+                            **d,
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+    return media.select("id", "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def make_ppm(width: int, height: int, pixel_fn) -> bytes:
+    """Deterministic P6 PPM: ``pixel_fn(x, y) -> (r, g, b)``."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in pixel_fn(x, y)
+    )
+    return header + body
+
+
+def make_wav(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:
+    """Deterministic 16-bit PCM WAV from integer samples (full-scale
+    ±32767); mono samples are duplicated across channels."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", s) * n_channels for s in samples
+            )
+        )
+    return buf.getvalue()
 
 
 def sample_frames(

@@ -68,11 +68,132 @@ def test_multimodal_decode_plumbing(spark):
     assert all(0 <= v <= 1 for v in rows[7]["feature"])
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = make_fake_media(spark, 3)
+def test_multimodal_compressed_decode_is_stubbed(spark):
+    media = make_fake_media(spark, 3)  # payloads are not PPM/WAV
     with pytest.raises(Exception):
-        # fake=False path must raise NotImplementedError inside the UDF
+        # fake=False on a non-PPM payload must raise inside the UDF
         decode_image_features(media, fake=False).collect()
+
+
+def _fixture_bytes(name):
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures", name)
+    with open(p, "rb") as f:
+        return f.read()
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """REAL image decode (VERDICT r3 #4): committed P6 fixture — 4x2,
+    left half pure red, right half pure blue — must yield exact pixel
+    statistics through the full mapInPandas path, not fake-derived
+    ones."""
+    import hashlib as _hl
+
+    from ballcone_spark.operators.multimodal import MEDIA_SCHEMA
+
+    ppm = _fixture_bytes("sample_image.ppm")
+    media = spark.createDataFrame(
+        [
+            {
+                "id": 1,
+                "modality": "image",
+                "payload": ppm,
+                "meta": {
+                    "width": 4,
+                    "height": 2,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "content_type": "image/x-portable-pixmap",
+                },
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    row = decode_image_features(media, fake=False).collect()[0]
+    assert row["n_bytes"] == len(ppm)
+    assert row["content_md5"] == _hl.md5(ppm).hexdigest()
+    f = row["feature"]
+    # [mean_r, mean_g, mean_b, mean_luma, min_luma, max_luma,
+    #  luma_rms_contrast, aspect]
+    assert f[0] == pytest.approx(0.5)  # half the pixels are full red
+    assert f[1] == pytest.approx(0.0)
+    assert f[2] == pytest.approx(0.5)
+    assert f[3] == pytest.approx((0.299 + 0.114) / 2)
+    assert f[4] == pytest.approx(0.114)  # blue luma (Rec.601)
+    assert f[5] == pytest.approx(0.299)  # red luma
+    assert f[6] == pytest.approx(abs(0.299 - 0.114) / 2)
+    assert f[7] == pytest.approx(2.0)  # 4 wide / 2 tall
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio decode (VERDICT r3 #4): committed 16-bit PCM WAV
+    fixture — 8 kHz mono, 4000-sample full-alternating square wave at
+    half scale — must yield exact header fields and signal features."""
+    from ballcone_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_features,
+    )
+
+    wav = _fixture_bytes("sample_audio.wav")
+    media = spark.createDataFrame(
+        [
+            {
+                "id": 9,
+                "modality": "audio",
+                "payload": wav,
+                "meta": {
+                    "width": None,
+                    "height": None,
+                    "sample_rate": 8000,
+                    "n_frames": None,
+                    "content_type": "audio/wav",
+                },
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    row = decode_audio_features(media, fake=False).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["n_channels"] == 1
+    assert row["duration_s"] == pytest.approx(0.5)  # 4000 / 8000
+    rms, peak, zcr, mean = row["feature"]
+    assert rms == pytest.approx(0.5)  # ±16384 of 32768 full scale
+    assert peak == pytest.approx(0.5)
+    assert zcr == pytest.approx(3999 / 4000)  # alternates every sample
+    assert mean == pytest.approx(0.0)
+
+
+def test_multimodal_wav_stereo_and_fake_path(spark):
+    """Stereo WAV decodes channel 0; the fake path keeps identical
+    schema/batch shapes for formats without a native codec."""
+    from ballcone_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio_features,
+        make_wav,
+    )
+
+    stereo = make_wav(16000, [8192] * 160, n_channels=2)
+    media = spark.createDataFrame(
+        [
+            {"id": 1, "modality": "audio", "payload": stereo, "meta": None},
+            {"id": 2, "modality": "audio", "payload": b"not-audio", "meta": None},
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    real = {
+        r["id"]: r
+        for r in decode_audio_features(
+            media.where("id = 1"), fake=False
+        ).collect()
+    }
+    assert real[1]["n_channels"] == 2
+    assert real[1]["duration_s"] == pytest.approx(0.01)
+    assert real[1]["feature"][0] == pytest.approx(0.25)  # constant 1/4 FS
+    fake = decode_audio_features(media, fake=True).collect()
+    assert len(fake) == 2 and all(len(r["feature"]) == 4 for r in fake)
+    with pytest.raises(Exception):
+        decode_audio_features(media.where("id = 2"), fake=False).collect()
 
 
 def test_frame_sampling(spark):

@@ -292,3 +292,62 @@ def test_ensure_bucketed_rejects_partial_commit(spark):
     # the partial set was discarded and rewritten: full rows, marker back
     assert spark.table(name).count() == n_full
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_aqe_skew_join_split_activates(spark):
+    """100x-scale resilience gate (VERDICT r3 #5): the fact-fact join
+    claim rests on AQE splitting skewed partitions at runtime. Build a
+    join where one key holds ~90% of the left side, force a sort-merge
+    join, and assert AQE's skew handling actually fires (the SMJ node
+    carries skew=true and the stage splits the hot partition into
+    multiple tasks)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pad = "x" * 64
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.col("id").cast("string"), F.lit(pad)).alias("pay"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("r"), F.col("id").cast("string")).alias("rpay"),
+        )
+        # two observed suppressors, both kept out deliberately: (1) a
+        # single-partition aggregate above the join prevents the split
+        # (decided when the join stage is the result stage), and (2)
+        # projecting `pay` away lets column pruning shrink the shuffled
+        # hot partition below the (compressed-bytes) skew threshold —
+        # constant keys compress brutally. Consume the join directly
+        # with the payload aboard.
+        joined = left.join(right, "k")
+        rows = joined.collect()
+        expect = 108_000 + sum(
+            1 for i in range(120_000) if i % 10 == 9 and i < 2_000
+        )
+        assert len(rows) == expect
+        p = plan_str(joined)
+        assert "SortMergeJoin(skew=true)" in p, p[:4000]
+        # the hot side's shuffle read must carry the skewed marker
+        # (exact wording varies with coalesce interplay)
+        assert any(
+            "AQEShuffleRead" in line and "skewed" in line
+            for line in p.splitlines()
+        ), p[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
