@@ -159,3 +159,127 @@ def test_service_view_cannot_shadow_catalog_tables(seeded_dao):
     # idempotency: a second register_views still rebinds normal services
     seeded_dao.register_views()
     assert spark.table(bkt).count() == n_orders
+
+
+# --------------------------------------------------------------------- #
+# thin HTTP front (r4): reference routes over the app handlers          #
+# --------------------------------------------------------------------- #
+
+
+def _get(port, path, expect_status=200):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=60
+        ) as resp:
+            return resp.status, _json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read() or b"null")
+
+
+def test_http_front_routes(seeded_dao):
+    """e2e over real sockets: every reference route
+    (reference __main__.py:60-98) answers with the same envelope the
+    underlying (already-golden-tested) app handler produces."""
+    import json as _json
+    import urllib.request
+
+    from ballcone_spark.app import Ballcone
+    from ballcone_spark.web import BallconeHTTPServer, encode
+
+    app = Ballcone(seeded_dao)
+    srv = BallconeHTTPServer(app).start()
+    try:
+        port = srv.port
+        win = "days=7&stop=2020-01-02"
+
+        # root: dashboard for a pinned day
+        st, root = _get(port, "/?day=2020-01-02")
+        assert st == 200
+        assert root["services"] == ["test"]
+        assert root["dashboard"] == [["test", 1]]  # 1 unique ip on day 2
+        assert root["size"] > 0
+
+        # /services redirects to /
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/services", method="GET"
+        )
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            redirected = True  # urllib follows the 302 to /
+        except urllib.error.HTTPError:
+            redirected = False
+        assert redirected
+
+        # per-service page equals the handler composition
+        st, svc = _get(port, f"/services/test?{win}")
+        assert st == 200
+        assert svc["overview"] == app.overview(
+            "test", days=7, stop=datetime.date(2020, 1, 2)
+        )
+        assert svc["paths"] == app.top_paths(
+            "test", days=7, stop=datetime.date(2020, 1, 2)
+        )
+        assert [e["date"] for e in svc["time"]["elements"]]
+
+        # API envelopes: average / count / count_group match the DAO
+        st, avg = _get(port, f"/services/test/average/generation_time?{win}")
+        assert st == 200
+        assert avg == encode(
+            seeded_dao.select_average(
+                "test", "generation_time",
+                datetime.date(2019, 12, 27), datetime.date(2020, 1, 2),
+            )
+        )
+        st, cnt = _get(port, f"/services/test/count/ip?{win}")
+        assert cnt == encode(
+            seeded_dao.select_count(
+                "test", field="ip",
+                start=datetime.date(2019, 12, 27),
+                stop=datetime.date(2020, 1, 2),
+            )
+        )
+        st, grp = _get(
+            port,
+            f"/services/test/count_group/path?distinct=ip&limit=5&{win}",
+        )
+        assert grp == encode(
+            seeded_dao.select_count_group(
+                "test", field="ip", group="path", distinct=True,
+                ascending=False, limit=5,
+                start=datetime.date(2019, 12, 27),
+                stop=datetime.date(2020, 1, 2),
+            )
+        )
+
+        # unknown service → 404 with the reference's message
+        st, err = _get(port, "/services/nope/count/ip")
+        assert st == 404 and "No such service" in err["error"]
+
+        # SQL console: POST form, result envelope + error envelope
+        data = "sql=SELECT count(*) AS n FROM access_log".encode()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sql", data=data, timeout=120
+        ) as resp:
+            out = _json.loads(resp.read())
+        assert out["columns"] == ["n"] and out["rows"] == [[4]]
+        st, bad = _get(port, "/sql?sql=SELEKT+1")
+        assert st == 200 and "error" in bad  # reference renders the error
+
+        # default console query runs through the pragma shim
+        st, dflt = _get(port, "/sql")
+        assert dflt["sql"].startswith("SELECT * FROM pragma_database_size")
+        assert "rows" in dflt
+
+        # nginx helper: valid + both invalid branches
+        st, ng = _get(port, "/nginx?service=test&ip=203.0.113.9")
+        assert ng["ip_version"] == 4 and ng["error"] == []
+        st, ng6 = _get(port, "/nginx?service=bad-name&ip=zzz")
+        assert len(ng6["error"]) == 2 and ng6["ip_version"] is None
+    finally:
+        srv.shutdown()
