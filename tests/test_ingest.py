@@ -751,3 +751,99 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert os.path.isdir(os.path.join(data, "service=a", "date=not-a-date"))
     # no service filter: b's old days (none) unaffected, cutoff respected
     assert expire_partitions(data, datetime.date(2020, 1, 2)) == []
+
+
+def test_compact_crash_recovery_exhaustive(spark, tmp_path, monkeypatch):
+    """Stronger form of the parametrized crash test: kill compaction at
+    EVERY destructive filesystem operation (each os.rename and
+    os.remove, in order), then run compaction again and assert zero row
+    loss, zero duplicates, and no leftover helper dirs. This enumerates
+    all crash points mechanically instead of hand-picking three."""
+    import os
+    import shutil
+
+    from ballcone_spark.streaming import ingest as ingest_mod
+
+    base = str(tmp_path / "base")
+    df = spark.createDataFrame(
+        [("svc", datetime.date(2020, 1, 1), i) for i in range(4)],
+        "service string, date date, n int",
+    )
+    for k in range(2):
+        (
+            df.where(F.col("n") % 2 == k)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("service", "date")
+            .parquet(base)
+        )
+
+    class Boom(RuntimeError):
+        pass
+
+    real_rename, real_remove = os.rename, os.remove
+
+    def count_ops():
+        """Dry-run compaction on a copy, counting destructive fs ops."""
+        work = str(tmp_path / "count")
+        shutil.copytree(base, work)
+        ops = {"n": 0}
+
+        def rn(src, dst):
+            ops["n"] += 1
+            real_rename(src, dst)
+
+        def rm(p):
+            ops["n"] += 1
+            real_remove(p)
+
+        monkeypatch.setattr(ingest_mod.os, "rename", rn)
+        monkeypatch.setattr(ingest_mod.os, "remove", rm)
+        try:
+            ingest_mod.compact_warehouse(spark, work, target_file_mb=128)
+        finally:
+            monkeypatch.undo()
+        shutil.rmtree(work)
+        return ops["n"]
+
+    n_ops = count_ops()
+    assert n_ops >= 3  # manifest tmp-rename, manifest remove, dir swaps
+
+    expect = [0, 1, 2, 3]
+    for crash_at in range(1, n_ops + 1):
+        work = str(tmp_path / f"crash_{crash_at}")
+        shutil.copytree(base, work)
+        ops = {"n": 0}
+
+        def rn(src, dst, _ops=ops, _k=crash_at):
+            _ops["n"] += 1
+            if _ops["n"] == _k:
+                raise Boom()
+            real_rename(src, dst)
+
+        def rm(p, _ops=ops, _k=crash_at):
+            _ops["n"] += 1
+            if _ops["n"] == _k:
+                raise Boom()
+            real_remove(p)
+
+        monkeypatch.setattr(ingest_mod.os, "rename", rn)
+        monkeypatch.setattr(ingest_mod.os, "remove", rm)
+        try:
+            ingest_mod.compact_warehouse(spark, work, target_file_mb=128)
+            crashed = False
+        except Boom:
+            crashed = True
+        finally:
+            monkeypatch.undo()
+        assert crashed, f"op {crash_at} never reached (n_ops drifted?)"
+        spark.catalog.clearCache()
+        # recovery run, un-instrumented
+        ingest_mod.compact_warehouse(spark, work, target_file_mb=128)
+        spark.catalog.clearCache()
+        got = sorted(r["n"] for r in spark.read.parquet(work).collect())
+        assert got == expect, f"crash at fs-op {crash_at}: rows {got}"
+        svc_dir = os.path.join(work, "service=svc")
+        leftovers = [e for e in os.listdir(svc_dir) if e.startswith(".date=")]
+        assert leftovers == [], f"crash at fs-op {crash_at}: {leftovers}"
+        shutil.rmtree(work)
