@@ -574,3 +574,141 @@ def test_ivf_pq_ann_composition(spark):
     bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, q, 5).collect()}
     hit = {(r["query_id"], r["neighbor_id"]) for r in got}
     assert len(bf & hit) / len(bf) >= 0.1  # cell-bounded recall, > chance
+
+
+def test_codec_roundtrips_property():
+    """Property tests (pure Python, no Spark): make_ppm → _parse_ppm and
+    make_wav → _decode_audio_impl are exact inverses on the header
+    fields, across sizes, channel counts, and comment headers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ballcone_spark.operators.multimodal import (
+        _decode_audio_impl,
+        _parse_ppm,
+        make_ppm,
+        make_wav,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**16),
+    )
+    def ppm_roundtrip(w, h, seed):
+        def px(x, y):
+            v = (x * 31 + y * 17 + seed) % 256
+            return (v, (v * 3) % 256, (v * 7) % 256)
+
+        payload = make_ppm(w, h, px)
+        rw, rh, rgb = _parse_ppm(payload)
+        assert (rw, rh) == (w, h)
+        assert len(rgb) == 3 * w * h
+        # spot-check first pixel bytes
+        assert tuple(rgb[0:3]) == px(0, 0)
+
+    ppm_roundtrip()
+
+    # PPM comments in the header must be skipped
+    commented = b"P6\n# a comment\n2 1\n# more\n255\n" + bytes(6)
+    assert _parse_ppm(commented)[:2] == (2, 1)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 44100]),
+        n=st.integers(1, 400),
+        ch=st.integers(1, 2),
+        amp=st.integers(0, 32767),
+    )
+    def wav_roundtrip(rate, n, ch, amp):
+        payload = make_wav(rate, [amp] * n, n_channels=ch)
+        d = _decode_audio_impl(payload)
+        assert d["sample_rate"] == rate
+        assert d["n_channels"] == ch
+        assert d["duration_s"] == pytest.approx(n / rate)
+        assert d["feature"][0] == pytest.approx(amp / 32768.0)  # RMS
+        assert d["feature"][2] == 0.0  # constant signal: no crossings
+
+    wav_roundtrip()
+
+
+def test_incremental_dedup_loop_equals_simulation_randomized(spark):
+    """Seeded randomized equivalence: the per-batch streaming core
+    (incremental_dedup_batch over an accumulating banded index) and the
+    one-statement simulation must agree on every doc's is_dup across
+    random corpora with planted mutations and uneven batch splits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming.dedup_stream import (
+        _bands,
+        batch_signatures,
+        incremental_dedup_batch,
+        incremental_dedup_simulation,
+    )
+
+    vocab = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base_texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(12, 25)))
+            for _ in range(6)
+        ]
+        docs = []
+        for i in range(30):
+            if rng.random() < 0.5 and docs:
+                # mutate an earlier doc: drop/append one word
+                src = rng.choice(docs)[1].split()
+                if rng.random() < 0.5 and len(src) > 5:
+                    src = src[:-1]
+                else:
+                    src = src + [rng.choice(vocab)]
+                docs.append((i, " ".join(src)))
+            else:
+                docs.append((i, rng.choice(base_texts)))
+        batches: list[list] = [[], [], []]
+        for d in docs:
+            batches[rng.randint(0, 2)].append(d)
+
+        # streaming loop, index accumulated in-memory
+        streamed: dict[int, bool] = {}
+        index_bands = None
+        for batch in batches:
+            if not batch:
+                continue
+            sigs = batch_signatures(
+                spark.createDataFrame(batch, "doc_id long, text string")
+            )
+            dec = incremental_dedup_batch(sigs, index_bands)
+            for r in dec.collect():
+                streamed[r["doc_id"]] = r["is_dup"]
+            nb = _bands(sigs)
+            index_bands = (
+                nb if index_bands is None else index_bands.unionByName(nb)
+            )
+
+        # declarative simulation on the same split
+        batch_of = {
+            d[0]: bi for bi, batch in enumerate(batches) for d in batch
+        }
+        all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+        sigs_all = batch_signatures(all_docs).withColumn(
+            "batch_id",
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in batch_of.items() for x in kv]
+                ),
+                F.col("doc_id").cast("int"),
+            ),
+        )
+        simulated = {
+            r["doc_id"]: r["is_dup"]
+            for r in incremental_dedup_simulation(sigs_all).collect()
+        }
+        assert streamed == simulated, f"seed {seed}"
+        assert any(simulated.values()), f"seed {seed}: vacuous (no dups)"
