@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -489,6 +490,44 @@ def dedup_stream_index_stats(spark, sf_dir):
     )
 
 
+def _fold_tmp_dir(index_dir: str) -> str:
+    return os.path.join(
+        os.path.dirname(index_dir.rstrip("/")),
+        "." + os.path.basename(index_dir.rstrip("/")) + "._fold_tmp",
+    )
+
+
+def _recover_fold(index_dir: str) -> None:
+    """Crash recovery for :func:`compact_index`. A complete fold (its
+    partition dir carries the committer's ``_SUCCESS``) supersedes every
+    source partition with ``batch_id <= folded id`` — delete those and
+    move the fold in; an incomplete fold is discarded (sources intact).
+    Batches appended AFTER the crashed fold started have higher ids and
+    are never touched."""
+    tmp = _fold_tmp_dir(index_dir)
+    if not os.path.isdir(tmp):
+        return
+    folds = [p for p in os.listdir(tmp) if p.startswith("batch_id=")]
+    complete = [
+        p
+        for p in folds
+        if os.path.exists(os.path.join(tmp, p, "_SUCCESS"))
+    ]
+    if not complete:
+        shutil.rmtree(tmp)
+        return
+    [fold] = complete
+    fold_id = int(fold.split("=", 1)[1])
+    for p in os.listdir(index_dir):
+        if (
+            p.startswith("batch_id=")
+            and int(p.split("=", 1)[1]) <= fold_id
+        ):
+            shutil.rmtree(os.path.join(index_dir, p))
+    os.rename(os.path.join(tmp, fold), os.path.join(index_dir, fold))
+    shutil.rmtree(tmp)
+
+
 def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
     """Fold the per-batch partition dirs into one when their count
     reaches ``every`` — the signature-index version of warehouse
@@ -496,38 +535,42 @@ def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
     ``batch_id < current`` probe filter stays correct (all folded rows
     are strictly older than any future batch), and rows are sorted by
     band_key within the fold so parquet row-group min/max stats prune
-    the probe's key filter tightly. Returns True if it compacted. Not
-    crash-atomic (a concurrent probe may see the index twice or
-    partially during the swap) — run from the maintenance cron that owns
-    the stream's quiet period, same operational contract as
+    the probe's key filter tightly. Returns True if it compacted.
+
+    Crash safety: the fold is written to a hidden sibling tmp dir first
+    and the source partitions are deleted only afterwards; every run
+    starts with :func:`_recover_fold`, which either finishes a complete
+    crashed fold (``_SUCCESS`` present — delete sources ≤ its id, move
+    it in) or discards an incomplete one (sources untouched). The fold
+    reads exactly the snapshotted partition dirs — never a glob — so a
+    batch appended concurrently is neither folded under the wrong id nor
+    deleted. A concurrent PROBE during the swap window may see folded
+    rows twice or a partition missing; run from the maintenance cron
+    that owns the stream's quiet period, same operational contract as
     compact_warehouse."""
     if not os.path.isdir(index_dir):
         return False
+    _recover_fold(index_dir)
     parts = sorted(
         e.name for e in os.scandir(index_dir) if e.name.startswith("batch_id=")
     )
     if len(parts) < every:
         return False
-    import shutil
-
     max_id = max(int(p.split("=", 1)[1]) for p in parts)
     folded = (
         spark.read.option("basePath", index_dir)
-        .parquet(os.path.join(index_dir, "batch_id=*"))
+        .parquet(*[os.path.join(index_dir, p) for p in parts])
         .select("doc_id", "band_idx", "band_key", "sig")
         .sortWithinPartitions("band_key")
     )
-    tmp = os.path.join(
-        os.path.dirname(index_dir.rstrip("/")),
-        "." + os.path.basename(index_dir.rstrip("/")) + "._fold_tmp",
-    )
+    tmp = _fold_tmp_dir(index_dir)
     shutil.rmtree(tmp, ignore_errors=True)
     folded.coalesce(max(1, len(parts) // 16)).write.mode("overwrite").parquet(
         os.path.join(tmp, f"batch_id={max_id}")
     )
     for p in parts:
         shutil.rmtree(os.path.join(index_dir, p))
-    for p in os.listdir(tmp):
-        os.rename(os.path.join(tmp, p), os.path.join(index_dir, p))
-    os.rmdir(tmp)
+    os.rename(os.path.join(tmp, f"batch_id={max_id}"),
+              os.path.join(index_dir, f"batch_id={max_id}"))
+    shutil.rmtree(tmp)
     return True

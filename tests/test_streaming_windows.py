@@ -415,3 +415,88 @@ def test_compact_index_preserves_decisions(spark, tmp_path):
     )
     assert parts == ["batch_id=2"]  # folded under the max seen batch
     assert read_index(spark, index_dir).select("doc_id").distinct().count() == 9
+
+
+@pytest.mark.parametrize("crash_at", ["during_fold", "mid_delete", "new_batch_survives"])
+def test_compact_index_crash_recovery(spark, tmp_path, monkeypatch, crash_at):
+    """compact_index killed mid-swap must not lose index batches: an
+    incomplete fold is discarded (sources intact); a complete fold
+    supersedes only the partitions it covers — batches appended after
+    the crash keep their own dirs and survive recovery."""
+    import os
+    import shutil
+
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    index_dir = str(tmp_path / "index")
+    for b in range(3):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(2)],
+            "doc_id long, text string",
+        )
+        ds._overwrite_batch_partition(
+            ds._bands(ds.batch_signatures(docs)), index_dir, b
+        )
+    all_docs = set(range(0, 2)) | set(range(10, 12)) | set(range(20, 22))
+
+    class Boom(RuntimeError):
+        pass
+
+    if crash_at == "during_fold":
+        # kill before the fold completes: no _SUCCESS in tmp
+        real_rmtree = shutil.rmtree
+        state = {"armed": True}
+
+        def rmtree_hook(p, **kw):
+            # first source deletion attempt aborts (fold already done
+            # here, so simulate the earlier crash by nuking _SUCCESS)
+            if state["armed"] and "batch_id=" in os.path.basename(p):
+                state["armed"] = False
+                tmp = ds._fold_tmp_dir(index_dir)
+                for f in os.listdir(os.path.join(tmp, "batch_id=2")):
+                    if f == "_SUCCESS":
+                        os.remove(os.path.join(tmp, "batch_id=2", f))
+                raise Boom()
+            real_rmtree(p, **kw)
+
+        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        with pytest.raises(Boom):
+            ds.compact_index(spark, index_dir, every=3)
+        monkeypatch.undo()
+    elif crash_at in ("mid_delete", "new_batch_survives"):
+        real_rmtree = shutil.rmtree
+        state = {"deleted": 0}
+
+        def rmtree_hook(p, **kw):
+            if "batch_id=" in os.path.basename(p):
+                state["deleted"] += 1
+                if state["deleted"] == 2:
+                    raise Boom()  # one source deleted, fold complete
+            real_rmtree(p, **kw)
+
+        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        with pytest.raises(Boom):
+            ds.compact_index(spark, index_dir, every=3)
+        monkeypatch.undo()
+        if crash_at == "new_batch_survives":
+            # the stream appends a NEW batch between crash and recovery
+            late = spark.createDataFrame(
+                [(99, BASE + " very late")], "doc_id long, text string"
+            )
+            ds._overwrite_batch_partition(
+                ds._bands(ds.batch_signatures(late)), index_dir, 7
+            )
+            all_docs = all_docs | {99}
+
+    spark.catalog.clearCache()
+    # recovery runs at the start of the next compaction attempt
+    ds.compact_index(spark, index_dir, every=999)  # recover only, no fold
+    spark.catalog.clearCache()
+    idx = ds.read_index(spark, index_dir)
+    got = {r["doc_id"] for r in idx.select("doc_id").distinct().collect()}
+    assert got == all_docs, f"{crash_at}: lost {all_docs - got}"
+    assert not os.path.isdir(ds._fold_tmp_dir(index_dir))
+    if crash_at == "new_batch_survives":
+        # the late batch kept its own id, strictly above the fold's
+        ids = {r["batch_id"] for r in idx.select("batch_id").distinct().collect()}
+        assert 7 in ids and max(ids) == 7
