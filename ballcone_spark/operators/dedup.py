@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ballcone_spark.functions.text import (
     fingerprint,
+    hash32,
     shingle_rows,
     shingles_of,
     tokens,
@@ -628,3 +629,81 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------- #
+# Leakage-safe dataset splitting                                        #
+# --------------------------------------------------------------------- #
+
+_TRAIN_PCT = 80
+_VAL_PCT = 10
+
+
+def split_by_key(
+    docs: DataFrame,
+    key,
+    train_pct: int = _TRAIN_PCT,
+    val_pct: int = _VAL_PCT,
+) -> DataFrame:
+    """Deterministic cluster-atomic train/val/test assignment: the split
+    is decided by hashing ``key`` (a Column), NOT the doc itself — every
+    doc sharing a key lands in the same split. Pass the exact-dup
+    fingerprint or a :func:`dedup_clusters` cluster_id as the key and
+    duplicate/near-duplicate documents can never straddle a split
+    boundary (train→eval leakage, the classic contamination bug in
+    training-data pipelines: a near-copy of an eval doc in train
+    inflates eval scores). Pure map — the md5 bucket is the same
+    engine-portable primitive as docs_deterministic_sample; no shuffle,
+    no sampling state, stable under re-runs and corpus growth."""
+    bucket = hash32(key.cast("string")) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("split", split)
+
+
+@_query(
+    "docs_leakage_safe_split",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+    sp AS (
+        SELECT doc_id, fp,
+               CASE WHEN CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT)
+                         % 100 < {_TRAIN_PCT} THEN 'train'
+                    WHEN CAST(('0x' || substr(md5(fp), 1, 8)) AS BIGINT)
+                         % 100 < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s)
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters
+    FROM sp GROUP BY split ORDER BY split
+    """,
+    driver=False,  # EXTRA: locally oracle-checked; the near-dup
+    # (connected-components) variant is iterative and pytest-pinned
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    """Exact-dup-atomic 80/10/10 split summary: split decided by the
+    normalized-text fingerprint, so byte-identical (post-normalization)
+    docs always share a split — zero exact-dup leakage by construction,
+    and both engines compute the identical assignment from md5 literals.
+    The near-duplicate-atomic variant (split by dedup_clusters
+    cluster_id over MinHash/Jaccard pairs) composes the same primitive
+    and is pinned by tests/test_operators.py::test_leakage_safe_split_
+    cluster_atomic, including a demonstration that doc_id-hash splitting
+    DOES leak near-dup clusters on the same corpus."""
+    docs = _docs(spark, sf_dir)
+    fp = fingerprint(F.col("text"))
+    assigned = split_by_key(docs.select("doc_id", fp.alias("fp")), F.col("fp"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("fp").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -712,3 +712,71 @@ def test_incremental_dedup_loop_equals_simulation_randomized(spark):
         }
         assert streamed == simulated, f"seed {seed}"
         assert any(simulated.values()), f"seed {seed}: vacuous (no dups)"
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Leakage-safe splitting: (a) exact-dup fingerprint splits keep
+    every fp group in one split; (b) the near-dup variant — split by
+    dedup_clusters cluster_id over real Jaccard pairs — keeps every
+    near-dup CLUSTER in one split; (c) non-vacuity: splitting the same
+    corpus by doc_id hash instead DOES scatter at least one near-dup
+    cluster across splits (the contamination the operator exists to
+    prevent); (d) fractions land near 80/10/10."""
+    from ballcone_spark.functions.text import fingerprint
+    from ballcone_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+        split_by_key,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+
+    # (a) exact-dup atomicity
+    fp_split = split_by_key(
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp")),
+        F.col("fp"),
+    )
+    assert (
+        fp_split.groupBy("fp")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where("ns > 1")
+        .count()
+        == 0
+    )
+
+    # (b) near-dup atomicity through connected components
+    pairs = jaccard_pairs(docs).where(F.col("jaccard") >= 0.8)
+    clusters = dedup_clusters(pairs)
+    clustered = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    safe = split_by_key(clustered, F.col("cluster_id"))
+    assert (
+        safe.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where("ns > 1")
+        .count()
+        == 0
+    )
+
+    # (c) the naive doc_id-hash split leaks those same clusters
+    naive = split_by_key(clustered, F.col("doc_id"))
+    leaked = (
+        naive.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where("ns > 1")
+        .count()
+    )
+    assert leaked > 0  # real clusters exist and the naive split breaks them
+
+    # (d) fractions ~80/10/10 (cluster-weighted, so wide tolerance)
+    n = docs.count()
+    frac = {
+        r["split"]: r["c"] / n
+        for r in safe.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert 0.65 <= frac["train"] <= 0.92
+    assert 0.03 <= frac.get("val", 0) <= 0.2
+    assert 0.03 <= frac.get("test", 0) <= 0.2
