@@ -707,3 +707,77 @@ def docs_leakage_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------- #
+# Benchmark decontamination                                             #
+# --------------------------------------------------------------------- #
+
+_DECON_NGRAM = 8
+
+
+def decontamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = _DECON_NGRAM
+) -> DataFrame:
+    """Flag corpus docs sharing ≥1 word-``n``-gram with any benchmark
+    doc — the standard eval-set decontamination pass of a training-data
+    pipeline (a long-n-gram collision between a training doc and an
+    eval item means the benchmark leaks into training; n=8 follows the
+    published 8–13-gram practice: long enough that chance collisions
+    vanish, short enough to catch paraphrase-with-overlap).
+
+    Scale shape: the benchmark is small by definition → its distinct
+    n-gram set BROADCASTS; the corpus side is a semi-join against it —
+    one scan of the corpus shingle stream, no corpus-side shuffle, never
+    O(corpus × benchmark). Returns the flagged ``(doc_id)`` rows."""
+    # no distinct() on the benchmark grams: a semi join doesn't need a
+    # deduplicated build side, and skipping it removes the only
+    # shingle-keyed exchange from the whole plan (gated in tests)
+    bench_grams = shingle_rows(benchmark, n=n).select("s")
+    return (
+        shingle_rows(docs, n=n)
+        .join(F.broadcast(bench_grams), "s", "semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _duck_decon_shingles(src_filter: str, n: int) -> str:
+    return f"""
+    SELECT doc_id, source,
+           unnest([list_aggregate(t[i:i+{n - 1}], 'string_agg', ' ')
+                   FOR i IN range(1, len(t) - {n - 2})]) AS s
+    FROM (SELECT doc_id, source,
+                 string_split_regex(trim(text), '\\s+') AS t
+          FROM documents {src_filter})
+    WHERE len(t) >= {n}
+    """
+
+
+@_query(
+    "docs_decontamination",
+    f"""
+    WITH corpus_sh AS ({_duck_decon_shingles("WHERE source != 'src0'", _DECON_NGRAM)}),
+    bench AS (SELECT DISTINCT s
+              FROM ({_duck_decon_shingles("WHERE source = 'src0'", _DECON_NGRAM)})),
+    hits AS (SELECT DISTINCT c.doc_id, c.source
+             FROM corpus_sh c JOIN bench b ON c.s = b.s)
+    SELECT doc_id, source FROM hits ORDER BY doc_id
+    """,
+    driver=False,  # EXTRA: locally oracle-checked
+)
+def docs_decontamination(spark, sf_dir):
+    """Decontamination demo on the synthetic corpus: treat source
+    'src0' as the held-out benchmark and flag every other doc sharing
+    an 8-gram with it (the corpus plants near-dups across sources, so
+    the result is non-vacuous: 5 flagged at sf0.001, 2 at sf0.01).
+    Returns the flagged (doc_id, source) rows — the set a curation
+    pipeline would quarantine before training."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    flagged = decontamination_flags(corpus, bench)
+    return (
+        flagged.join(corpus.select("doc_id", "source"), "doc_id")
+        .orderBy("doc_id")
+    )

@@ -780,3 +780,22 @@ def test_leakage_safe_split_cluster_atomic(spark):
     assert 0.65 <= frac["train"] <= 0.92
     assert 0.03 <= frac.get("val", 0) <= 0.2
     assert 0.03 <= frac.get("test", 0) <= 0.2
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (small) benchmark n-gram set —
+    the corpus side never shuffles on the shingle key — and the flags
+    match the planted cross-source near-dups."""
+    from ballcone_spark.operators.dedup import decontamination_flags
+    from ballcone_spark.plans.explain import plan_str
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    flagged = decontamination_flags(corpus, bench)
+    ids = sorted(r["doc_id"] for r in flagged.collect())
+    assert len(ids) == 5  # planted cross-source near-dups at sf0.001
+    p = plan_str(flagged)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "hashpartitioning(s#" not in p  # corpus shingles never shuffle
