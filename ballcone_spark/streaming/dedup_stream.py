@@ -57,6 +57,7 @@ The design:
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -277,16 +278,86 @@ def _overwrite_batch_partition(df: DataFrame, root: str, batch_id: int) -> None:
     )
 
 
+#: manifest file name — the leading underscore keeps Spark's file index
+#: from ever treating it as data (same convention as _SUCCESS).
+_MANIFEST = "_manifest.json"
+
+
+def _read_manifest(index_dir: str) -> dict:
+    """The index's snapshot pointer. ``folded_hi`` = highest batch id
+    absorbed into ``fold_dir`` (−1 / None before the first fold);
+    ``garbage`` = dirs superseded by the last fold, still on disk so
+    in-flight readers keep their files — deleted at the START of the
+    next :func:`compact_index` run, never during the fold that retired
+    them."""
+    try:
+        with open(os.path.join(index_dir, _MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"folded_hi": -1, "fold_dir": None, "garbage": []}
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic swap: write sibling tmp, fsync, rename. The rename is the
+    commit point of a fold — readers see either the old snapshot or the
+    new one, never a half state."""
+    path = os.path.join(index_dir, _MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _live_batch_parts(index_dir: str, folded_hi: int) -> list[str]:
+    """Per-batch partition dirs NOT yet absorbed by a fold, in batch-id
+    order (numeric — lexicographic would put batch_id=10 before 9)."""
+    return sorted(
+        (
+            e.name
+            for e in os.scandir(index_dir)
+            if e.name.startswith("batch_id=")
+            and int(e.name.split("=", 1)[1]) > folded_hi
+        ),
+        key=lambda p: int(p.split("=", 1)[1]),
+    )
+
+
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Banded index rows (doc_id, band_idx, band_key, sig, batch_id) for
-    every indexed batch, or None if the index doesn't exist yet."""
-    if not os.path.isdir(index_dir) or not any(
-        e.name.startswith("batch_id=") for e in os.scandir(index_dir)
-    ):
+    every indexed batch, or None if the index doesn't exist yet.
+
+    Snapshot rule (manifest-pointer consistency): read the manifest's
+    fold dir (original batch_id preserved as a physical column) plus the
+    per-batch dirs with ``batch_id > folded_hi`` (batch_id from the dir
+    name). Superseded dirs — listed as manifest garbage — are *excluded
+    by this rule* even though they are still on disk, so a probe racing
+    a fold can never double-count; and because a fold only deletes the
+    PREVIOUS fold's garbage, the dirs a just-read manifest references
+    outlive the probe (contract: a probe completes within one compaction
+    interval — vs the old design's total quiet-period requirement)."""
+    if not os.path.isdir(index_dir):
         return None
-    return spark.read.option("basePath", index_dir).parquet(
-        os.path.join(index_dir, "batch_id=*")
-    )
+    m = _read_manifest(index_dir)
+    parts = _live_batch_parts(index_dir, m["folded_hi"])
+    frames = []
+    if m["fold_dir"]:
+        frames.append(
+            spark.read.parquet(os.path.join(index_dir, m["fold_dir"]))
+        )
+    if parts:
+        frames.append(
+            spark.read.option("basePath", index_dir).parquet(
+                *[os.path.join(index_dir, p) for p in parts]
+            )
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def read_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
@@ -490,87 +561,94 @@ def dedup_stream_index_stats(spark, sf_dir):
     )
 
 
-def _fold_tmp_dir(index_dir: str) -> str:
-    return os.path.join(
-        os.path.dirname(index_dir.rstrip("/")),
-        "." + os.path.basename(index_dir.rstrip("/")) + "._fold_tmp",
-    )
-
-
-def _recover_fold(index_dir: str) -> None:
-    """Crash recovery for :func:`compact_index`. A complete fold (its
-    partition dir carries the committer's ``_SUCCESS``) supersedes every
-    source partition with ``batch_id <= folded id`` — delete those and
-    move the fold in; an incomplete fold is discarded (sources intact).
-    Batches appended AFTER the crashed fold started have higher ids and
-    are never touched."""
-    tmp = _fold_tmp_dir(index_dir)
-    if not os.path.isdir(tmp):
-        return
-    folds = [p for p in os.listdir(tmp) if p.startswith("batch_id=")]
-    complete = [
-        p
-        for p in folds
-        if os.path.exists(os.path.join(tmp, p, "_SUCCESS"))
-    ]
-    if not complete:
-        shutil.rmtree(tmp)
-        return
-    [fold] = complete
-    fold_id = int(fold.split("=", 1)[1])
-    for p in os.listdir(index_dir):
+def _sweep_garbage(index_dir: str, manifest: dict) -> dict:
+    """Delete what the last fold retired (manifest garbage) plus any
+    fold dir or fold tmp a crashed run left unreferenced. Idempotent:
+    a crash mid-sweep leaves entries listed, and they are re-deleted
+    (ignore_errors) on the next run. Returns the manifest with garbage
+    cleared (rewritten on disk only if there was any)."""
+    for p in manifest["garbage"]:
+        shutil.rmtree(os.path.join(index_dir, p), ignore_errors=True)
+    for e in os.scandir(index_dir):
         if (
-            p.startswith("batch_id=")
-            and int(p.split("=", 1)[1]) <= fold_id
-        ):
-            shutil.rmtree(os.path.join(index_dir, p))
-    os.rename(os.path.join(tmp, fold), os.path.join(index_dir, fold))
-    shutil.rmtree(tmp)
+            e.name.startswith("fold-") or e.name.startswith(".fold-")
+        ) and e.name != (manifest["fold_dir"] or ""):
+            shutil.rmtree(e.path, ignore_errors=True)
+    if manifest["garbage"]:
+        manifest = dict(manifest, garbage=[])
+        _write_manifest(index_dir, manifest)
+    return manifest
 
 
 def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
-    """Fold the per-batch partition dirs into one when their count
-    reaches ``every`` — the signature-index version of warehouse
-    compaction. The folded dir keeps partition ``batch_id=<max>`` so the
-    ``batch_id < current`` probe filter stays correct (all folded rows
-    are strictly older than any future batch), and rows are sorted by
-    band_key within the fold so parquet row-group min/max stats prune
-    the probe's key filter tightly. Returns True if it compacted.
+    """Fold per-batch partition dirs into one ``fold-<hi>`` dir when the
+    live dir count reaches ``every`` — the signature-index version of
+    warehouse compaction. Original ``batch_id`` values are PRESERVED as
+    a physical column in the fold (probe semantics bit-identical before
+    and after), and fold rows are sorted by band_key so parquet
+    row-group min/max stats prune the probe's key filter tightly.
+    Returns True if it compacted.
 
-    Crash safety: the fold is written to a hidden sibling tmp dir first
-    and the source partitions are deleted only afterwards; every run
-    starts with :func:`_recover_fold`, which either finishes a complete
-    crashed fold (``_SUCCESS`` present — delete sources ≤ its id, move
-    it in) or discards an incomplete one (sources untouched). The fold
-    reads exactly the snapshotted partition dirs — never a glob — so a
-    batch appended concurrently is neither folded under the wrong id nor
-    deleted. A concurrent PROBE during the swap window may see folded
-    rows twice or a partition missing; run from the maintenance cron
-    that owns the stream's quiet period, same operational contract as
-    compact_warehouse."""
+    Two invariants close the crash-replay and concurrent-probe holes of
+    a delete-then-rename design:
+
+    1. **The newest live batch is never folded.** Structured Streaming
+       can replay the most recent batch N after a crash (index written,
+       checkpoint not committed). The replayed batch probes
+       ``batch_id < N`` and overwrites ``batch_id=N`` — both only safe
+       if N's own dir is still a plain per-batch dir and all folded ids
+       are < N. Folding strictly-older batches guarantees both.
+    2. **The manifest rename is the only commit point, and a fold never
+       deletes the dirs it retires.** The fold is written to a hidden
+       tmp, renamed to ``fold-<hi>``, and then the manifest atomically
+       swaps to reference it, listing the previous fold + absorbed
+       per-batch dirs as garbage. Garbage is deleted at the start of the
+       NEXT run — so any reader holding either manifest version still
+       finds every dir its snapshot references (no quiet period needed;
+       a probe just has to finish within one compaction interval). A
+       crash before the manifest swap leaves an unreferenced fold dir
+       that the next run's sweep discards; sources are untouched."""
     if not os.path.isdir(index_dir):
         return False
-    _recover_fold(index_dir)
-    parts = sorted(
-        e.name for e in os.scandir(index_dir) if e.name.startswith("batch_id=")
-    )
-    if len(parts) < every:
+    m = _sweep_garbage(index_dir, _read_manifest(index_dir))
+    live = _live_batch_parts(index_dir, m["folded_hi"])
+    if len(live) < every:
         return False
-    max_id = max(int(p.split("=", 1)[1]) for p in parts)
+    foldable = live[:-1]  # invariant 1: never the newest
+    if not foldable:
+        return False
+    hi = int(foldable[-1].split("=", 1)[1])
     folded = (
         spark.read.option("basePath", index_dir)
-        .parquet(*[os.path.join(index_dir, p) for p in parts])
-        .select("doc_id", "band_idx", "band_key", "sig")
-        .sortWithinPartitions("band_key")
+        .parquet(*[os.path.join(index_dir, p) for p in foldable])
+        .select(
+            "doc_id",
+            "band_idx",
+            "band_key",
+            "sig",
+            F.col("batch_id").cast("int").alias("batch_id"),
+        )
     )
-    tmp = _fold_tmp_dir(index_dir)
+    if m["fold_dir"]:
+        folded = spark.read.parquet(
+            os.path.join(index_dir, m["fold_dir"])
+        ).unionByName(folded)
+    fold_name = f"fold-{hi}"
+    tmp = os.path.join(index_dir, f".{fold_name}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.coalesce(max(1, len(parts) // 16)).write.mode("overwrite").parquet(
-        os.path.join(tmp, f"batch_id={max_id}")
+    (
+        folded.sortWithinPartitions("band_key")
+        .coalesce(max(1, len(foldable) // 16))
+        .write.mode("overwrite")
+        .parquet(tmp)
     )
-    for p in parts:
-        shutil.rmtree(os.path.join(index_dir, p))
-    os.rename(os.path.join(tmp, f"batch_id={max_id}"),
-              os.path.join(index_dir, f"batch_id={max_id}"))
-    shutil.rmtree(tmp)
+    os.rename(tmp, os.path.join(index_dir, fold_name))
+    _write_manifest(
+        index_dir,
+        {
+            "folded_hi": hi,
+            "fold_dir": fold_name,
+            "garbage": ([m["fold_dir"]] if m["fold_dir"] else []) + foldable,
+        },
+    )
     return True

@@ -366,120 +366,160 @@ def test_probe_plan_index_side(spark, tmp_path):
     )
 
 
+def _index_batches(spark, index_dir, n_batches, docs_per=3):
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    for b in range(n_batches):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(docs_per)],
+            "doc_id long, text string",
+        )
+        ds._overwrite_batch_partition(
+            ds._bands(ds.batch_signatures(docs)), index_dir, b
+        )
+    return {b * 10 + i for b in range(n_batches) for i in range(docs_per)}
+
+
 def test_compact_index_preserves_decisions(spark, tmp_path):
-    """Folding per-batch index partitions must not change future
-    decisions, and the folded partition keeps batch_id = max (stays
-    strictly older than any future batch)."""
+    """Folding must not change future decisions. New invariants of the
+    manifest design: the newest live batch is never folded, original
+    batch_ids survive inside the fold, and retired dirs are deleted on
+    the NEXT run (deferred) rather than mid-fold."""
     import os
 
-    from ballcone_spark.streaming.dedup_stream import (
-        _bands,
-        _overwrite_batch_partition,
-        batch_signatures,
-        compact_index,
-        incremental_dedup_batch,
-        read_index,
-    )
+    from ballcone_spark.streaming import dedup_stream as ds
     from pyspark.sql import functions as F
 
     index_dir = str(tmp_path / "index")
-    for b in range(3):
-        docs = spark.createDataFrame(
-            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(3)],
-            "doc_id long, text string",
-        )
-        _overwrite_batch_partition(
-            _bands(batch_signatures(docs)), index_dir, b
-        )
+    _index_batches(spark, index_dir, 3)
     probe = spark.createDataFrame(
         [(999, BASE + " b1 i2"), (998, OTHER)], "doc_id long, text string"
     )
 
     def decide():
-        hist = read_index(spark, index_dir).where(F.col("batch_id") < 50)
+        hist = ds.read_index(spark, index_dir).where(F.col("batch_id") < 50)
         return sorted(
             (r["doc_id"], r["is_dup"])
-            for r in incremental_dedup_batch(
-                batch_signatures(probe),
+            for r in ds.incremental_dedup_batch(
+                ds.batch_signatures(probe),
                 hist.select("doc_id", "band_idx", "band_key", "sig"),
             ).collect()
         )
 
     before = decide()
-    assert compact_index(spark, index_dir, every=3)
+    assert ds.compact_index(spark, index_dir, every=3)
     spark.catalog.clearCache()
-    after = decide()
-    assert before == after
-    parts = sorted(
-        e for e in os.listdir(index_dir) if e.startswith("batch_id=")
+    assert decide() == before
+    m = ds._read_manifest(index_dir)
+    assert (m["fold_dir"], m["folded_hi"]) == ("fold-1", 1)
+    assert sorted(m["garbage"]) == ["batch_id=0", "batch_id=1"]
+    # deferred deletion: retired dirs still on disk for in-flight readers
+    assert os.path.isdir(os.path.join(index_dir, "batch_id=0"))
+    idx = ds.read_index(spark, index_dir)
+    assert idx.select("doc_id").distinct().count() == 9
+    # original batch ids preserved through the fold (probe filter
+    # semantics bit-identical before/after)
+    assert {
+        r["batch_id"] for r in idx.select("batch_id").distinct().collect()
+    } == {0, 1, 2}
+    # the NEXT run sweeps the garbage
+    assert not ds.compact_index(spark, index_dir, every=999)
+    assert not os.path.isdir(os.path.join(index_dir, "batch_id=0"))
+    assert ds._read_manifest(index_dir)["garbage"] == []
+    spark.catalog.clearCache()
+    assert decide() == before
+
+
+def test_compact_index_crash_replay_decisions_stable(spark, tmp_path):
+    """ADVICE r4 (medium): the stream crashed after writing batch N's
+    index but before the checkpoint commit, and compaction ran before
+    restart. The replayed batch N must (a) probe byte-identical history
+    — so the fold may only absorb batches strictly older than N — and
+    (b) overwrite only its own per-batch dir, never folded rows."""
+    from ballcone_spark.streaming import dedup_stream as ds
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "index")
+    _index_batches(spark, index_dir, 4, docs_per=2)  # batch 3 = newest,
+    # written but "uncommitted" in the checkpoint
+    replay = spark.createDataFrame(
+        [(30, f"{BASE} b3 i0"), (31, f"{BASE} b3 i1")],
+        "doc_id long, text string",
     )
-    assert parts == ["batch_id=2"]  # folded under the max seen batch
-    assert read_index(spark, index_dir).select("doc_id").distinct().count() == 9
+    s3 = ds.batch_signatures(replay)
+
+    def decide():
+        hist = (
+            ds.read_index(spark, index_dir)
+            .where(F.col("batch_id") < 3)
+            .select("doc_id", "band_idx", "band_key", "sig")
+        )
+        return sorted(
+            (r["doc_id"], r["is_dup"], r["n_matches"])
+            for r in ds.incremental_dedup_batch(s3, hist).collect()
+        )
+
+    before = decide()
+    assert ds.compact_index(spark, index_dir, every=4)  # folds 0..2 only
+    m = ds._read_manifest(index_dir)
+    assert (m["folded_hi"], m["fold_dir"]) == (2, "fold-2")
+    spark.catalog.clearCache()
+    assert decide() == before  # replayed probe sees identical history
+    # the replay's own overwrite lands in its per-batch dir; fold intact
+    ds._overwrite_batch_partition(ds._bands(s3), index_dir, 3)
+    spark.catalog.clearCache()
+    assert ds.read_index(spark, index_dir).select("doc_id").distinct().count() == 8
+    assert decide() == before
 
 
-@pytest.mark.parametrize("crash_at", ["during_fold", "mid_delete", "new_batch_survives"])
+@pytest.mark.parametrize(
+    "crash_at",
+    ["before_fold_rename", "before_manifest_swap", "mid_garbage_sweep",
+     "new_batch_survives"],
+)
 def test_compact_index_crash_recovery(spark, tmp_path, monkeypatch, crash_at):
-    """compact_index killed mid-swap must not lose index batches: an
-    incomplete fold is discarded (sources intact); a complete fold
-    supersedes only the partitions it covers — batches appended after
-    the crash keep their own dirs and survive recovery."""
+    """compact_index killed at any point must never lose index rows: the
+    manifest rename is the single commit point. Before it, the fold dir
+    is unreferenced (next run sweeps it, sources intact); after it,
+    retired dirs are garbage the next run re-deletes idempotently.
+    Batches appended after a crash keep their own dirs."""
     import os
     import shutil
 
     from ballcone_spark.streaming import dedup_stream as ds
 
     index_dir = str(tmp_path / "index")
-    for b in range(3):
-        docs = spark.createDataFrame(
-            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(2)],
-            "doc_id long, text string",
-        )
-        ds._overwrite_batch_partition(
-            ds._bands(ds.batch_signatures(docs)), index_dir, b
-        )
-    all_docs = set(range(0, 2)) | set(range(10, 12)) | set(range(20, 22))
+    all_docs = _index_batches(spark, index_dir, 3, docs_per=2)
 
     class Boom(RuntimeError):
         pass
 
-    if crash_at == "during_fold":
-        # kill before the fold completes: no _SUCCESS in tmp
-        real_rmtree = shutil.rmtree
-        state = {"armed": True}
+    if crash_at == "before_fold_rename":
+        # crash with the fold still in its hidden tmp dir
+        real_rename = os.rename
 
-        def rmtree_hook(p, **kw):
-            # first source deletion attempt aborts (fold already done
-            # here, so simulate the earlier crash by nuking _SUCCESS)
-            if state["armed"] and "batch_id=" in os.path.basename(p):
-                state["armed"] = False
-                tmp = ds._fold_tmp_dir(index_dir)
-                for f in os.listdir(os.path.join(tmp, "batch_id=2")):
-                    if f == "_SUCCESS":
-                        os.remove(os.path.join(tmp, "batch_id=2", f))
+        def rename_hook(src, dst):
+            if os.path.basename(dst).startswith("fold-"):
                 raise Boom()
-            real_rmtree(p, **kw)
+            real_rename(src, dst)
 
-        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        monkeypatch.setattr(ds.os, "rename", rename_hook)
         with pytest.raises(Boom):
             ds.compact_index(spark, index_dir, every=3)
         monkeypatch.undo()
-    elif crash_at in ("mid_delete", "new_batch_survives"):
-        real_rmtree = shutil.rmtree
-        state = {"deleted": 0}
+        assert os.path.isdir(os.path.join(index_dir, ".fold-1.tmp"))
+    elif crash_at in ("before_manifest_swap", "new_batch_survives"):
+        # fold dir renamed into place, but the manifest never swapped:
+        # the fold is unreferenced and must be discarded on recovery
+        def manifest_hook(index_dir_, manifest):
+            raise Boom()
 
-        def rmtree_hook(p, **kw):
-            if "batch_id=" in os.path.basename(p):
-                state["deleted"] += 1
-                if state["deleted"] == 2:
-                    raise Boom()  # one source deleted, fold complete
-            real_rmtree(p, **kw)
-
-        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        monkeypatch.setattr(ds, "_write_manifest", manifest_hook)
         with pytest.raises(Boom):
             ds.compact_index(spark, index_dir, every=3)
         monkeypatch.undo()
+        assert os.path.isdir(os.path.join(index_dir, "fold-1"))
         if crash_at == "new_batch_survives":
-            # the stream appends a NEW batch between crash and recovery
             late = spark.createDataFrame(
                 [(99, BASE + " very late")], "doc_id long, text string"
             )
@@ -487,16 +527,86 @@ def test_compact_index_crash_recovery(spark, tmp_path, monkeypatch, crash_at):
                 ds._bands(ds.batch_signatures(late)), index_dir, 7
             )
             all_docs = all_docs | {99}
+    elif crash_at == "mid_garbage_sweep":
+        # a COMMITTED fold whose garbage sweep (next run) dies halfway:
+        # garbage dirs are excluded by the manifest snapshot rule whether
+        # or not they are still on disk, and the sweep is idempotent
+        assert ds.compact_index(spark, index_dir, every=3)
+        real_rmtree = shutil.rmtree
+        state = {"n": 0}
+
+        def rmtree_hook(p, **kw):
+            if os.path.basename(p).startswith("batch_id="):
+                state["n"] += 1
+                if state["n"] == 2:
+                    raise Boom()
+            real_rmtree(p, **kw)
+
+        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        with pytest.raises(Boom):
+            ds.compact_index(spark, index_dir, every=999)
+        monkeypatch.undo()
 
     spark.catalog.clearCache()
-    # recovery runs at the start of the next compaction attempt
-    ds.compact_index(spark, index_dir, every=999)  # recover only, no fold
+    # recovery = simply the next compaction attempt (sweep runs first)
+    ds.compact_index(spark, index_dir, every=999)
     spark.catalog.clearCache()
     idx = ds.read_index(spark, index_dir)
     got = {r["doc_id"] for r in idx.select("doc_id").distinct().collect()}
     assert got == all_docs, f"{crash_at}: lost {all_docs - got}"
-    assert not os.path.isdir(ds._fold_tmp_dir(index_dir))
+    m = ds._read_manifest(index_dir)
+    assert m["garbage"] == []
+    # no unreferenced fold dirs or tmp residue survive recovery
+    strays = [
+        e.name
+        for e in os.scandir(index_dir)
+        if (e.name.startswith("fold-") or e.name.startswith(".fold-"))
+        and e.name != (m["fold_dir"] or "")
+    ]
+    assert strays == []
     if crash_at == "new_batch_survives":
-        # the late batch kept its own id, strictly above the fold's
         ids = {r["batch_id"] for r in idx.select("batch_id").distinct().collect()}
         assert 7 in ids and max(ids) == 7
+
+
+def test_compact_index_concurrent_probes(spark, tmp_path):
+    """Probes running continuously THROUGH a fold must never observe a
+    duplicate or missing row (VERDICT r4 #4): the manifest snapshot rule
+    plus deferred garbage deletion replace the old quiet-period
+    contract. Each probe counts banded rows per doc — a double-counted
+    fold or a vanished partition would break the exact (doc, 4) shape."""
+    import threading
+
+    from ballcone_spark.streaming import dedup_stream as ds
+    from pyspark.sql import functions as F
+
+    index_dir = str(tmp_path / "index")
+    expected = _index_batches(spark, index_dir, 4)
+    want = {(d, 4) for d in expected}
+
+    anomalies: list = []
+    stop = threading.Event()
+
+    def probe_loop():
+        while not stop.is_set():
+            try:
+                got = {
+                    (r["doc_id"], r["n"])
+                    for r in ds.read_index(spark, index_dir)
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                if got != want:
+                    anomalies.append(got ^ want)
+            except Exception as exc:  # a missing file surfaces here
+                anomalies.append(repr(exc))
+
+    t = threading.Thread(target=probe_loop)
+    t.start()
+    try:
+        assert ds.compact_index(spark, index_dir, every=4)
+    finally:
+        stop.set()
+        t.join()
+    assert anomalies == []
