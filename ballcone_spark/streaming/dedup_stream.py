@@ -90,6 +90,19 @@ SIG_AGREE_MIN = math.ceil(0.8 * N_HASHES)
 
 _ROWS_PER_BAND = N_HASHES // N_BANDS
 
+#: scratch dirs created by plan builds, removed when the process exits.
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _track_scratch_dir(path: str) -> None:
+    if not _SCRATCH_DIRS:
+        import atexit
+
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.add(path)
+
 
 def batch_signatures(docs: DataFrame) -> DataFrame:
     """``(doc_id, sig array<bigint>)`` — the per-row MinHash signature
@@ -140,6 +153,15 @@ def _sig_agree(a, b):
     )
 
 
+#: above this many distinct band keys the probe skips the IN-list
+#: pushdown. The pushdown is a scan optimization, never a correctness
+#: requirement (the broadcast band join already restricts candidates):
+#: an ``availableNow`` backfill batch of millions of docs would
+#: otherwise collect a multi-million-literal IN predicate on the driver
+#: (VERDICT r4 #5).
+MAX_PUSHDOWN_KEYS = 100_000
+
+
 def incremental_dedup_batch(
     batch_sigs: DataFrame,
     index_bands: DataFrame | None,
@@ -156,10 +178,27 @@ def incremental_dedup_batch(
     Plan shape: batch side is broadcast into the index probe (index
     never shuffles); the within-batch pairing is batch-local. The index
     scan is additionally filtered to the batch's band keys (collected —
-    bounded by batch_rows × N_BANDS), a pushable predicate on the
+    bounded by :data:`MAX_PUSHDOWN_KEYS`), a pushable predicate on the
     physical band_key column; the stored sig array rides through the
-    band join so the index is scanned exactly once per batch."""
+    band join so the index is scanned exactly once per batch.
+
+    **Backfill degradation** (VERDICT r4 #5): a trigger-interval batch
+    is small by construction, but an ``availableNow`` backfill can
+    deliver the whole backlog as ONE batch. The distinct-band-key
+    collect is capped at MAX_PUSHDOWN_KEYS+1 rows; on overflow the
+    probe (a) skips the IN pushdown and (b) drops every batch-side
+    broadcast hint, letting AQE pick shuffle joins — same decisions,
+    no driver-side blowup."""
     b_bands = _bands(batch_sigs)
+    keys = [
+        r["band_key"]
+        for r in b_bands.select("band_key")
+        .distinct()
+        .limit(MAX_PUSHDOWN_KEYS + 1)
+        .collect()
+    ]
+    small_batch = len(keys) <= MAX_PUSHDOWN_KEYS
+    maybe_bcast = F.broadcast if small_batch else (lambda df: df)
     a_of = lambda df: df.select(  # noqa: E731
         F.col("doc_id").alias("a_id"),
         F.col("sig").alias("a_sig"),
@@ -170,16 +209,14 @@ def incremental_dedup_batch(
         F.col("a_band_key") == F.col("band_key")
     )
     # within-batch: earlier = lower doc_id, candidates from band buckets
-    pairs = b_bands.join(F.broadcast(a_of(b_bands)), collide).where(
+    pairs = b_bands.join(maybe_bcast(a_of(b_bands)), collide).where(
         F.col("a_id") < F.col("doc_id")
     )
     if index_bands is not None:
-        keys = [
-            r["band_key"]
-            for r in b_bands.select("band_key").distinct().collect()
-        ]
-        hist_a = a_of(index_bands).where(F.col("a_band_key").isin(keys))
-        against_hist = hist_a.join(F.broadcast(b_bands), collide)
+        hist_a = a_of(index_bands)
+        if small_batch:
+            hist_a = hist_a.where(F.col("a_band_key").isin(keys))
+        against_hist = hist_a.join(maybe_bcast(b_bands), collide)
         pairs = pairs.unionByName(against_hist.select(*pairs.columns))
     verified = (
         pairs.select("doc_id", "a_id", "sig", "a_sig")
@@ -191,7 +228,7 @@ def incremental_dedup_batch(
     return (
         batch_sigs.select("doc_id")
         .join(
-            F.broadcast(verified),
+            maybe_bcast(verified),
             batch_sigs["doc_id"] == verified["dup_id"],
             "left",
         )
@@ -241,10 +278,17 @@ def incremental_dedup_simulation(sigs_with_batch: DataFrame) -> DataFrame:
 def _simulation_dup_ids(sigs_with_batch: DataFrame) -> DataFrame:
     """``(dup_id)`` — the documents flagged duplicate by the simulation
     rule. See :func:`incremental_dedup_simulation` for the rule and the
-    materialization-barrier plan note."""
-    from pyspark.storagelevel import StorageLevel
+    materialization-barrier plan note.
 
-    sigs_m = sigs_with_batch.persist(StorageLevel.MEMORY_AND_DISK)
+    The barrier is a LAZY ``localCheckpoint`` rather than ``persist``:
+    every downstream reference (band keys, both self-join sides) shares
+    the one LogicalRDD node, so the optimizer cannot inline the 16-hash
+    pipeline past it — same effect, but without registering in the
+    CacheManager, whose pinned blocks outlived every invocation (ADVICE
+    r4: bench's 3× steady runs accumulated them for the session
+    lifetime). Checkpoint blocks are freed by the ContextCleaner when
+    the frame is garbage-collected."""
+    sigs_m = sigs_with_batch.localCheckpoint(eager=False)
     b = _bands(sigs_m, extra=["batch_id"])
     a = b.select(
         F.col("doc_id").alias("a_id"),
@@ -270,10 +314,31 @@ def _simulation_dup_ids(sigs_with_batch: DataFrame) -> DataFrame:
     )
 
 
-def _overwrite_batch_partition(df: DataFrame, root: str, batch_id: int) -> None:
+#: target rows per output file for per-batch writes; a 5 s micro-batch
+#: coalesces to 1 file, an availableNow backfill batch scales its writer
+#: parallelism instead of funnelling millions of rows through one task.
+ROWS_PER_FILE = 500_000
+
+#: writer-parallelism ceiling for a single batch partition dir.
+MAX_FILES_PER_BATCH = 64
+
+
+def _overwrite_batch_partition(
+    df: DataFrame, root: str, batch_id: int, n_rows: int | None = None
+) -> None:
     """Idempotent per-batch write: replayed batches overwrite their own
-    ``batch_id=<n>`` dir and only that dir."""
-    df.coalesce(1).write.mode("overwrite").parquet(
+    ``batch_id=<n>`` dir and only that dir. ``n_rows`` (when the caller
+    already knows it) scales the file count so backfill-sized batches
+    are not single-writer-bottlenecked (VERDICT r4 #5)."""
+    n_files = (
+        1
+        if n_rows is None
+        else max(1, min(MAX_FILES_PER_BATCH, n_rows // ROWS_PER_FILE + 1))
+    )
+    # coalesce can only narrow; widening a backfill batch (which often
+    # arrives as few input partitions) needs a real repartition
+    shaped = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(
         os.path.join(root, f"batch_id={batch_id}")
     )
 
@@ -395,14 +460,17 @@ def start_dedup_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sigs = batch_signatures(batch_df).localCheckpoint(eager=True)
+        n_rows = sigs.count()  # cheap: counts the checkpointed blocks
         hist = read_index(spark, index_dir)
         if hist is not None:
             hist = hist.where(F.col("batch_id") < F.lit(batch_id)).select(
                 "doc_id", "band_idx", "band_key", "sig"
             )
         decisions = incremental_dedup_batch(sigs, hist)
-        _overwrite_batch_partition(decisions, decisions_dir, batch_id)
-        _overwrite_batch_partition(_bands(sigs), index_dir, batch_id)
+        _overwrite_batch_partition(decisions, decisions_dir, batch_id, n_rows)
+        _overwrite_batch_partition(
+            _bands(sigs), index_dir, batch_id, n_rows * N_BANDS
+        )
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
@@ -539,11 +607,22 @@ def dedup_stream_index_stats(spark, sf_dir):
     band-key counts. The oracle recomputes the same banding in DuckDB —
     so partition-dir layout, batch_id recovery from dir names, and
     band-key formation are all checked against an independent engine,
-    not just against our own writer."""
+    not just against our own writer.
+
+    Scratch hygiene (ADVICE r4): the index lands in ONE deterministic
+    per-process, per-sf_dir dir — repeated invocations overwrite the
+    same batch partitions instead of accumulating fresh mkdtemp dirs —
+    and an atexit hook removes it when the process ends."""
+    import hashlib
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="dedup_index_stats_")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        "dedup_index_stats_"
+        f"{os.getpid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _track_scratch_dir(tmp)
     for b in range(3):
         batch = docs.where((F.col("doc_id") % 3) == b)
         _overwrite_batch_partition(_bands(batch_signatures(batch)), tmp, b)

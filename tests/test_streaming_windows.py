@@ -325,6 +325,92 @@ def test_streaming_decisions_match_declarative_simulation(spark, tmp_path):
     assert simulated[8] is True  # cross-batch dup caught in both paths
 
 
+def test_backfill_batch_degrades_gracefully(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #5: an availableNow backfill can deliver the whole
+    backlog as one huge batch. With the pushdown/broadcast caps forced
+    to overflow (MAX_PUSHDOWN_KEYS patched tiny) and the writer scaling
+    patched to engage, decisions must be IDENTICAL to the same docs
+    arriving over three batches, the IN predicate must stay off the
+    plan, and the batch partition must be written by multiple files.
+    Batch boundaries align with doc_id order in both runs, so the
+    (batch_id, doc_id) 'earlier' relation coincides and decisions are
+    comparable doc-for-doc."""
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    docs = [
+        (i, f"{BASE} flavour {i % 5}" if i % 3 else f"{OTHER} item {i}")
+        for i in range(1, 41)
+    ]
+
+    # run A: three availableNow drains, batches in doc_id order
+    split_root = tmp_path / "split"
+    for lo, hi in [(0, 13), (13, 26), (26, 40)]:
+        _write_docs(split_root / "spool", docs[lo:hi])
+        q = ds.start_dedup_stream(
+            spark,
+            str(split_root / "spool"),
+            str(split_root / "index"),
+            str(split_root / "decisions"),
+            str(split_root / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+    split_dec = {
+        r["doc_id"]: r["is_dup"]
+        for r in ds.read_decisions(spark, str(split_root / "decisions")).collect()
+    }
+
+    # run B: the backfill — two huge batches, caps forced into overflow
+    monkeypatch.setattr(ds, "MAX_PUSHDOWN_KEYS", 4)
+    monkeypatch.setattr(ds, "ROWS_PER_FILE", 10)
+    bulk_root = tmp_path / "bulk"
+    for lo, hi in [(0, 26), (26, 40)]:
+        _write_docs(bulk_root / "spool", docs[lo:hi])
+        q = ds.start_dedup_stream(
+            spark,
+            str(bulk_root / "spool"),
+            str(bulk_root / "index"),
+            str(bulk_root / "decisions"),
+            str(bulk_root / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+    bulk_dec = {
+        r["doc_id"]: r["is_dup"]
+        for r in ds.read_decisions(spark, str(bulk_root / "decisions")).collect()
+    }
+    assert bulk_dec == split_dec
+    assert any(bulk_dec.values())  # non-vacuous: dups exist
+
+    # the scaled writer actually split the big batch across files
+    import os
+
+    part_files = [
+        f
+        for f in os.listdir(bulk_root / "index" / "batch_id=0")
+        if f.endswith(".parquet")
+    ]
+    assert len(part_files) > 1
+
+    # degraded probe plan: overflow skips the IN pushdown entirely
+    monkeypatch.setattr(ds, "MAX_PUSHDOWN_KEYS", 1)
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(docs[:6], "doc_id long, text string")
+    hist = (
+        ds.read_index(spark, str(bulk_root / "index"))
+        .where(F.col("batch_id") < 2)
+        .select("doc_id", "band_idx", "band_key", "sig")
+    )
+    plan = (
+        ds.incremental_dedup_batch(ds.batch_signatures(batch), hist)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(band_key" not in plan.replace("\n", " ")
+
+
 def test_probe_plan_index_side(spark, tmp_path):
     """100 TB gate: the index side of the probe must not shuffle — the
     (small) batch side is broadcast — and the batch's band keys must be
