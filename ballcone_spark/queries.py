@@ -778,6 +778,8 @@ _sql_query(
       )
     """,
     doc="TPC-H Q17: correlated scalar subquery (per-part average threshold).",
+    driver=False,  # demoted r5: single-row echo of covered shapes; slot
+    # freed for docs_dedup_clusters' recursive-CTE oracle (VERDICT r4 #2)
 )
 
 _sql_query(
@@ -814,6 +816,8 @@ _sql_query(
            AND l.l_quantity BETWEEN 20 AND 30)
     """,
     doc="TPC-H Q19: disjunctive join predicates (OR of brand/size/qty bands).",
+    driver=False,  # demoted r5: single-row echo of covered shapes; slot
+    # freed for docs_leakage_safe_split (VERDICT r4 #3)
 )
 
 _sql_query(
@@ -1023,6 +1027,9 @@ _sql_query(
     """,
     doc="Exact percentiles per group; at extreme scale swap for "
     "approx_percentile (t-digest) as a documented opt-in.",
+    driver=False,  # demoted r5: percentile shape also covered by the
+    # exact-ntile ranking query; slot freed for docs_decontamination
+    # (VERDICT r4 #3)
 )
 
 _sql_query(
