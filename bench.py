@@ -73,6 +73,41 @@ HEADLINE = [
 STEADY_RUNS = 3
 
 
+def duckdb_pass(sf_dir: str, names: list[str]):
+    """Same-round DuckDB timing over the headline queries' oracle SQL
+    (VERDICT r4 #7: the 2.0 s baseline figure dated from round-1
+    measurement while the Spark side was re-measured every round).
+    Mirrors the Spark protocol: one untimed warm run per query (OS page
+    cache + DuckDB's compiled plan), then median of STEADY_RUNS."""
+    try:
+        import duckdb
+    except ImportError:  # keep the bench runnable without the oracle
+        return None, {}
+    from ballcone_spark.queries import QUERIES, TABLES
+
+    specs = {**EXTRA_QUERIES, **QUERIES}
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for name in names:
+        spec = specs.get(name)
+        if spec is None or spec.oracle is None:
+            continue
+        con.execute(spec.oracle).fetchall()
+        runs = []
+        for _ in range(STEADY_RUNS):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(runs), 3)
+    return round(sum(out.values()), 3), out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -105,19 +140,23 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-            }
-        )
-    )
+    duck_total, duck_queries = duckdb_pass(sf_dir, HEADLINE)
+    payload = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+    }
+    if duck_total:
+        # same-round apples-to-apples: DuckDB timed on the oracle SQL of
+        # the SAME headline queries at the SAME sf, this run
+        payload["duckdb_total"] = duck_total
+        payload["duckdb_queries"] = duck_queries
+        payload["bench_vs_baseline"] = round(total / duck_total, 3)
+    print(json.dumps(payload))
     spark.stop()
 
 
