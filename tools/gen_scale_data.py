@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Generate sf1+ `documents` / `embeddings` tables for scale-curve
+measurement (VERDICT r4 #1).
+
+The driver's testdata stops at sf0.1 (5 000 docs / 2 000 vectors) —
+too small to distinguish a linear dedup/ANN operator from a
+superlinear one. This generator extends the SAME seeded shape observed
+in ``/root/testdata`` (measured, see inline constants) to sf1/sf3:
+
+documents (sf0.1 reference: 5 000 rows, 31-word vocab, uniform
+10–100-word docs, 20 sources, ~5% planted near-dup copies carrying a
+``dup dup`` suffix with J ≥ 0.9 vs their base, ~0.16% exact copies,
+background Jaccard ≪ 0.1):
+    doc_id long, text string, lang string, source string, n_chars long
+
+embeddings (sf0.1 reference: 2 000 rows, dim-64 UNIT-NORM vectors,
+10 balanced Gaussian cluster labels):
+    vec_id long, embedding array<float>, label int
+
+Row counts scale linearly from the observed sf0.1 sizes:
+n_docs = 50 000 × sf, n_vecs = 20 000 × sf. Deterministic (numpy
+PCG64, seed 42 ⊕ sf) — re-running overwrites byte-identical files.
+
+Output: ``<repo>/.scale_data/sf<sf>/{documents,embeddings}.parquet``
+(gitignored; ~25 MB at sf1). Usage:
+
+    python tools/gen_scale_data.py 1 3
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+N_SOURCES = 20
+NEAR_DUP_FRAC = 0.05
+EXACT_DUP_FRAC = 0.0016
+DIM = 64
+N_LABELS = 10
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    lengths = rng.integers(10, 101, size=n)
+    texts: list[str] = []
+    for i in range(n):
+        words = [VOCAB[w] for w in rng.integers(0, len(VOCAB), lengths[i])]
+        r = rng.random()
+        if i > 10 and r < EXACT_DUP_FRAC:
+            texts.append(texts[int(rng.integers(0, i))])
+            continue
+        if i > 10 and r < EXACT_DUP_FRAC + NEAR_DUP_FRAC:
+            # near-dup: copy an earlier doc (long enough that the two
+            # appended marker words keep J >= 0.9), maybe flip one word
+            base = texts[int(rng.integers(0, i))].split()
+            while len(base) < 40:
+                base = texts[int(rng.integers(0, i))].split()
+            if rng.random() < 0.5:
+                base[int(rng.integers(0, len(base)))] = VOCAB[
+                    int(rng.integers(0, len(VOCAB)))
+                ]
+            texts.append(" ".join(base + ["dup", "dup"]))
+            continue
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(
+                [f"src{i % N_SOURCES}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    centers = rng.normal(0.0, 1.0, (N_LABELS, DIM))
+    labels = rng.integers(0, N_LABELS, size=n)
+    vecs = centers[labels] + rng.normal(0.0, 0.35, (n, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def generate(sf: float, out_root: str) -> str:
+    out = os.path.join(out_root, f"sf{sf:g}")
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(np.random.PCG64(42 + int(sf * 1000)))
+    n_docs = int(50_000 * sf)
+    n_vecs = int(20_000 * sf)
+    pq.write_table(
+        gen_documents(n_docs, rng), os.path.join(out, "documents.parquet")
+    )
+    pq.write_table(
+        gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet")
+    )
+    print(f"sf{sf:g}: {n_docs} docs, {n_vecs} vectors -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale_data",
+    )
+    for arg in sys.argv[1:] or ["1"]:
+        generate(float(arg), root)
