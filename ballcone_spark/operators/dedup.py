@@ -18,7 +18,10 @@ Scale design:
   candidate *generation*, never the reported Jaccard value. A true
   near-dup pair (J ≥ 0.8) shares ~80% of its shingles; for it to be
   missed, every single shared shingle would have to be corpus-hot —
-  vanishingly unlikely at any sensible ``max_df``.
+  vanishingly unlikely at any sensible ``max_df``. When the corpus
+  *saturates* its shingle space and every shingle IS hot (selectivity
+  collapse — see :func:`adaptive_df_cut`), a pair budget caps the
+  inverted index and MinHash band candidates carry recall instead.
 - **MinHash-LSH** is the linear-scale path: constant-size signature per
   doc (16 hashes), band join on (band_idx, band_key) buckets, candidate
   pairs verified with true Jaccard. Only near-identical docs collide, so
@@ -51,6 +54,8 @@ __all__ = [
     "MINHASH_P",
     "N_HASHES",
     "N_BANDS",
+    "adaptive_df_cut",
+    "band_pairs",
     "bucket_pairs",
     "exact_jaccard_on_pairs",
     "hot_shingles",
@@ -193,6 +198,15 @@ _MAX_DF = 64
 #: at that size it is boilerplate, which exact/MinHash dedup handles.
 _DF_SCALE_DIVISOR = 50
 
+#: candidate-pair budget for the inverted index: the df-cut is lowered
+#: until Σ df·(df−1)/2 over surviving shingles fits. Floor chosen above
+#: the measured sf0.1 total (1.27 M) so the driver-oracled scales keep
+#: the exhaustive inverted index bit-for-bit; the per-doc term keeps the
+#: budget linear in corpus size (the whole point — candidates must not
+#: grow quadratically when the shingle space saturates).
+_PAIR_BUDGET_FLOOR = 2_000_000
+_PAIR_BUDGET_PER_DOC = 64
+
 
 def hot_shingles(e: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
     """Shingles whose document frequency exceeds ``max_df``. Input
@@ -204,6 +218,44 @@ def hot_shingles(e: DataFrame, max_df: int = _MAX_DF) -> DataFrame:
         .where(F.col("df") > max_df)
         .select("s")
     )
+
+
+def adaptive_df_cut(
+    e: DataFrame, corpus_cut: int, pair_budget: int
+) -> tuple[int, bool]:
+    """Largest df-cut ≤ ``corpus_cut`` whose inverted-index candidate
+    pairs (Σ df·(df−1)/2 over shingles with df ≤ cut) fit
+    ``pair_budget``. Returns ``(cut, collapsed)`` where ``collapsed``
+    means the budget bound — i.e. single-shingle selectivity has
+    collapsed and the caller must add a sketch-based candidate source.
+
+    Driven by the df *histogram* — ``groupBy(df).count()`` — which has at
+    most one row per distinct document frequency: a few thousand rows on
+    any corpus (bounded by max df, not corpus size), safe to collect at
+    any scale. Shingles with df = 1 contribute no pairs and are skipped.
+
+    Found the hard way (sf1 scale run): on a corpus whose shingle space
+    SATURATES (synthetic 31-word vocab → ~28 k possible trigrams), every
+    df grows linearly with n_docs while the corpus-scaled cut
+    (n_docs // 50) grows faster than the median df — so the static cut
+    stops cutting anything and candidates grow as n²/|shingle space|
+    (measured: 1.27 M pairs at 5 k docs → 134 M at 50 k docs)."""
+    hist = (
+        e.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") > 1) & (F.col("df") <= corpus_cut))
+        .groupBy("df")
+        .agg(F.count("*").alias("n_shingles"))
+        .orderBy("df")
+        .collect()
+    )
+    cum = 0
+    for row in hist:
+        pairs = row["n_shingles"] * row["df"] * (row["df"] - 1) // 2
+        if cum + pairs > pair_budget:
+            return row["df"] - 1, True
+        cum += pairs
+    return corpus_cut, False
 
 
 def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame, n: int = _NGRAM) -> DataFrame:
@@ -226,7 +278,10 @@ def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame, n: int = _NGRAM) ->
 
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = _NGRAM, max_df: int | None = None
+    docs: DataFrame,
+    n: int = _NGRAM,
+    max_df: int | None = None,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Doc pairs sharing ≥1 *rare* word-``n``-gram, with exact Jaccard
     over full distinct shingle sets. Candidate generation is the
@@ -237,14 +292,40 @@ def jaccard_pairs(
 
     ``max_df=None`` (default) scales the cut with corpus size:
     ``max(64, n_docs // 50)`` — so a near-dup family is only ever at
-    risk of being df-cut away once it exceeds 2% of the corpus (the
-    one count() this costs runs at plan-build time; the registered
-    query is ``cacheable=False`` so the count can never go stale)."""
-    if max_df is None:
-        max_df = max(_MAX_DF, docs.count() // _DF_SCALE_DIVISOR)
+    risk of being df-cut away once it exceeds 2% of the corpus.
+
+    **Selectivity-collapse guard** (``pair_budget``, default
+    ``max(2 M, 64·n_docs)``): when the corpus saturates its shingle
+    space, *every* shingle's df grows with n_docs and the inverted
+    index degenerates to near-all-pairs — Σ df² candidates, quadratic
+    in corpus size (measured 105× pair growth for 10× docs on the
+    synthetic 31-word-vocab corpus). :func:`adaptive_df_cut` lowers the
+    cut until candidates fit the (linear) budget; if that binds, the
+    information for near-dup detection no longer lives in any single
+    shingle, so MinHash band candidates (:func:`band_pairs` — the
+    sketch that samples shingle *conjunctions*) are unioned in. Exact
+    verification makes extra candidates harmless; the only recall cost
+    is a pair whose every shared shingle is above the cut AND that
+    agrees on no band — P(miss) = (1−J⁴)⁴ ≤ 1.4 % per pair at J ≥ 0.9.
+    At the driver-oracled scales (≤ sf0.1: 1.27 M pairs < 2 M floor)
+    the budget never binds and plans/results are bit-identical to the
+    exhaustive inverted index.
+
+    Plan-build cost: one count() plus one df-histogram collect (both
+    corpus scans; the registered query is ``cacheable=False`` so
+    neither can go stale)."""
+    if max_df is None or pair_budget is None:
+        n_docs = docs.count()
+        if max_df is None:
+            max_df = max(_MAX_DF, n_docs // _DF_SCALE_DIVISOR)
+        if pair_budget is None:
+            pair_budget = max(_PAIR_BUDGET_FLOOR, n_docs * _PAIR_BUDGET_PER_DOC)
     e = shingle_rows(docs, n=n)
-    rare = e.join(F.broadcast(hot_shingles(e, max_df)), "s", "left_anti")
+    cut, collapsed = adaptive_df_cut(e, max_df, pair_budget)
+    rare = e.join(F.broadcast(hot_shingles(e, cut)), "s", "left_anti")
     cand = bucket_pairs(rare, ["s"]).distinct()
+    if collapsed:
+        cand = cand.union(band_pairs(minhash_signatures(docs, n=n))).distinct()
     return exact_jaccard_on_pairs(docs, cand, n=n)
 
 
@@ -258,7 +339,7 @@ def jaccard_pairs(
     WHERE shared * 1.0 / (na + nb - shared) >= {_JACCARD_THRESHOLD}
     ORDER BY a_id, b_id
     """,
-    cacheable=False,  # the corpus-scaled df-cut runs a count() at build
+    cacheable=False,  # count() + df-histogram collect at build (adaptive cut)
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 (the corpus
@@ -359,11 +440,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """(a_id, b_id, jaccard) near-dup pairs via MinHash banding + exact
-    verification — the pair source shared by the registered LSH query
-    and the cluster-resolution pipeline."""
-    sig = minhash_signatures(docs)
+def band_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate (a_id, b_id) pairs agreeing on ≥1 LSH band of a MinHash
+    signature frame (``doc_id, sig_0..sig_{K-1}``). One explode to K
+    band rows per doc, then the bucket join — bucket sizes are O(near-dup
+    group), never corpus-sized. Shared by :func:`minhash_lsh_pairs` and
+    :func:`jaccard_pairs`'s selectivity-collapse fallback."""
     rows = N_HASHES // N_BANDS
     bands = F.array(
         *[
@@ -379,7 +461,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    cand = bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
+    return bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id, jaccard) near-dup pairs via MinHash banding + exact
+    verification — the pair source shared by the registered LSH query
+    and the cluster-resolution pipeline."""
+    cand = band_pairs(minhash_signatures(docs))
     # Exact-verify ONLY the candidate pairs (exact_jaccard_on_pairs: two
     # doc_id equi-joins attaching per-row shingle arrays + array_intersect
     # — never a shingle-keyed shuffle). Verifying all shingle-sharing

@@ -455,6 +455,103 @@ def test_jaccard_df_cut_survives_hot_shingle(spark):
     assert got[(100, 101)] >= 0.6
 
 
+def test_adaptive_df_cut_budget(spark):
+    """The budgeted cut picks the largest df whose cumulative pair count
+    fits, and reports collapse only when the budget binds below the
+    corpus cut."""
+    from ballcone_spark.operators.dedup import adaptive_df_cut
+
+    # histogram: df=2 × 3 shingles (3 pairs), df=3 × 2 (6), df=5 × 1 (10)
+    rows = []
+    sid = 0
+    for df_val, n_sh in [(2, 3), (3, 2), (5, 1)]:
+        for _ in range(n_sh):
+            rows += [(d, f"s{sid}") for d in range(df_val)]
+            sid += 1
+    e = spark.createDataFrame(rows, "doc_id int, s string")
+
+    assert adaptive_df_cut(e, 64, 10**6) == (64, False)  # nothing binds
+    assert adaptive_df_cut(e, 64, 19) == (64, False)     # exactly fits (3+6+10)
+    assert adaptive_df_cut(e, 64, 18) == (4, True)       # df=5 row blows it
+    assert adaptive_df_cut(e, 64, 8) == (2, True)        # df=3 row blows it
+    assert adaptive_df_cut(e, 64, 2) == (1, True)        # even df=2 too many
+    assert adaptive_df_cut(e, 4, 18) == (4, False)       # corpus cut already excludes df=5
+    assert adaptive_df_cut(e, 4, 8) == (2, True)
+
+
+def test_jaccard_selectivity_collapse_fallback(spark):
+    """Saturated-shingle-space corpus (5-word vocab → every trigram is
+    corpus-hot): with a tiny pair budget the inverted index is cut to
+    nothing, the MinHash-band fallback engages, and the planted near-dup
+    pair is still reported with its EXACT brute-force Jaccard."""
+    import random
+    from itertools import combinations
+
+    from ballcone_spark.functions.text import shingles_of, tokens
+    from ballcone_spark.operators.dedup import adaptive_df_cut, jaccard_pairs
+    from ballcone_spark.functions.text import shingle_rows
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(15))) for i in range(30)
+    ]
+    base = " ".join(rng.choice(vocab) for _ in range(12))
+    docs.append((100, base))
+    docs.append((101, base + " aa"))  # J = |sh∩| / |sh∪| ≥ 0.8 by construction
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    e = shingle_rows(df, n=3)
+    assert adaptive_df_cut(e, 64, 5)[1] is True  # collapse really engages
+
+    got = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(df, max_df=64, pair_budget=5).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", shingles_of(tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    truth = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            truth[(a, b)] = round(inter / len(sets[a] | sets[b]), 4)
+    assert (100, 101) in got  # planted pair found via bands
+    assert got[(100, 101)] == truth[(100, 101)]  # value stays exact
+    assert got[(100, 101)] >= 0.8
+    # every reported value is the exact brute-force Jaccard (the fallback
+    # changes candidate generation only, never values)
+    for k, v in got.items():
+        assert v == truth[k], k
+
+
+def test_jaccard_budget_not_binding_is_identical(spark):
+    """Below the budget the plan is the exhaustive inverted index —
+    forcing an effectively infinite budget yields the same pairs."""
+    from ballcone_spark.operators.dedup import jaccard_pairs
+
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(10)) + " shared tail here")
+        for i in range(25)
+    ]
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs.append((100, base))
+    docs.append((101, base + " iota"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    a = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(df, max_df=16).collect()
+    }
+    b = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 4)
+        for r in jaccard_pairs(df, max_df=16, pair_budget=10**9).collect()
+    }
+    assert a == b and a  # identical and non-empty
+
+
 def test_overlap_pairs_bin_edges(spark):
     """Bin-bucketed range join is EXACT: overlaps spanning bin borders
     are found (candidate bins cover the whole interval), and
