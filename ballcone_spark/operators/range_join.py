@@ -71,8 +71,15 @@ def sessions_with_bounds(events: DataFrame, max_user: int) -> DataFrame:
     """Gap-based sessions (30-min timeout) with [start, end+30 min]
     active-window bounds: (user_id, session_id, start, end)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap > _GAP_MIN * 60), 1).otherwise(0)
+    # Interval comparison (not epoch-seconds cast): valid for both
+    # TIMESTAMP and TIMESTAMP_NTZ inputs — the driver testdata has
+    # flipped physical timestamp type (ns/LTZ → µs/NTZ) once already,
+    # and CAST(ntz AS BIGINT) is an analysis error in Spark 4.
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts") - prev
+    new_s = F.when(
+        prev.isNull() | (gap > F.expr(f"INTERVAL {_GAP_MIN} MINUTES")), 1
+    ).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -73,10 +73,16 @@ def get_spark(
         # against executor heaps and avoids SMJ shuffles on every
         # fact⋈dim join.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # The testdata parquet stores TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read ns as long (queries.load_table
-        # truncates to micros). Set here once per session, not inside
-        # query builds (global conf mutation mid-build is race-prone).
+        # Timestamp physical-type armor. The driver's testdata has shipped
+        # two different parquet timestamp encodings across rounds:
+        # TIMESTAMP(NANOS) (vectorized reader rejects; this conf reads ns
+        # as long and queries.load_table truncates to micros) and, since
+        # r5, timestamp[us] WITHOUT timezone, which Spark 4 infers as
+        # TIMESTAMP_NTZ. load_table detects per-file; engine expressions
+        # must stay type-agnostic (interval comparisons, never
+        # CAST(ts AS BIGINT) — see tests/test_plans.py NTZ/LTZ gate).
+        # Set here once per session, not inside query builds (global conf
+        # mutation mid-build is race-prone).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
