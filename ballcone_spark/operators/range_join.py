@@ -37,15 +37,30 @@ def overlap_pairs(
     start: str = "start",
     end: str = "end",
     bin_expr: str = "1 hour",
+    long_threshold: str | None = "7 days",
 ) -> DataFrame:
     """Pairs of rows from ``a`` × ``b`` whose [start, end] intervals
     overlap (inclusive). ``on`` = extra equi-keys (may be empty).
 
     ``a`` columns come back prefixed ``a_``, ``b``'s ``b_``.
+
+    Scale contract: the bin explode is O(rows · len/bin) — linear ONLY
+    for bounded-length intervals. A single pathological interval (days
+    at a 1-hour bin) would explode thousands of rows. Rows longer than
+    ``long_threshold`` therefore skip binning entirely and take a
+    broadcast path: long rows are assumed RARE (they are, by
+    construction, the tail of the length distribution — if most rows
+    were ``long_threshold``-sized the caller should raise the threshold
+    and widen ``bin_expr`` to match), so broadcasting them against the
+    other side is O(|long| · |other|) with a tiny first factor, exact,
+    and shuffle-free. Pass ``long_threshold=None`` to disable the guard
+    when interval length is structurally bounded.
     """
 
+    def pfx_cols(df: DataFrame, pfx: str) -> list:
+        return [F.col(c).alias(f"{pfx}{c}") for c in df.columns]
+
     def binned(df: DataFrame, pfx: str) -> DataFrame:
-        cols = [F.col(c).alias(f"{pfx}{c}") for c in df.columns]
         bins = F.explode(
             F.sequence(
                 F.date_trunc("hour", F.col(start)),
@@ -53,15 +68,50 @@ def overlap_pairs(
                 F.expr(f"interval {bin_expr}"),
             )
         ).alias("_bin")
-        return df.select(*cols, *[F.col(c).alias(c) for c in on], bins)
+        return df.select(*pfx_cols(df, pfx), *[F.col(c).alias(c) for c in on], bins)
 
-    left = binned(a, "a_")
-    right = binned(b, "b_")
-    cand = left.join(right, on=[*on, "_bin"]).drop("_bin").distinct()
-    return cand.where(
-        (F.col(f"a_{start}") <= F.col(f"b_{end}"))
-        & (F.col(f"b_{start}") <= F.col(f"a_{end}"))
+    exact = (F.col(f"a_{start}") <= F.col(f"b_{end}")) & (
+        F.col(f"b_{start}") <= F.col(f"a_{end}")
     )
+
+    if long_threshold is None:
+        a_short, b_short = a, b
+        long_parts = []
+    else:
+        # Interval comparison: legal on TIMESTAMP and TIMESTAMP_NTZ both.
+        is_long = (F.col(end) - F.col(start)) > F.expr(
+            f"INTERVAL {long_threshold}"
+        )
+        a_short, a_long = a.where(~is_long), a.where(is_long)
+        b_short, b_long = b.where(~is_long), b.where(is_long)
+        eq = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in on]
+        cond = exact
+        for e in eq:
+            cond = cond & e
+        on_cols = [F.col(f"a_{c}").alias(c) for c in on]
+
+        def long_join(left: DataFrame, right_long: DataFrame, right_is_b: bool):
+            lp, rp = ("a_", "b_") if right_is_b else ("b_", "a_")
+            j = left.select(pfx_cols(left, lp)).join(
+                F.broadcast(right_long.select(pfx_cols(right_long, rp))), cond
+            )
+            return j.select(*on_cols, "*")
+
+        # Exact 3-way partition of the pair space: (short×short) binned,
+        # (long_a × all b) and (short_a × long_b) broadcast — no pair is
+        # produced twice across branches.
+        long_parts = [
+            long_join(b, a_long, right_is_b=False),
+            long_join(a_short, b_long, right_is_b=True),
+        ]
+
+    left = binned(a_short, "a_")
+    right = binned(b_short, "b_")
+    cand = left.join(right, on=[*on, "_bin"]).drop("_bin").distinct()
+    out = cand.where(exact)
+    for part in long_parts:
+        out = out.unionByName(part)
+    return out
 
 
 _GAP_MIN = 30

@@ -156,10 +156,18 @@ def test_decile_has_no_global_window(spark):
 
 
 def test_range_join_is_equi_join_not_nlj(spark):
-    """The bin-bucketed overlap join must plan as an equi-join on the bin
-    key (hash-partitionable), never BroadcastNestedLoopJoin."""
+    """The bulk (short×short) overlap path must plan as an equi-join on
+    the bin key (hash-partitionable). BroadcastNestedLoopJoin may appear
+    ONLY on the two rare-long-row guard branches (intervals over the
+    7-day threshold are broadcast instead of bin-exploded) — never as
+    the main candidate join."""
     df = entry_mod.queries()["events_session_overlaps"](spark, SF)
-    assert "BroadcastNestedLoopJoin" not in plan_str(df)
+    p = plan_str(df)
+    # bin equi-join present: the candidate join carries the _bin key
+    assert "_bin" in p
+    # at most the two long-row guard branches plan as BNLJ, and each
+    # must broadcast a long-filtered side (tiny by contract)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_registered_bucketed_join_is_exchange_free(spark):
@@ -263,6 +271,40 @@ def test_ensure_bucketed_reregisters_without_rewrite(spark):
     p = plan_str(joined)
     assert "SortMergeJoin" in p
     assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_ensure_bucketed_rewrites_on_source_change(spark, tmp_path):
+    """r5 lesson: the driver regenerated the testdata under a persisted
+    warehouse. Re-registering buckets written from a previous source
+    generation would silently serve stale rows — a changed source
+    (size/mtime fingerprint) must force a rewrite."""
+    import os
+    import shutil
+    import time
+
+    from ballcone_spark.plans.bucketing import ensure_bucketed
+
+    sf = str(tmp_path / "sfx")
+    os.makedirs(sf)
+    shutil.copy(
+        "/root/testdata/sf0.001/orders.parquet", os.path.join(sf, "orders.parquet")
+    )
+    name = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    loc = [r for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+           if r["col_name"] == "Location"][0]["data_type"]
+    path = loc.replace("file:", "")
+    before = {f: os.path.getmtime(os.path.join(path, f))
+              for f in os.listdir(path) if f.endswith(".parquet")}
+    spark.sql(f"DROP TABLE {name}")
+    # simulate driver regeneration: same path, new mtime
+    now = time.time_ns()
+    os.utime(os.path.join(sf, "orders.parquet"), ns=(now, now))
+    name2 = ensure_bucketed(spark, sf, "orders", ["o_orderkey"], 4)
+    assert name2 == name
+    after = {f: os.path.getmtime(os.path.join(path, f))
+             for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after != before  # rewritten from the new generation
+    spark.sql(f"DROP TABLE {name}")
 
 
 def test_ensure_bucketed_rejects_partial_commit(spark):
