@@ -38,6 +38,7 @@ import hashlib
 from collections.abc import Iterator
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -167,43 +168,76 @@ def _parse_png(payload: bytes) -> tuple[int, int, bytes]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("truncated PNG pixel data")
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    pos = 0
-    for y in range(height):
-        ft = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos : pos + stride])
-        pos += stride
-        if ft == 1:  # Sub
-            for k in range(ch, stride):
-                line[k] = (line[k] + line[k - ch]) & 0xFF
-        elif ft == 2:  # Up
-            for k in range(stride):
-                line[k] = (line[k] + prev[k]) & 0xFF
-        elif ft == 3:  # Average
-            for k in range(stride):
-                a = line[k - ch] if k >= ch else 0
-                line[k] = (line[k] + ((a + prev[k]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for k in range(stride):
-                a = line[k - ch] if k >= ch else 0
-                b = prev[k]
-                c = prev[k - ch] if k >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[k] = (line[k] + pred) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
+    # Unfilter, numpy-vectorized (VERDICT r5 #6; integer ops only, so
+    # the result is bit-identical to the byte-loop reference this
+    # replaced). None/Sub/Up are one whole-line numpy op each (Sub is a
+    # modular cumsum along the pixel axis — uint8 accumulation wraps
+    # mod 256, exactly PNG's arithmetic). Average/Paeth carry a true
+    # per-pixel recurrence — but only on (y, x-1), (y-1, x), (y-1, x-1),
+    # so maximal RUNS of consecutive Average/Paeth rows vectorize along
+    # anti-diagonals (x + y = const): every cell on a diagonal depends
+    # only on earlier diagonals, and channels are independent, giving
+    # O(run_height + width) numpy steps instead of O(rows · stride)
+    # Python-loop iterations.
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    fts = rows[:, 0].tolist()
+    data = rows[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    zero_prev = np.zeros(stride, dtype=np.uint8)
+    if not all(0 <= ft <= 4 for ft in fts):
+        bad = next(ft for ft in fts if not 0 <= ft <= 4)
+        raise ValueError(f"unknown PNG filter type {bad}")
+
+    def wavefront(y0: int, y1: int) -> None:
+        """Unfilter rows y0..y1 (all filter type 3 or 4) diagonal-wise."""
+        run = y1 - y0 + 1
+        prev = out[y0 - 1] if y0 else zero_prev
+        cur = data[y0 : y1 + 1].reshape(run, width, ch)
+        # res is 1-padded on top (the already-reconstructed prev row)
+        # and on the left (zeros: PNG defines a = c = 0 at x = 0)
+        res = np.zeros((run + 1, width + 1, ch), dtype=np.uint8)
+        res[0, 1:] = prev.reshape(width, ch)
+        is_paeth = np.array([fts[y] == 4 for y in range(y0, y1 + 1)])
+        for d in range(2, run + width + 1):
+            ys = np.arange(max(1, d - width), min(run, d - 1) + 1)
+            xs = d - ys
+            a = res[ys, xs - 1].astype(np.int16)
+            b = res[ys - 1, xs].astype(np.int16)
+            c = res[ys - 1, xs - 1].astype(np.int16)
+            pa = np.abs(b - c)
+            pb = np.abs(a - c)
+            pc = np.abs(a + b - 2 * c)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            avg = (a + b) >> 1
+            pred = np.where(is_paeth[ys - 1, None], paeth, avg)
+            res[ys, xs] = (cur[ys - 1, xs - 1] + pred).astype(np.uint8)
+        out[y0 : y1 + 1] = res[1:, 1:].reshape(run, stride)
+
+    y = 0
+    while y < height:
+        ft = fts[y]
+        if ft in (3, 4):
+            y1 = y
+            while y1 + 1 < height and fts[y1 + 1] in (3, 4):
+                y1 += 1
+            wavefront(y, y1)
+            y = y1 + 1
+            continue
+        line = data[y]
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:  # Sub: recon[k] = line[k] + recon[k-ch]
+            out[y] = np.cumsum(
+                line.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        else:  # Up
+            out[y] = line + (out[y - 1] if y else zero_prev)  # mod-256
+        y += 1
     if ch == 4:
-        rgb = bytearray(3 * width * height)
-        for px in range(width * height):
-            rgb[3 * px : 3 * px + 3] = out[4 * px : 4 * px + 3]
-        return width, height, bytes(rgb)
-    return width, height, bytes(out)
+        return width, height, out.reshape(height, width, 4)[:, :, :3].tobytes()
+    return width, height, out.tobytes()
 
 
 def _rgb_features(width: int, height: int, rgb: bytes) -> list[float]:
@@ -212,21 +246,20 @@ def _rgb_features(width: int, height: int, rgb: bytes) -> list[float]:
     aspect ratio — all in [0, 1] except aspect. One definition means a
     PNG and a PPM of the same pixels produce bit-identical features."""
     n = width * height
-    rs, gs, bs = rgb[0::3], rgb[1::3], rgb[2::3]
-    luma = [
-        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-        for r, g, b in zip(rs, gs, bs)
-    ]
-    mean_l = sum(luma) / n
-    var_l = sum((x - mean_l) ** 2 for x in luma) / n
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(n, 3).astype(np.float64)
+    mean_rgb = px.mean(axis=0) / 255.0
+    luma = (
+        px[:, 0] * 0.299 + px[:, 1] * 0.587 + px[:, 2] * 0.114
+    ) / 255.0
+    mean_l = float(luma.mean())
     return [
-        sum(rs) / n / 255.0,
-        sum(gs) / n / 255.0,
-        sum(bs) / n / 255.0,
+        float(mean_rgb[0]),
+        float(mean_rgb[1]),
+        float(mean_rgb[2]),
         mean_l,
-        min(luma),
-        max(luma),
-        var_l ** 0.5,
+        float(luma.min()),
+        float(luma.max()),
+        float(np.sqrt(np.mean((luma - mean_l) ** 2))),
         width / height,
     ]
 
