@@ -71,6 +71,8 @@ def ensure_bucketed(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     path = os.path.join(repo_root, "spark-warehouse", name)
+    fp_file = os.path.join(path, "_SOURCE_FP")
+    fp = _source_fingerprint(sf_dir, table)
     if os.path.isdir(path) and not os.path.exists(
         os.path.join(path, "_SUCCESS")
     ):
@@ -80,6 +82,21 @@ def ensure_bucketed(
         import shutil
 
         shutil.rmtree(path)
+    if os.path.isdir(path):
+        # Stale-source guard (r5 lesson: the driver regenerated the
+        # testdata under a persisted warehouse — re-registering buckets
+        # written from a PREVIOUS generation would silently serve stale
+        # rows). The fingerprint (source size + mtime) recorded at
+        # bucketize time must match the current source; a missing or
+        # mismatched marker means rewrite, never inherit.
+        stale = True
+        if os.path.exists(fp_file):
+            with open(fp_file) as f:
+                stale = f.read().strip() != fp
+        if stale:
+            import shutil
+
+            shutil.rmtree(path)
     if os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     ):
@@ -88,8 +105,8 @@ def ensure_bucketed(
         # Re-register an external bucketed table over the existing files
         # (bucket ids live in the part-file names, so the spec must match
         # what bucketize wrote: same keys, same count). Saves the ~6 s
-        # rewrite per fresh session; stale-data risk is the same
-        # immutable-testdata contract the parquet sources already carry.
+        # rewrite per fresh session; the fingerprint check above pins the
+        # files to the exact source generation they were written from.
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in load_table(spark, sf_dir, table).schema.fields
@@ -102,4 +119,14 @@ def ensure_bucketed(
         )
         return name
     bucketize(load_table(spark, sf_dir, table), name, keys, n_buckets, path=path)
+    with open(fp_file, "w") as f:
+        f.write(fp)
     return name
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Identity of the source parquet a bucketed copy was written from:
+    byte size + mtime_ns. Regenerated testdata always changes mtime;
+    size alone would miss same-sized regenerations."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
