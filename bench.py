@@ -149,6 +149,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        # Ambient-load witness (r5 adjudication, BASELINE.md §7): the
+        # r5 bench read 1.6× slower round-over-round with untouched hot
+        # paths — box load, not code. Recording the 1/5/15-min load
+        # averages at measurement time makes the next drift
+        # self-adjudicating.
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     if duck_total:
         # same-round apples-to-apples: DuckDB timed on the oracle SQL of
@@ -156,6 +162,15 @@ def main() -> None:
         payload["duckdb_total"] = duck_total
         payload["duckdb_queries"] = duck_queries
         payload["bench_vs_baseline"] = round(total / duck_total, 3)
+        # The all-queries ratio is flattered by the dedup oracles, which
+        # are deliberately O(n²)-shaped correctness definitions, not
+        # DuckDB's scale path (ADVICE r5). Emit the ex-dedup ratio too,
+        # so round-over-round footers stay commensurable.
+        ex = [q for q in HEADLINE if not q.startswith("dedup_")]
+        spark_ex = sum(timings[q] for q in ex)
+        duck_ex = sum(duck_queries[q] for q in ex if q in duck_queries)
+        if duck_ex:
+            payload["bench_vs_baseline_ex_dedup"] = round(spark_ex / duck_ex, 3)
     print(json.dumps(payload))
     spark.stop()
 
