@@ -101,19 +101,60 @@ def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+N_EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
+
+
+def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
+    """Same shape as the driver's events table (observed at sf0.1:
+    100 k rows over 2024-01-01..01-30, 1 500 users, 5 event types,
+    uniform double value, tiny JSON props; ts stored timestamp[us]
+    WITHOUT timezone — the driver's current physical encoding)."""
+    start = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = start + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    ts = np.sort(ts)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n), pa.int64()
+            ),
+            "event_type": pa.array(
+                [N_EVENT_TYPES[i] for i in rng.integers(0, 5, size=n)],
+                pa.string(),
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 150, size=n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {k}}}' for k in rng.integers(0, 100, size=n)],
+                pa.string(),
+            ),
+        }
+    )
+
+
 def generate(sf: float, out_root: str) -> str:
     out = os.path.join(out_root, f"sf{sf:g}")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(np.random.PCG64(42 + int(sf * 1000)))
     n_docs = int(50_000 * sf)
     n_vecs = int(20_000 * sf)
+    n_events = int(1_000_000 * sf)
     pq.write_table(
         gen_documents(n_docs, rng), os.path.join(out, "documents.parquet")
     )
     pq.write_table(
         gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet")
     )
-    print(f"sf{sf:g}: {n_docs} docs, {n_vecs} vectors -> {out}")
+    pq.write_table(
+        gen_events(n_events, int(15_000 * sf), rng),
+        os.path.join(out, "events.parquet"),
+    )
+    print(
+        f"sf{sf:g}: {n_docs} docs, {n_vecs} vectors, {n_events} events -> {out}"
+    )
     return out
 
 
