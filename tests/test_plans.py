@@ -170,6 +170,19 @@ def test_range_join_is_equi_join_not_nlj(spark):
     assert p.count("BroadcastNestedLoopJoin") <= 2
 
 
+def test_sampling_windows_use_group_limit(spark):
+    """Both dataset-mixing samplers must plan their rank windows with
+    WindowGroupLimit (limit pushed below the shuffle): the quota
+    sample's top-N, and the token-budget sample's lossless
+    rank<=budget pre-prune that bounds the exact cumsum window at
+    `budget` rows per source however large the hot source is."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    for name in ("docs_source_quota_sample", "docs_token_budget_mix"):
+        df = EXTRA_QUERIES[name].fn(spark, SF)
+        assert "WindowGroupLimit" in plan_str(df), name
+
+
 def test_registered_bucketed_join_is_exchange_free(spark):
     """The REGISTERED bucketed fact⋈fact query (not just the raw
     bucketize helper): SortMergeJoin over co-located sorted buckets,
