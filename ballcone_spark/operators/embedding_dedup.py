@@ -80,32 +80,78 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_bucket_col(vec, probe: int):
+_TARGET_OCCUPANCY = 8
+
+
+def _adaptive_n_planes(n_rows: int) -> int:
+    """Corpus-adaptive hyperplane count (round-6 scale fix, same class
+    as the jaccard adaptive df-cut): a FIXED plane count means a fixed
+    bucket space (2^planes per probe), so expected bucket occupancy —
+    and with it candidate pairs — grows as O(n²/2^planes): quadratic in
+    density. Found by measuring `dedup_embedding_cosine` at sf1/sf3
+    (20 k vecs → ~56 M candidates at 8 planes, a 50-minute verify).
+    Growing planes with log2(n/target) pins occupancy ≈
+    _TARGET_OCCUPANCY, making candidate volume ≈
+    n · (planes+2) · occupancy · probes — linear in n with a small
+    constant (occupancy is single-digit because the multi-probe key fan
+    (planes+2 keys/row) and 4 probe tables multiply it). Floor
+    _N_PLANES keeps every corpus the driver oracle-checks (≤2 k vectors
+    at sf≤0.1) on the EXACT plane set the static oracle SQL replicates;
+    cap 30 keeps bucket ids in a 32-bit int. Cost of more planes is a
+    per-probe recall drop (sign-LSH bit-agreement p^planes — ≈0.92
+    across the 4 Hamming-1 probes at 12 planes for 0.9-cosine pairs) —
+    at extreme scale raise _N_PROBES / the Hamming radius alongside,
+    the standard bands-vs-rows trade (documented, not auto-tuned)."""
+    import math
+
+    if n_rows <= 0:
+        return _N_PLANES
+    return min(30, max(_N_PLANES, math.ceil(math.log2(max(1.0, n_rows / _TARGET_OCCUPANCY)))))
+
+
+def _planes_for(probe: int, n_planes: int) -> list[list[float]]:
+    """First ``n_planes`` hyperplanes of a probe table — the md5-derived
+    sequence extends PROBE_PLANES deterministically for any count."""
+    if n_planes <= _N_PLANES:
+        return PROBE_PLANES[probe][:n_planes]
+    return PROBE_PLANES[probe] + [
+        [_plane_weight_py(probe, p, d) for d in range(_DIM)]
+        for p in range(_N_PLANES, n_planes)
+    ]
+
+
+def _probe_bucket_col(vec, probe: int, n_planes: int = _N_PLANES):
     """Sign-bit bucket id of ``vec`` in probe table ``probe``."""
     bits = [
         F.when(
-            _dot(vec, F.array(*[F.lit(w) for w in PROBE_PLANES[probe][p]])) >= 0,
+            _dot(vec, F.array(*[F.lit(w) for w in _planes_for(probe, n_planes)[p]]))
+            >= 0,
             F.lit(1 << p),
         ).otherwise(F.lit(0))
-        for p in range(_N_PLANES)
+        for p in range(n_planes)
     ]
     return reduce(lambda a, b: a + b, bits)
 
 
-def _signatures(emb: DataFrame) -> DataFrame:
+def _signatures(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
     """(vec_id, probe, bucket) — one scan, buckets for all probe tables
     via posexplode (pure per-row map, zero shuffle)."""
     return emb.select(
         "vec_id",
         F.posexplode(
             F.array(
-                *[_probe_bucket_col(F.col("embedding"), t) for t in range(_N_PROBES)]
+                *[
+                    _probe_bucket_col(F.col("embedding"), t, n_planes)
+                    for t in range(_N_PROBES)
+                ]
             )
         ).alias("probe", "bucket"),
     )
 
 
-def embedding_candidate_pairs(emb: DataFrame, hamming: int = 1) -> DataFrame:
+def embedding_candidate_pairs(
+    emb: DataFrame, hamming: int = 1, n_planes: int | None = None
+) -> DataFrame:
     """Unordered candidate pairs (a_id, b_id) whose bucket signatures
     differ by ≤ ``hamming`` bits in at least one probe table.
 
@@ -113,8 +159,13 @@ def embedding_candidate_pairs(emb: DataFrame, hamming: int = 1) -> DataFrame:
     one-bit flips (Hamming-1 multi-probe), the other keeps the exact
     bucket; an equi-join on (probe, bucket) then catches exactly the
     Hamming-≤1 collisions. Everything is an equi-join on a bounded key
-    space — no all-pairs path at any corpus size."""
-    sigs = _signatures(emb)
+    space — no all-pairs path at any corpus size, and with the default
+    adaptive ``n_planes`` (one count() at build) the key space grows
+    with the corpus so bucket occupancy — hence candidate volume per
+    row — stays bounded (see _adaptive_n_planes)."""
+    if n_planes is None:
+        n_planes = _adaptive_n_planes(emb.count())
+    sigs = _signatures(emb, n_planes)
     if hamming == 0:
         keys = sigs.select("vec_id", "probe", F.col("bucket").alias("key"))
     else:
@@ -126,7 +177,7 @@ def embedding_candidate_pairs(emb: DataFrame, hamming: int = 1) -> DataFrame:
                     F.col("bucket"),
                     *[
                         F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                        for p in range(_N_PLANES)
+                        for p in range(n_planes)
                     ],
                 )
             ).alias("key"),
@@ -159,14 +210,21 @@ def _verified_pairs(emb: DataFrame, cand: DataFrame, threshold: float) -> DataFr
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = _COS_THRESHOLD
+    emb: DataFrame,
+    threshold: float = _COS_THRESHOLD,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, cos) for cosine ≥ threshold via Hamming-1 multi-probe
     LSH candidates + exact verification on candidates only. At the 0.9
     near-dup threshold a pair collides in ≥1 of the 4 probe tables with
-    p ≈ 0.99 (vs 0.75 for exact-bucket probing — the r2 configuration)."""
+    p ≈ 0.99 (vs 0.75 for exact-bucket probing — the r2 configuration)
+    at the 8-plane floor; ``n_planes=None`` adapts the plane count to
+    the corpus so candidate volume stays linear (see
+    _adaptive_n_planes for the recall trade at extreme scale)."""
     return (
-        _verified_pairs(emb, embedding_candidate_pairs(emb), threshold)
+        _verified_pairs(
+            emb, embedding_candidate_pairs(emb, n_planes=n_planes), threshold
+        )
         .select("a_id", "b_id", F.round("cos", 4).alias("cos"))
         .orderBy("a_id", "b_id")
     )
@@ -185,12 +243,20 @@ def embedding_near_dup_pairs(
     """,
     driver=False,  # vacuous at sf0.01 (no pairs ≥0.9 exist); the driver-
     # checked quality gate is dedup_embedding_cosine_recall below
+    cacheable=False,  # adaptive n_planes runs a count() at plan build
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cos ≥ 0.9): the production API. The
-    testdata plants no pairs this similar, so the driver gate is the
-    recall query; the planted-dup unit test (tests/test_operators.py)
-    pins recall on synthetic near-identical vectors."""
+    """Embedding near-dup pairs (cos ≥ 0.9): the production API, with
+    the corpus-adaptive plane count. The static oracle SQL replicates
+    the 8-plane floor exactly, which the adaptive count equals for every
+    corpus ≤ 2^8·8 = 2 048 vectors — covering all oracle-checked SFs
+    (200 at sf0.01, 2 000 at sf0.1); above that
+    the plane set grows (log2) and the oracle's fixed replica is a
+    recall-differing approximation of the same exact-verified semantics
+    (same validity-domain class as the jaccard df-cut budget). The
+    testdata plants no pairs ≥0.9, so the driver gate is the recall
+    query; the planted-dup unit test (tests/test_operators.py) pins
+    recall on synthetic near-identical vectors."""
     return embedding_near_dup_pairs(_emb(spark, sf_dir))
 
 
@@ -251,10 +317,15 @@ def dedup_embedding_cosine_recall(spark, sf_dir):
     is the measurement harness (the same bounded role
     knn_bruteforce plays for ANN), not a production path; the probe
     planes are literals shared with the oracle, so the bucketing is
-    bit-reproducible in DuckDB and the single result row hash-matches."""
+    bit-reproducible in DuckDB and the single result row hash-matches.
+    The plane count is PINNED at the 8-plane floor (not adaptive) so
+    the static oracle stays exact at every SF — the gate's cost at
+    scale is its all-pairs truth side anyway."""
     emb = _emb(spark, sf_dir)
     found = _verified_pairs(
-        emb, embedding_candidate_pairs(emb), _RECALL_THRESHOLD
+        emb,
+        embedding_candidate_pairs(emb, n_planes=_N_PLANES),
+        _RECALL_THRESHOLD,
     )
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))

@@ -84,10 +84,24 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+#: Cluster-signal scale, calibrated against the driver's sf0.1 corpus
+#: (measured 2026-08-14: mean cos-to-centroid ≈ 0.07, within-cluster
+#: pair cos mean ≈ 0.0 / max ≈ 0.51, overall max pair 0.60, frac ≥0.45
+#: = 7e-5): the real embeddings are NOISE-dominated — near-uniform on
+#: the sphere with a whisper of label signal — not center-dominated.
+#: cos-to-centroid ≈ a/sqrt(a² + DIM) → a ≈ 0.56 for 0.07. The previous
+#: center-dominated replica (unit-variance centers + 0.35 noise) made
+#: 2.7% of ALL pairs ≥ 0.9-cosine at sf1 — an output-quadratic corpus
+#: the real data never was, which made every near-dup measurement on it
+#: a stress test rather than a replica.
+CENTER_SCALE = 0.56
+
+
 def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
     centers = rng.normal(0.0, 1.0, (N_LABELS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, N_LABELS, size=n)
-    vecs = centers[labels] + rng.normal(0.0, 0.35, (n, DIM))
+    vecs = CENTER_SCALE * centers[labels] + rng.normal(0.0, 1.0, (n, DIM))
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     return pa.table(
         {
