@@ -1,0 +1,208 @@
+"""Sequence packing — the concat-and-chunk step a training pipeline
+runs after mixing and before tokenized shards are written: lay every
+document end-to-end in one deterministic global order and cut the
+stream into fixed-length blocks (GPT-style packing; beyond-reference,
+the reference has no corpus operators — its closest surface is the
+ordered scan at reference ballcone/dao.py:236-249).
+
+The crux is the **global running token offset**: a naive
+``sum() OVER (ORDER BY h)`` window has an empty partition spec, so
+Spark plans a SinglePartition exchange and sorts the ENTIRE corpus on
+one task — the textbook 100 TB scale-killer. This module computes the
+identical prefix sum distributed, in two phases:
+
+1. bucket every doc by the first two hex chars of its order hash —
+   256 buckets whose lexicographic order refines the global hash order
+   (ordering by ``(bucket, h)`` IS ordering by ``h``);
+2. an inclusive cumsum windowed **per bucket** (256-way parallel, each
+   window sorts ~n/256 rows);
+3. bucket token totals — 256 rows — get their own exclusive prefix sum
+   (the only single-partition window, bounded at 256 rows forever) and
+   broadcast-join back as per-bucket offsets.
+
+``global_offset = bucket_offset + inner_cum − n_tokens`` then equals
+the naive global window's exclusive prefix sum exactly — the DuckDB
+oracle computes it the naive way and the hash-match proves the
+decomposition. No shuffle grows with corpus size except the one
+hash-partition on bucket that the per-bucket windows need anyway.
+
+Block assignment is pure per-row arithmetic on the offset:
+``start_block = offset div L``, ``end_block = (offset+n_tokens−1) div
+L`` — a doc spans >1 block iff the chunk boundary cuts it. Block
+occupancy stats explode each doc over its (bounded: ≤ n_tokens/L + 1)
+covered blocks — linear, never quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ballcone_spark.queries import _query, load_table
+
+__all__ = ["pack_sequences", "pack_block_stats"]
+
+_SALT = "pack-v1-"
+
+
+def _order_hash(doc_id: Column) -> Column:
+    """Deterministic global packing order — a seeded md5 permutation
+    both engines compute identically (same rationale as
+    operators/sampling.py:_mix_hash: no rand(), whose per-partition
+    streams change with the physical plan)."""
+    return F.md5(F.concat(F.lit(_SALT), doc_id.cast("string")))
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int, text_col: str = "text"
+) -> DataFrame:
+    """Per-doc packing map: (doc_id, n_tokens, offset, start_block,
+    end_block) where ``offset`` is the doc's exclusive global token
+    prefix sum in md5 order and blocks are ``seq_len``-token chunks of
+    the concatenated stream. Whitespace token counting — the rule both
+    engines split identically."""
+    h = _order_hash(F.col("doc_id"))
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        F.substring(h, 1, 2).alias("_bucket"),
+    )
+    # Phase 1+2: per-bucket inclusive cumsum. Ordering by (_bucket, _h)
+    # refines ordering by _h, so per-bucket prefix sums + bucket offsets
+    # recompose the global prefix sum exactly.
+    inner_w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inner = base.withColumn("_cum", F.sum("n_tokens").over(inner_w))
+    # Phase 3: exclusive prefix over the ≤256 bucket totals. This IS a
+    # single-partition window — over a row count bounded by the hex
+    # alphabet, not the corpus — then broadcast back.
+    totals_w = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_btotal"))
+        .withColumn(
+            "_boffset",
+            F.sum("_btotal").over(totals_w) - F.col("_btotal"),
+        )
+        .drop("_btotal")
+    )
+    packed = inner.join(F.broadcast(offsets), "_bucket").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_boffset") + F.col("_cum") - F.col("n_tokens")).alias("offset"),
+    )
+    lit_l = F.lit(int(seq_len))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / lit_l).alias("start_block"),
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / lit_l).alias(
+            "end_block"
+        ),
+    )
+
+
+def pack_block_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Block occupancy from a ``pack_sequences`` map: per block_id the
+    number of docs contributing and the tokens they contribute
+    (== seq_len for every block but the last — packing wastes nothing).
+    The explode is bounded at n_tokens/seq_len + 1 rows per doc."""
+    lit_l = F.lit(int(seq_len))
+    blocks = packed.select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence("start_block", "end_block")).alias("block_id"),
+    )
+    contrib = F.least(
+        (F.col("block_id") + 1) * lit_l, F.col("offset") + F.col("n_tokens")
+    ) - F.greatest(F.col("block_id") * lit_l, F.col("offset"))
+    return (
+        blocks.groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+        )
+        .orderBy("block_id")
+    )
+
+
+_SEQ_LEN = 512
+
+_PACK_CTE = f"""
+counted AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(concat('{_SALT}', CAST(doc_id AS VARCHAR))) AS h
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS "offset"
+    FROM counted
+)
+"""
+
+
+@_query(
+    "docs_pack_sequences",
+    f"""
+    WITH {_PACK_CTE}
+    SELECT doc_id, n_tokens, "offset",
+           CAST(floor("offset" / {_SEQ_LEN}) AS BIGINT) AS start_block,
+           CAST(floor(("offset" + n_tokens - 1) / {_SEQ_LEN}) AS BIGINT)
+               AS end_block
+    FROM packed
+    ORDER BY doc_id
+    """,
+    driver=False,  # registry capped at 50; oracle-checked locally
+)
+def docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing map at 512 tokens/block. The oracle is
+    the naive global window (fine at oracle scale); the Spark path is
+    the two-phase bucketed prefix sum — the hash-match is the proof the
+    decomposition reproduces the global cumsum row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, _SEQ_LEN).orderBy("doc_id")
+
+
+@_query(
+    "docs_pack_block_stats",
+    f"""
+    WITH {_PACK_CTE},
+    spans AS (
+        SELECT doc_id, "offset", n_tokens,
+               unnest(generate_series(
+                   CAST(floor("offset" / {_SEQ_LEN}) AS BIGINT),
+                   CAST(floor(("offset" + n_tokens - 1) / {_SEQ_LEN})
+                        AS BIGINT)
+               )) AS block_id
+        FROM packed
+    )
+    SELECT block_id, count(*) AS n_docs,
+           sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
+               - greatest(block_id * {_SEQ_LEN}, "offset")) AS n_tokens
+    FROM spans
+    GROUP BY block_id
+    ORDER BY block_id
+    """,
+    driver=False,
+)
+def docs_pack_block_stats(spark, sf_dir):
+    """Block occupancy of the 512-token packing: every block's doc
+    count and token fill (== 512 except the final partial block —
+    checked row-for-row against the oracle's unnest/generate_series
+    replay of the same spans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_block_stats(pack_sequences(docs, _SEQ_LEN), _SEQ_LEN)

@@ -147,3 +147,113 @@ def docs_token_budget_mix(spark, sf_dir):
     proof establishes, and the hash-match is the check."""
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_sample(docs, _BUDGET).orderBy("source", "doc_id")
+
+
+# ------------------------------------------------------------------ #
+# Temperature-based source resampling (mixing step 3)                #
+# ------------------------------------------------------------------ #
+
+#: fixed-point scale for the temperature weights — see
+#: temperature_sample's determinism note.
+_W_SCALE = 1_000_000
+
+
+def temperature_sample(docs: DataFrame, total: int) -> DataFrame:
+    """Temperature-weighted source mix at α = 0.5 (the up-weight-the-
+    tail rule the multilingual/multi-source training literature uses:
+    sample source s with probability ∝ count_s^α instead of raw
+    proportions): per-source targets n_s = ⌊total · w_s⌋ (≥ 1, ≤ the
+    source's size), filled deterministically in hash order.
+
+    Determinism across engines is the subtle part: w_s = √c_s / Σ√c_s
+    summed as doubles is ORDER-DEPENDENT (floating addition isn't
+    associative, and neither engine guarantees an aggregation order),
+    so a doc on the ⌊·⌋ boundary could flip between Spark and the
+    oracle. The weights are therefore fixed-point: numerator
+    ⌊√c_s · 1e6⌋ as BIGINT (IEEE sqrt and one multiply are exactly
+    rounded — bit-identical everywhere), denominator an INTEGER sum
+    (exact, order-independent), and the target one correctly-rounded
+    double division of exact integers. Every step is reproducible
+    bit-for-bit on any engine and any cluster size.
+
+    Scale: one tiny aggregation (rows = n_sources), broadcast back;
+    the per-source fill is the same WindowGroupLimit-eligible
+    rank window as ``source_quota_sample``.
+    """
+    num = F.floor(F.sqrt(F.col("c").cast("double")) * _W_SCALE).cast("long")
+    weights = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .withColumn("_num", num)
+    )
+    denom = weights.agg(F.sum("_num").alias("_denom"))
+    targets = weights.crossJoin(F.broadcast(denom)).select(
+        "source",
+        F.least(
+            F.col("c"),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    (F.lit(int(total)) * F.col("_num")) / F.col("_denom")
+                ),
+            ),
+        ).alias("_target"),
+    )
+    w = Window.partitionBy("source").orderBy(_mix_hash(F.col("doc_id")), "doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        # lossless literal pre-prune: every target is ≤ total, so the
+        # rank window is WindowGroupLimit-eligible — each map task
+        # forwards at most `total` rows per source before the exact
+        # data-dependent target filter runs (a column comparison, which
+        # the group-limit rewrite can't use directly).
+        .where(F.col("_rn") <= F.lit(int(total)))
+        .join(F.broadcast(targets), "source")
+        .where(F.col("_rn") <= F.col("_target"))
+        .select("source", "doc_id")
+    )
+
+
+_TEMP_TOTAL = 250
+
+_TEMP_ORACLE = f"""
+WITH weights AS (
+    SELECT source, count(*) AS c,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {_W_SCALE})
+                AS BIGINT) AS num
+    FROM documents GROUP BY source
+),
+targets AS (
+    SELECT source,
+           least(c, greatest(1, CAST(floor(
+               ({_TEMP_TOTAL} * num) / (SELECT sum(num) FROM weights)
+           ) AS BIGINT))) AS target
+    FROM weights
+),
+ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('{_SALT}', CAST(doc_id AS VARCHAR))),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT source, doc_id
+FROM ranked JOIN targets USING (source)
+WHERE rn <= target
+ORDER BY source, doc_id
+"""
+
+
+@_query(
+    "docs_temperature_mix",
+    _TEMP_ORACLE,
+    driver=False,  # registry capped at 50; oracle-checked locally
+)
+def docs_temperature_mix(spark, sf_dir):
+    """α=0.5 temperature resampling to a 250-doc mix — the oracle
+    recomputes the fixed-point weights and the deterministic fill, and
+    the hash-match checks the sampled membership, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, _TEMP_TOTAL).orderBy("source", "doc_id")

@@ -1087,3 +1087,101 @@ def test_decontamination_broadcasts_benchmark(spark):
     p = plan_str(flagged)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "hashpartitioning(s#" not in p  # corpus shingles never shuffle
+
+
+def test_pack_sequences_contiguous_and_conserving(spark):
+    """The distributed two-phase prefix sum must reproduce a contiguous
+    concat-and-chunk layout: offsets start at 0 and tile the token
+    stream exactly; every block but the last fills to seq_len."""
+    from ballcone_spark.operators.packing import (
+        pack_block_stats,
+        pack_sequences,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    packed = pack_sequences(docs, 512).collect()
+    by_offset = sorted(packed, key=lambda r: r["offset"])
+    assert by_offset[0]["offset"] == 0
+    for prev, nxt in zip(by_offset, by_offset[1:]):
+        assert nxt["offset"] == prev["offset"] + prev["n_tokens"]
+
+    blocks = pack_block_stats(pack_sequences(docs, 512), 512).collect()
+    assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+    assert all(b["n_tokens"] == 512 for b in blocks[:-1])
+    assert 0 < blocks[-1]["n_tokens"] <= 512
+    assert sum(b["n_tokens"] for b in blocks) == sum(
+        r["n_tokens"] for r in packed
+    )
+
+
+def test_pack_sequences_single_token_docs(spark):
+    """Degenerate docs (1 token) pack into exactly one block each and
+    the per-bucket decomposition still matches a driver-side replay of
+    the naive global cumsum."""
+    from ballcone_spark.operators.packing import pack_sequences
+
+    rows = [(i, "tok") for i in range(7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pack_sequences(df, 3).collect()}
+    order = sorted(
+        range(7),
+        key=lambda i: (
+            hashlib.md5(f"pack-v1-{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    for pos, doc in enumerate(order):
+        r = got[doc]
+        assert (r["offset"], r["n_tokens"]) == (pos, 1)
+        assert r["start_block"] == r["end_block"] == pos // 3
+
+
+def test_repetition_flags_fire_on_repetitive_doc(spark):
+    """A doc that is one phrase repeated must flag on both rules; a
+    no-repeat doc on neither; docs with < 3 tokens have no trigram
+    positions and are excluded by contract (too short to repetition-
+    score — the upstream length gate owns them)."""
+    from ballcone_spark.operators.repetition import repetition_flags
+
+    rows = [
+        (1, " ".join(["spam ham"] * 20)),
+        # 30 distinct tokens: the no-repeat top-bigram floor 1/(n−1)
+        # must sit below TOP_BIGRAM_T — the rule (like Gopher's)
+        # presumes docs past the upstream min-length gate
+        (2, " ".join(f"w{i}" for i in range(30))),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_flags(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["repetitive"] and got[1]["top_bigram_frac"] > 0.4
+    assert got[1]["dup_trigram_frac"] == 1.0
+    assert not got[2]["repetitive"]
+    assert got[2]["dup_trigram_frac"] == 0.0
+
+
+def test_temperature_sample_upweights_small_sources(spark):
+    """α=0.5 targets: a 25×-smaller source gets far more than its
+    proportional share, every source ≥ 1 doc, targets match the
+    fixed-point arithmetic exactly, and the sample is deterministic."""
+    from ballcone_spark.operators.sampling import temperature_sample
+
+    rows = [(f"d{i}", "big") for i in range(100)] + [
+        (f"s{i}", "small") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"]).select(
+        "doc_id", "source", F.lit("x y z").alias("text")
+    )
+    out = temperature_sample(df, 20)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # num_big = floor(10*1e6) = 10e6, num_small = floor(2*1e6) = 2e6,
+    # denom 12e6 → targets floor(20*10/12)=16, floor(20*2/12)=3
+    assert counts == {"big": 16, "small": 3}
+    # proportional share for `small` would be 20·4/104 < 1 doc
+    first = sorted(tuple(r) for r in out.collect())
+    second = sorted(tuple(r) for r in temperature_sample(df, 20).collect())
+    assert first == second

@@ -178,9 +178,31 @@ def test_sampling_windows_use_group_limit(spark):
     `budget` rows per source however large the hot source is."""
     from ballcone_spark.queries import EXTRA_QUERIES
 
-    for name in ("docs_source_quota_sample", "docs_token_budget_mix"):
+    for name in (
+        "docs_source_quota_sample",
+        "docs_token_budget_mix",
+        # temperature mix: the lossless rank<=total literal pre-prune
+        # (targets are ≤ total by construction) makes the rank window
+        # group-limit-eligible before the data-dependent target filter
+        "docs_temperature_mix",
+    ):
         df = EXTRA_QUERIES[name].fn(spark, SF)
         assert "WindowGroupLimit" in plan_str(df), name
+
+
+def test_pack_prefix_sum_is_bucketed(spark):
+    """Sequence packing's global token offset must NOT plan as one
+    corpus-wide single-partition window: the only single-partition
+    window allowed is the ≤256-row bucket-totals prefix (global by
+    design, bounded by the hex alphabet forever); the corpus-sized
+    cumsum must partition by the hash bucket."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["docs_pack_sequences"].fn(spark, SF)
+    p = plan_str(df)
+    assert p.count("Exchange SinglePartition") == 1
+    # the corpus cumsum window carries the bucket in its partition spec
+    assert "windowspecdefinition(_bucket" in p
 
 
 def test_registered_bucketed_join_is_exchange_free(spark):
