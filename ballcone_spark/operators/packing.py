@@ -40,7 +40,12 @@ from pyspark.sql import functions as F
 
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["pack_sequences", "pack_block_stats"]
+__all__ = [
+    "pack_sequences",
+    "pack_block_stats",
+    "pack_assignments",
+    "write_packed_shards",
+]
 
 _SALT = "pack-v1-"
 
@@ -135,6 +140,91 @@ def pack_block_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     )
 
 
+def pack_assignments(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Exact per-(block, doc) token sub-ranges from a ``pack_sequences``
+    map: (block_id, doc_id, doc_tok_start, n_tokens) where
+    ``doc_tok_start`` is the 0-based token index inside the doc where
+    this block's slice begins. A doc cut by a block boundary appears
+    once per covered block with complementary ranges — the layout a
+    training shard actually stores. Same bounded explode as
+    ``pack_block_stats``."""
+    lit_l = F.lit(int(seq_len))
+    blocks = packed.select(
+        "doc_id",
+        "offset",
+        "n_tokens",
+        F.explode(F.sequence("start_block", "end_block")).alias("block_id"),
+    )
+    start_in_doc = F.greatest(
+        F.col("block_id") * lit_l - F.col("offset"), F.lit(0)
+    )
+    contrib = F.least(
+        (F.col("block_id") + 1) * lit_l, F.col("offset") + F.col("n_tokens")
+    ) - F.greatest(F.col("block_id") * lit_l, F.col("offset"))
+    return blocks.select(
+        "block_id",
+        "doc_id",
+        start_in_doc.alias("doc_tok_start"),
+        contrib.alias("n_tokens"),
+    )
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    out_dir: str,
+    seq_len: int,
+    blocks_per_shard: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed corpus as size-balanced parquet shards:
+    ``out_dir/shard_id=N/`` holds the token slices of every block in
+    [N·blocks_per_shard, (N+1)·blocks_per_shard) — each shard carries
+    exactly blocks_per_shard · seq_len tokens (the final one less), so
+    downstream training readers stream equal-sized shards with no
+    rebalancing pass.
+
+    The token slice is cut JVM-side (``slice`` of the split token
+    array, re-joined) — the shard rows are self-contained; a reader
+    reconstructs block text by concatenating slices in offset order
+    without touching the source corpus. ``repartition(shard_id)``
+    co-locates each shard into one task so a shard's files are written
+    together (one writer per shard, no tiny-file spray). Returns the
+    written DataFrame (re-read from ``out_dir``)."""
+    packed = pack_sequences(docs, seq_len, text_col=text_col)
+    asg = pack_assignments(packed, seq_len)
+    toks = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    )
+    rows = (
+        asg.join(toks, "doc_id")
+        .select(
+            (F.col("block_id") / blocks_per_shard)
+            .cast("long")
+            .alias("shard_id"),
+            "block_id",
+            "doc_id",
+            "doc_tok_start",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "_toks",
+                    F.col("doc_tok_start").cast("int") + 1,
+                    F.col("n_tokens").cast("int"),
+                ),
+            ).alias("text_slice"),
+        )
+    )
+    spark = docs.sparkSession
+    (
+        rows.repartition("shard_id")
+        .sortWithinPartitions("block_id", "doc_tok_start")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)
+
+
 _SEQ_LEN = 512
 
 _PACK_CTE = f"""
@@ -206,3 +296,53 @@ def docs_pack_block_stats(spark, sf_dir):
     replay of the same spans)."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_block_stats(pack_sequences(docs, _SEQ_LEN), _SEQ_LEN)
+
+
+_BLOCKS_PER_SHARD = 16
+
+
+@_query(
+    "docs_pack_shard_manifest",
+    f"""
+    WITH {_PACK_CTE},
+    spans AS (
+        SELECT doc_id, "offset", n_tokens,
+               unnest(generate_series(
+                   CAST(floor("offset" / {_SEQ_LEN}) AS BIGINT),
+                   CAST(floor(("offset" + n_tokens - 1) / {_SEQ_LEN})
+                        AS BIGINT)
+               )) AS block_id
+        FROM packed
+    )
+    SELECT CAST(floor(block_id / {_BLOCKS_PER_SHARD}) AS BIGINT)
+               AS shard_id,
+           count(DISTINCT block_id) AS n_blocks,
+           count(DISTINCT doc_id) AS n_docs,
+           sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
+               - greatest(block_id * {_SEQ_LEN}, "offset")) AS n_tokens
+    FROM spans
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    driver=False,
+)
+def docs_pack_shard_manifest(spark, sf_dir):
+    """Shard-level manifest of the 512-token packing at 16 blocks per
+    shard: every shard's block count, distinct contributing docs, and
+    token fill (== 16·512 except the final shard) — the balance
+    contract ``write_packed_shards`` materializes on disk."""
+    docs = load_table(spark, sf_dir, "documents")
+    asg = pack_assignments(pack_sequences(docs, _SEQ_LEN), _SEQ_LEN)
+    return (
+        asg.groupBy(
+            (F.col("block_id") / _BLOCKS_PER_SHARD)
+            .cast("long")
+            .alias("shard_id")
+        )
+        .agg(
+            F.countDistinct("block_id").alias("n_blocks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -1185,3 +1185,49 @@ def test_temperature_sample_upweights_small_sources(spark):
     first = sorted(tuple(r) for r in out.collect())
     second = sorted(tuple(r) for r in temperature_sample(df, 20).collect())
     assert first == second
+
+
+def test_write_packed_shards_balanced_and_reconstructable(spark, tmp_path):
+    """Shards on disk must carry exactly blocks_per_shard·seq_len
+    tokens (final shard less), and concatenating a block's slices in
+    (block_id, doc_tok_start) order must reproduce the packed token
+    stream — the reader never needs the source corpus."""
+    from ballcone_spark.operators.packing import write_packed_shards
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    seq_len, bps = 128, 4
+    out = write_packed_shards(docs, str(tmp_path / "shards"), seq_len, bps)
+
+    rows = out.collect()
+    tok = lambda r: len(r["text_slice"].split(" "))  # noqa: E731
+    by_shard: dict[int, int] = {}
+    for r in rows:
+        by_shard[r["shard_id"]] = by_shard.get(r["shard_id"], 0) + tok(r)
+    last = max(by_shard)
+    assert set(by_shard) == set(range(last + 1))
+    for s, n in by_shard.items():
+        if s < last:
+            assert n == seq_len * bps, (s, n)
+    assert 0 < by_shard[last] <= seq_len * bps
+
+    # block-level reconstruction: every non-final block is exactly
+    # seq_len tokens when its slices concatenate in order
+    by_block: dict[int, list] = {}
+    for r in rows:
+        by_block.setdefault(r["block_id"], []).append(r)
+    last_b = max(by_block)
+    for b, parts in by_block.items():
+        parts.sort(key=lambda r: r["doc_tok_start"])
+        n = sum(tok(r) for r in parts)
+        assert n == seq_len or b == last_b
+
+    # doc-level conservation: each doc's slices reassemble its text
+    source = {r["doc_id"]: r["text"] for r in docs.collect()}
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, parts in per_doc.items():
+        parts.sort(key=lambda r: r["doc_tok_start"])
+        joined = " ".join(p["text_slice"] for p in parts)
+        assert joined == source[doc_id], doc_id
