@@ -518,6 +518,69 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+@_query(
+    "docs_cross_source_dups",
+    f"""
+    WITH {_DUCK_SHINGLES}, {_duck_minhash_cte()},
+    bands AS ({_band_exprs_duck()}),
+    cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    {_DUCK_PAIRS},
+    verified AS (
+        SELECT c.a_id, c.b_id,
+               round(i.shared * 1.0 / (i.na + i.nb - i.shared), 4) AS jaccard
+        FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+        WHERE i.shared * 1.0 / (i.na + i.nb - i.shared)
+              >= {_JACCARD_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 4) AS avg_jaccard
+    FROM verified v
+    JOIN documents da ON v.a_id = da.doc_id
+    JOIN documents db ON v.b_id = db.doc_id
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    driver=False,  # registry capped at 50; oracle-checked locally
+)
+def docs_cross_source_dups(spark, sf_dir):
+    """Cross-source contamination matrix: near-dup pair counts (and mean
+    Jaccard) per unordered source pair — the aggregate a corpus curator
+    reads to decide which feeds overlap before mixing. Composes
+    :func:`minhash_lsh_pairs` with two broadcastable doc_id→source
+    joins; the source-pair key is order-normalized (least/greatest) so
+    (srcA, srcB) and (srcB, srcA) collapse."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+            "source", "src_a"
+        ),
+        "a_id",
+    ).join(
+        src.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+            "source", "src_b"
+        ),
+        "b_id",
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash                                                               #
 # --------------------------------------------------------------------- #
