@@ -24,11 +24,13 @@ from ballcone_spark.queries import QUERIES, flagship  # noqa: E402
 import ballcone_spark.operators.dedup  # noqa: E402,F401
 import ballcone_spark.operators.embedding_dedup  # noqa: E402,F401
 import ballcone_spark.operators.kmeans  # noqa: E402,F401
+import ballcone_spark.operators.lm_quality  # noqa: E402,F401
 import ballcone_spark.operators.packing  # noqa: E402,F401
 import ballcone_spark.operators.quantization  # noqa: E402,F401
 import ballcone_spark.operators.range_join  # noqa: E402,F401
 import ballcone_spark.operators.repetition  # noqa: E402,F401
 import ballcone_spark.operators.sampling  # noqa: E402,F401
+import ballcone_spark.operators.semantic_dedup  # noqa: E402,F401
 import ballcone_spark.operators.similarity  # noqa: E402,F401
 import ballcone_spark.operators.text_analysis  # noqa: E402,F401
 import ballcone_spark.streaming.dedup_stream  # noqa: E402,F401

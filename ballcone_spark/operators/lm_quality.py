@@ -1,0 +1,231 @@
+"""Statistical-LM quality scoring and boilerplate-span detection —
+the CCNet / RefinedWeb corpus-curation family (beyond-reference; the
+reference has no corpus operators).
+
+- :func:`bigram_lm_scores` — CCNet-style quality signal (Wenzek et al.
+  2020 score documents by LM perplexity; here the LM is an add-one-
+  smoothed bigram model trained ON the corpus itself, entirely
+  relationally): per-doc mean log-probability and its perplexity. Docs
+  far from the corpus distribution (rare word transitions) score low —
+  the standard "keep the head of the quality distribution" filter
+  signal.
+- :func:`boilerplate_spans` — RefinedWeb-style repeated-span removal
+  signal: exact word 5-grams shared by >= MIN_DOCS distinct documents
+  are "boilerplate spans"; each doc reports the fraction of its token
+  positions covered by at least one such span. On this corpus the
+  shared spans are exactly the planted near-duplicate families, so the
+  signal is non-vacuous at every SF.
+
+Scale design, both operators:
+
+- The LM "training" is one explode (linear in corpus tokens) + one
+  groupBy on the gram key with map-side combine; the model table is
+  O(distinct bigrams), far smaller than the corpus. Scoring joins
+  doc-grams to the model on the gram key — a hash join whose hot keys
+  (frequent bigrams) are exactly what AQE skew-split handles; no
+  driver collect anywhere, the vocab size and context totals ride
+  along as 1-row / per-key aggregates.
+- Boilerplate span coverage explodes each qualifying gram into its 5
+  covered positions — a bounded ×5 blowup on the *matched* grams only
+  (the corpus-frequent subset), then a distinct on (doc_id, pos) that
+  shuffles at most 5× the matched-gram count, partitioned by doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.repetition import _ngrams
+from ballcone_spark.queries import _query, load_table
+
+__all__ = ["bigram_lm_scores", "boilerplate_spans"]
+
+#: boilerplate span length (words) — the 5-gram strikes the standard
+#: balance: long enough that cross-doc collisions mean real shared text,
+#: short enough to catch partial-overlap near-dups.
+SPAN_N = 5
+#: a span is boilerplate when >= this many DISTINCT docs contain it
+MIN_DOCS = 2
+#: coverage fraction above which the doc is flagged
+COVER_T = 0.30
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp, ppl) — add-one-smoothed bigram LM
+    trained on the whole corpus, P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+|V|),
+    each doc scored by the mean natural-log probability of its bigram
+    transitions and the corresponding perplexity exp(-avg_logp).
+
+    Every doc bigram is in the model by construction (the model is
+    trained on the same corpus), so the inner join loses nothing;
+    docs with < 2 tokens have no transitions and drop out by contract.
+    """
+    w = F.split(F.col(text_col), " ")
+    bg = docs.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
+
+    counts = (
+        bg.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+    )
+    ctx = counts.groupBy("w1").agg(F.sum("c").alias("cc"))
+    vocab = docs.select(F.explode(w).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    model = (
+        counts.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            F.log((F.col("c") + 1).cast("double") / (F.col("cc") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        bg.join(model, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
+        )
+    )
+
+
+def boilerplate_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, covered_tokens, covered_frac, boilerplate) —
+    token positions covered by corpus-frequent exact 5-gram spans.
+
+    A position is covered when any span occurrence [pos, pos+4] that
+    appears in >= MIN_DOCS distinct docs contains it; overlapping spans
+    count once (distinct on position). Docs with no boilerplate span
+    report 0 coverage (left join back to the corpus)."""
+    w = F.split(F.col(text_col), " ")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(_ngrams(w, SPAN_N)).alias("pos", "g"),
+    )
+    frequent = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= MIN_DOCS)
+        .select("g")
+    )
+    covered = (
+        grams.join(frequent, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    base = docs.select("doc_id", F.size(w).alias("n_tokens"))
+    out = base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+    )
+    frac = F.round(
+        F.col("covered_tokens").cast("double") / F.col("n_tokens"), 4
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        frac.alias("covered_frac"),
+        (frac > COVER_T).alias("boilerplate"),
+    )
+
+
+_WS_CTE = """
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+_LM_ORACLE = f"""
+WITH {_WS_CTE},
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS g
+    FROM ws
+),
+model AS (
+    SELECT g, string_split(g, ' ')[1] AS w1, count(*) AS c
+    FROM bg GROUP BY g
+),
+ctx AS (SELECT w1, sum(c) AS cc FROM model GROUP BY w1),
+vocab AS (SELECT count(DISTINCT t) AS v
+          FROM (SELECT unnest(w) AS t FROM ws)),
+scored AS (
+    SELECT m.g, ln(CAST(m.c + 1 AS DOUBLE) / (x.cc + vocab.v)) AS logp
+    FROM model m JOIN ctx x USING (w1), vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(logp), 4) AS avg_logp,
+       round(exp(-avg(logp)), 4) AS ppl
+FROM bg JOIN scored USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_query(
+    "docs_bigram_lm_score",
+    _LM_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scores: corpus-trained add-one bigram LM,
+    per-doc mean log-prob + perplexity, hash-checked against the same
+    model trained and applied in DuckDB SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+_BP_ORACLE = f"""
+WITH {_WS_CTE},
+g5 AS (
+    SELECT doc_id, pos, g FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, len(w) - {SPAN_N - 1})) AS pos,
+               unnest(list_transform(generate_series(1, len(w) - {SPAN_N - 1}),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+        FROM ws)
+),
+freq AS (SELECT g FROM g5 GROUP BY g
+         HAVING count(DISTINCT doc_id) >= {MIN_DOCS}),
+cov AS (
+    SELECT doc_id, count(*) AS covered_tokens FROM (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(generate_series(pos, pos + {SPAN_N - 1})) AS p
+              FROM g5 WHERE g IN (SELECT g FROM freq)))
+    GROUP BY doc_id
+)
+SELECT doc_id, len(w) AS n_tokens,
+       COALESCE(covered_tokens, 0) AS covered_tokens,
+       round(CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(w), 4)
+           AS covered_frac,
+       round(CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(w), 4)
+           > {COVER_T} AS boilerplate
+FROM ws LEFT JOIN cov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@_query(
+    "docs_boilerplate_spans",
+    _BP_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_boilerplate_spans(spark, sf_dir):
+    """RefinedWeb-style boilerplate-span coverage: fraction of each
+    doc's tokens inside an exact 5-gram shared by >= 2 distinct docs
+    (on this corpus: the planted near-dup families), flag at > 30%."""
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_spans(docs).orderBy("doc_id")

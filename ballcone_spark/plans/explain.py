@@ -25,7 +25,16 @@ __all__ = [
 
 
 def plan_str(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan text. After a DataFrame has been executed, AQE's
+    ``toString`` prints BOTH "== Final Plan ==" and "== Initial Plan =="
+    sections — every node twice — which breaks exact-count plan gates on
+    plan-cached DataFrames (the prepared-plan cache hands the same object
+    to the oracle-diff suite, which collects it, and then to the plan
+    gates). Keep only the final section when present."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in s:
+        s = s.split("== Initial Plan ==", 1)[0]
+    return s
 
 
 def has_pushed_filters(df: DataFrame, fragment: str = "") -> bool:

@@ -1231,3 +1231,82 @@ def test_write_packed_shards_balanced_and_reconstructable(spark, tmp_path):
         parts.sort(key=lambda r: r["doc_tok_start"])
         joined = " ".join(p["text_slice"] for p in parts)
         assert joined == source[doc_id], doc_id
+
+
+# --------------------------------------------------------------------- #
+# LM quality / boilerplate spans / SemDeDup (operators/lm_quality.py,   #
+# operators/semantic_dedup.py)                                          #
+# --------------------------------------------------------------------- #
+
+
+def test_bigram_lm_scores_rank_common_above_rare(spark):
+    """A doc made of the corpus's dominant transitions must score a
+    higher mean log-prob (lower perplexity) than one made of
+    transitions seen nowhere else."""
+    from ballcone_spark.operators.lm_quality import bigram_lm_scores
+
+    common = "a b " * 20 + "a b"      # transition (a,b) dominates
+    rare = "q r s t u v w x y z"      # every transition unique
+    docs = spark.createDataFrame(
+        [(0, common), (1, common), (2, rare)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert rows[0]["avg_logp"] > rows[2]["avg_logp"]
+    assert rows[0]["ppl"] < rows[2]["ppl"]
+    # perplexity inverts the mean log-prob by definition
+    import math
+
+    assert rows[2]["ppl"] == pytest.approx(
+        math.exp(-rows[2]["avg_logp"]), rel=1e-3
+    )
+
+
+def test_boilerplate_spans_planted_shared_span(spark):
+    """Exactly the tokens inside the cross-doc shared 5-gram count as
+    covered; a doc with no shared span reports 0."""
+    from ballcone_spark.operators.lm_quality import boilerplate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # the planted span
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " zeta eta theta"),       # span at pos 0: 5/8 covered
+            (1, "iota kappa " + shared),           # span at pos 2: 5/7 covered
+            (2, "mu nu xi omicron pi rho sigma"),  # nothing shared
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_spans(docs).collect()}
+    assert rows[0]["covered_tokens"] == 5 and rows[0]["n_tokens"] == 8
+    assert rows[1]["covered_tokens"] == 5 and rows[1]["n_tokens"] == 7
+    assert rows[2]["covered_tokens"] == 0 and not rows[2]["boilerplate"]
+    assert rows[0]["boilerplate"] and rows[1]["boilerplate"]  # > 30%
+
+
+def test_semantic_dedup_removes_planted_near_dup(spark):
+    """A vector nearly identical to a lower-id one in the same cluster
+    is removed; orthogonal vectors survive."""
+    from ballcone_spark.operators.semantic_dedup import semantic_dedup_report
+
+    dim = 8
+
+    def unit(axis):
+        return [1.0 if d == axis else 0.0 for d in range(dim)]
+
+    near = [0.99 if d == 0 else (0.01 if d == 1 else 0.0) for d in range(dim)]
+    rows = [
+        (0, unit(0)),   # seed 0 (cluster 0)
+        (1, unit(1)),   # seed 1
+        (2, unit(2)),   # seed 2
+        (3, unit(3)),   # seed 3
+        (4, unit(4)),   # seed 4
+        (5, unit(5)),   # seed 5
+        (6, unit(6)),   # seed 6
+        (7, unit(7)),   # seed 7
+        (100, near),    # cluster 0, cos≈1 vs vec 0 → removed
+        (101, [-x for x in unit(1)]),  # anti-aligned: lands somewhere, no dup
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "e"])
+    rep = {r["cluster_id"]: r for r in semantic_dedup_report(emb).collect()}
+    assert rep[0]["n_removed"] == 1 and rep[0]["removed_checksum"] == 100
+    assert rep[0]["n_kept"] == rep[0]["n_vecs"] - 1
+    assert sum(r["n_removed"] for r in rep.values()) == 1
