@@ -428,3 +428,38 @@ def test_aqe_skew_join_split_activates(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lm_quality_and_semdedup_plan_shapes(spark):
+    """Round-6 corpus operators keep their scale shapes: zero Python,
+    zero corpus-wide global windows; the LM score's only
+    single-partition exchange is the 1-row vocab scalar; boilerplate
+    detection probes frequent grams with a semi join; SemDeDup pairs
+    within clusters through an equi-join on the cluster key (never a
+    nested-loop over the corpus)."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+    from ballcone_spark.plans.explain import global_window_count, uses_python
+
+    for name in (
+        "docs_bigram_lm_score",
+        "docs_boilerplate_spans",
+        "docs_semantic_dedup",
+    ):
+        df = EXTRA_QUERIES[name].fn(spark, SF)
+        assert not uses_python(df), name
+        assert global_window_count(df) == 0, name
+
+    lm = plan_str(EXTRA_QUERIES["docs_bigram_lm_score"].fn(spark, SF))
+    assert lm.count("Exchange SinglePartition") == 1  # the 1-row vocab agg
+
+    bp = plan_str(EXTRA_QUERIES["docs_boilerplate_spans"].fn(spark, SF))
+    assert "LeftSemi" in bp
+    assert bp.count("Exchange SinglePartition") == 0
+
+    sd = plan_str(EXTRA_QUERIES["docs_semantic_dedup"].fn(spark, SF))
+    assert sd.count("Exchange SinglePartition") == 0
+    # the pairing join carries the cluster key as an equi-join key
+    assert "cluster_id" in sd
+    # nested loops appear only as the K-row seed broadcasts (3 legs:
+    # sizes + both pair sides), never joining corpus against corpus
+    assert sd.count("BroadcastNestedLoopJoin") <= 3
