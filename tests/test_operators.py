@@ -1310,3 +1310,96 @@ def test_semantic_dedup_removes_planted_near_dup(spark):
     assert rep[0]["n_removed"] == 1 and rep[0]["removed_checksum"] == 100
     assert rep[0]["n_kept"] == rep[0]["n_vecs"] - 1
     assert sum(r["n_removed"] for r in rep.values()) == 1
+
+
+# --------------------------------------------------------------------- #
+# BPE tokenizer training (operators/bpe.py)                             #
+# --------------------------------------------------------------------- #
+
+
+def _bpe_reference(word_freqs: dict, n_merges: int):
+    """Independent pure-Python BPE trainer with the same tie-break
+    (freq desc, then pair lexicographic) — the training oracle."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_training_matches_python_reference(spark):
+    """The distributed trainer must learn the IDENTICAL merge list (and
+    identical per-word tokenizations) as the sequential reference on the
+    real sf0.001 corpus."""
+    from ballcone_spark.operators.bpe import train_bpe, word_freqs
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    wf = word_freqs(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+
+    n = 12
+    merges, encoded = train_bpe(wf, n)
+    ref_merges, ref_syms = _bpe_reference(freqs, n)
+    assert merges == ref_merges
+
+    got = {r["word"]: r["syms"] for r in encoded.collect()}
+    assert got == ref_syms
+
+    # conservation: every word's symbols concatenate back to the word
+    for w, s in got.items():
+        assert "".join(s) == w
+
+
+def test_bpe_merge_fold_greedy_left_to_right(spark):
+    """The codegen fold applies a merge exactly like greedy
+    left-to-right BPE, including overlapping-pair runs."""
+    from ballcone_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame(
+        [(list("aaaa"),), (list("abab"),), (list("aab"),)], ["syms"]
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            _merge_fold(F.col("syms"), "a", "a", "aa").alias("m")
+        ).collect()
+    ]
+    assert out == [["aa", "aa"], ["a", "b", "a", "b"], ["aa", "b"]]
+
+
+def test_bpe_compression_monotone(spark):
+    """More merges never increase the corpus token count, and any
+    useful merge strictly decreases it."""
+    from ballcone_spark.operators.bpe import (
+        bpe_corpus_stats,
+        train_bpe,
+        word_freqs,
+    )
+    from ballcone_spark.queries import load_table
+
+    wf = word_freqs(load_table(spark, SF, "documents"))
+    _, enc4 = train_bpe(wf, 4)
+    _, enc12 = train_bpe(wf, 12)
+    s4 = bpe_corpus_stats(wf, enc4)
+    s12 = bpe_corpus_stats(wf, enc12)
+    assert s4["chars"] == s12["chars"]
+    assert s12["tokens"] < s4["tokens"] <= s4["chars"]
