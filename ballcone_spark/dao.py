@@ -174,6 +174,79 @@ class SparkDAO:
             .parquet(self._data_dir)
         )
 
+    def upsert_into(
+        self,
+        service: str,
+        entries: list[dict],
+        keys: tuple[str, ...] = ("datetime", "ip", "path"),
+    ) -> dict:
+        """CDC-style merge: rows whose key matches an update are replaced,
+        the rest of the batch inserts — MERGE semantics over plain parquet
+        via **dynamic partition overwrite**, rewriting ONLY the (service,
+        date) partitions the batch touches (the reference's SQLite store
+        gets this for free from primary keys; a 100 TB lake cannot rewrite
+        the table, so partition-granular overwrite is the Spark-first
+        answer, the same shape Hive/Iceberg `INSERT OVERWRITE` users run).
+
+        Contract: ``datetime`` must be part of ``keys``. The target
+        partition is derived from ``datetime``, so a key match can only
+        live in a partition the batch itself touches — which makes the
+        partition-pruned anti-join complete. Keys that could move across
+        partitions would need a full-table scan (that's what transactional
+        table formats are for; documented trade-off).
+
+        Within-batch duplicates resolve keep-LAST (later entries win),
+        matching replay/CDC ordering. Returns
+        ``{"upserted", "replaced", "partitions"}``.
+        """
+        if "datetime" not in keys:
+            raise ValueError("upsert keys must include 'datetime'")
+        self._check_service(service)
+        self.create_table(service)
+        if not entries:
+            return {"upserted": 0, "replaced": 0, "partitions": 0}
+
+        # within-batch keep-last, driver-side (the API takes a driver list)
+        dedup: dict = {}
+        for e in entries:
+            dedup[tuple(e.get(k) for k in keys)] = e
+        rows = [{c: e.get(c) for c in _ENTRY_COLS} for e in dedup.values()]
+        dates = sorted({e["datetime"].date() for e in dedup.values()})
+
+        upd = (
+            self.spark.createDataFrame(rows, schema=ENTRY_SCHEMA)
+            .withColumn("service", F.lit(service))
+            .select(_FACT_COLS)
+            .withColumn("date", F.to_date("datetime"))
+        )
+        existing = (
+            self._fact()
+            .where(F.col("service") == service)
+            .where(F.col("date").isin(dates))  # partition-pruned
+        )
+        key_cols = list(keys)
+        replaced = existing.join(
+            upd.select(key_cols), key_cols, "left_semi"
+        ).count()
+        survivors = existing.join(upd.select(key_cols), key_cols, "left_anti")
+
+        # Eagerly materialize before overwriting the path being read
+        # (Spark refuses a lazy read-overwrite cycle on the same files);
+        # bounded by the touched partitions, not the table.
+        merged = survivors.unionByName(upd).localCheckpoint()
+        (
+            merged.repartition("service", "date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("service", "date")
+            .parquet(self._data_dir)
+        )
+        return {
+            "upserted": len(rows),
+            "replaced": replaced,
+            "partitions": len(dates),
+        }
+
     # ------------------------------------------------------------------ #
     # reads                                                              #
     # ------------------------------------------------------------------ #

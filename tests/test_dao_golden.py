@@ -208,3 +208,97 @@ def test_date_range_predicates_cover_exactly():
     starts = [p.split("DATE '")[1].split("'")[0] for p in preds]
     assert starts[1:] == bounds[:-1]
     assert bounds[-1] == "2024-02-01"  # stop day included, nothing beyond
+
+
+# --------------------------------------------------------------------- #
+# upsert (CDC merge via dynamic partition overwrite)                     #
+# --------------------------------------------------------------------- #
+
+
+def _upsert_entry(dt, path="/", **kw):
+    base = dict(
+        datetime=dt, host="example.com", path=path, status=200, length=1,
+        generation_time=0.1, referer=None, ip="192.168.1.1",
+        country_iso_code="UNKNOWN", platform_name=None,
+        platform_version=None, browser_name=None, browser_version=None,
+        is_robot=False,
+    )
+    base.update(kw)
+    return base
+
+
+def test_upsert_replaces_matching_keys_only(seeded_dao):
+    """A key-matching row is replaced in place; non-matching rows in the
+    same partition, other dates, and other services all survive."""
+    import datetime as _d
+
+    before = seeded_dao.select("test")
+    target = before[0]  # 2020-01-01 12:00:00, /, 192.168.1.1
+
+    stats = seeded_dao.upsert_into(
+        "test",
+        [
+            # same key as GOLDEN_ENTRIES[0] → replaces it
+            _upsert_entry(target.datetime, path=target.path, length=9999),
+            # brand-new key, same partition → inserts
+            _upsert_entry(_d.datetime(2020, 1, 1, 13, 0, 0), path="/new"),
+        ],
+    )
+    assert stats == {"upserted": 2, "replaced": 1, "partitions": 1}
+
+    after = seeded_dao.select("test")
+    assert len(after) == len(before) + 1
+    replaced = [e for e in after if e.datetime == target.datetime and e.path == target.path]
+    assert len(replaced) == 1 and replaced[0].length == 9999
+    # the untouched 2020-01-02 partition's row is intact
+    assert any(e.datetime.date() == _d.date(2020, 1, 2) for e in after)
+
+
+def test_upsert_within_batch_keeps_last(seeded_dao):
+    import datetime as _d
+
+    dt = _d.datetime(2020, 3, 1, 8, 0, 0)
+    stats = seeded_dao.upsert_into(
+        "test",
+        [
+            _upsert_entry(dt, path="/dup", length=1),
+            _upsert_entry(dt, path="/dup", length=2),  # later wins
+        ],
+    )
+    assert stats["upserted"] == 1  # batch collapsed before the write
+    rows = [e for e in seeded_dao.select("test") if e.path == "/dup"]
+    assert len(rows) == 1 and rows[0].length == 2
+
+
+def test_upsert_rewrites_only_touched_partitions(seeded_dao, tmp_path):
+    """Dynamic overwrite must leave the files of untouched (service,
+    date) partitions byte-identical — the property that makes upsert
+    affordable on a partitioned lake."""
+    import datetime as _d
+    import glob
+    import os
+
+    def files_of(date):
+        pat = os.path.join(
+            seeded_dao._data_dir, "service=test", f"date={date}", "*.parquet"
+        )
+        return {p: os.path.getmtime(p) for p in glob.glob(pat)}
+
+    untouched_before = files_of("2020-01-02")
+    touched_before = files_of("2020-01-01")
+    assert untouched_before and touched_before
+
+    seeded_dao.upsert_into(
+        "test",
+        [_upsert_entry(_d.datetime(2020, 1, 1, 12, 0, 0), length=7)],
+    )
+
+    assert files_of("2020-01-02") == untouched_before  # same files, same mtimes
+    assert set(files_of("2020-01-01")) != set(touched_before)  # rewritten
+
+
+def test_upsert_requires_datetime_key(seeded_dao):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seeded_dao.upsert_into("test", [], keys=("ip", "path"))
