@@ -36,18 +36,35 @@ from ballcone_spark.queries import _query, load_table
 
 __all__ = ["semantic_dedup_report"]
 
-#: number of deterministic seed centroids (vec_id < K)
+#: floor on the number of deterministic seed centroids (vec_id < K)
 K_SEEDS = 8
+#: target mean cluster size the adaptive K aims for — within-cluster
+#: pairing costs O(Σ cᵢ²) ≈ n·TARGET, so pinning TARGET keeps the pair
+#: stage LINEAR in n instead of n²/K_fixed
+TARGET_CLUSTER = 256
 #: within-cluster cosine at-or-above which a pair is a semantic dup —
 #: 0.45 matches the non-vacuous threshold the embedding-cosine recall
 #: gate already uses on this corpus (pairs exist at every SF)
 TAU = 0.45
 
 
-def _assign(emb: DataFrame) -> DataFrame:
+def adaptive_k(n_rows: int) -> int:
+    """Seed count that pins mean cluster size ≈ TARGET_CLUSTER, so the
+    within-cluster pair stage stays linear in corpus size (fixed K would
+    make it n²/K — the same trap the hyperplane-LSH family fixed with
+    its adaptive plane count). Floor K_SEEDS keeps small corpora — and
+    with them every oracle-checked SF (500 vecs at sf0.01, 2 000 at
+    sf0.1) — on the static oracle's exact K=8 replica; above
+    K_SEEDS·TARGET_CLUSTER = 2 048 vectors K grows and the static
+    oracle becomes an approximation of the same exact semantics (the
+    dedup_embedding_cosine validity-domain class)."""
+    return max(K_SEEDS, -(-n_rows // TARGET_CLUSTER))
+
+
+def _assign(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
     """(vec_id, cluster_id, e): nearest-seed routing, ties broken on
     the lowest cluster_id so the argmax is deterministic per engine."""
-    seeds = emb.where(F.col("vec_id") < K_SEEDS).select(
+    seeds = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
     )
     scored = emb.crossJoin(F.broadcast(seeds)).withColumn(
@@ -63,13 +80,13 @@ def _assign(emb: DataFrame) -> DataFrame:
     )
 
 
-def semantic_dedup_report(emb: DataFrame) -> DataFrame:
+def semantic_dedup_report(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
     """Per-cluster SemDeDup report: (cluster_id, n_vecs, n_removed,
     n_kept, removed_checksum). ``emb`` needs (vec_id, e: array<double>).
 
     removed_checksum = Σ removed vec_id — a value-level witness that the
     *same* vectors (not merely the same count) were removed."""
-    assign = _assign(emb)
+    assign = _assign(emb, k)
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("a_id"),
@@ -138,13 +155,18 @@ ORDER BY n.cluster_id
     "docs_semantic_dedup",
     _SEM_ORACLE,
     driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=False,  # adaptive_k runs a count() at plan build
 )
 def docs_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table with deterministic seed
     centroids: route → within-cluster cosine pairs → greedy
     keep-lowest-id, reported per cluster with a removed-id checksum.
-    DuckDB replays the identical pipeline."""
+    DuckDB replays the identical pipeline (exact for corpora ≤ 2 048
+    vectors, where adaptive_k == the oracle's K=8 — all oracle-checked
+    SFs; see :func:`adaptive_k`)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    return semantic_dedup_report(emb).orderBy("cluster_id")
+    return semantic_dedup_report(emb, adaptive_k(emb.count())).orderBy(
+        "cluster_id"
+    )

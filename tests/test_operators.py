@@ -1403,3 +1403,22 @@ def test_bpe_compression_monotone(spark):
     s12 = bpe_corpus_stats(wf, enc12)
     assert s4["chars"] == s12["chars"]
     assert s12["tokens"] < s4["tokens"] <= s4["chars"]
+
+
+def test_semantic_dedup_adaptive_k_bounds_pairing():
+    """adaptive_k pins the mean cluster size: fixed K would make the
+    within-cluster pair stage quadratic in corpus size."""
+    from ballcone_spark.operators.semantic_dedup import (
+        K_SEEDS,
+        TARGET_CLUSTER,
+        adaptive_k,
+    )
+
+    assert adaptive_k(500) == K_SEEDS       # sf0.01: oracle-exact
+    assert adaptive_k(2000) == K_SEEDS      # sf0.1: oracle-exact
+    assert adaptive_k(2048) == K_SEEDS      # boundary of the exact domain
+    for n in (20_000, 1_000_000, 50_000_000):
+        k = adaptive_k(n)
+        assert n / k <= TARGET_CLUSTER      # mean cluster bounded
+        # pair work per vector stays O(TARGET), i.e. total stays linear
+        assert (n / k) * n <= TARGET_CLUSTER * n
