@@ -51,19 +51,14 @@ MIN_DOCS = 2
 COVER_T = 0.30
 
 
-def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_bigrams, avg_logp, ppl) — add-one-smoothed bigram LM
-    trained on the whole corpus, P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+|V|),
-    each doc scored by the mean natural-log probability of its bigram
-    transitions and the corresponding perplexity exp(-avg_logp).
-
-    Every doc bigram is in the model by construction (the model is
-    trained on the same corpus), so the inner join loses nothing;
-    docs with < 2 tokens have no transitions and drop out by contract.
-    """
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(g, logp): the add-one-smoothed bigram LM trained on ``docs``,
+    P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+|V|) — one explode + one gram
+    groupBy; the model table is O(distinct bigrams). Reused by the
+    batch quality scorer below and the streaming drift monitor
+    (:mod:`ballcone_spark.streaming.drift`)."""
     w = F.split(F.col(text_col), " ")
-    bg = docs.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
-
+    bg = docs.select(F.explode(_ngrams(w, 2)).alias("g"))
     counts = (
         bg.groupBy("g")
         .agg(F.count("*").alias("c"))
@@ -73,18 +68,32 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vocab = docs.select(F.explode(w).alias("t")).agg(
         F.countDistinct("t").alias("v")
     )
-    model = (
+    return (
         counts.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "g",
-            F.log((F.col("c") + 1).cast("double") / (F.col("cc") + F.col("v"))).alias(
-                "logp"
-            ),
+            F.log(
+                (F.col("c") + 1).cast("double") / (F.col("cc") + F.col("v"))
+            ).alias("logp"),
         )
     )
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logp, ppl) — each doc scored by the mean
+    natural-log probability of its bigram transitions under the
+    corpus-trained :func:`bigram_model`, and the corresponding
+    perplexity exp(-avg_logp).
+
+    Every doc bigram is in the model by construction (the model is
+    trained on the same corpus), so the inner join loses nothing;
+    docs with < 2 tokens have no transitions and drop out by contract.
+    """
+    w = F.split(F.col(text_col), " ")
+    bg = docs.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
     return (
-        bg.join(model, "g")
+        bg.join(bigram_model(docs, text_col), "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

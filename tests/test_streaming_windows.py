@@ -696,3 +696,77 @@ def test_compact_index_concurrent_probes(spark, tmp_path):
         stop.set()
         t.join()
     assert anomalies == []
+
+
+# --------------------------------------------------------------------- #
+# streaming LM drift monitor (streaming/drift.py)                       #
+# --------------------------------------------------------------------- #
+
+
+def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
+    """A micro-batch drawn from the reference distribution stays inside
+    the band; a shifted-vocabulary batch trips the drift flag (OOV
+    transitions score at the floor, so unseen text reads EXPENSIVE)."""
+    import json as _json
+
+    from ballcone_spark.operators.lm_quality import bigram_model
+    from ballcone_spark.streaming.drift import (
+        batch_ppl,
+        default_oov_logp,
+        start_drift_monitor,
+    )
+
+    ref_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps under the old tree",
+        "a lazy dog naps under the quick brown fox",
+    ] * 5
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    model = bigram_model(train)
+
+    floor = default_oov_logp(model)
+    baseline = batch_ppl(train, model, floor).collect()[0]["ppl"]
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+
+    def write_file(name, texts):
+        with open(src / name, "w") as f:
+            for i, t in enumerate(texts):
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    write_file("b0.jsonl", ref_texts[:5])  # in-distribution
+    write_file(
+        "b1.jsonl",
+        ["zebra xylophone quantum flux capacitor meltdown imminent"] * 5,
+    )  # shifted vocabulary
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_dir = str(tmp_path / "drift_out")
+    q = start_drift_monitor(
+        spark,
+        stream,
+        model,
+        baseline_ppl=baseline,
+        out_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "drift_ckpt"),
+        rel_band=0.25,
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rows) == 2
+    in_dist, shifted = rows
+    assert not in_dist["drift"]
+    assert in_dist["n_oov"] == 0
+    assert shifted["drift"]
+    assert shifted["n_oov"] > 0
+    assert shifted["ppl"] > in_dist["ppl"]
