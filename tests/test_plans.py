@@ -463,3 +463,17 @@ def test_lm_quality_and_semdedup_plan_shapes(spark):
     # nested loops appear only as the K-row seed broadcasts (3 legs:
     # sizes + both pair sides), never joining corpus against corpus
     assert sd.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_hot_keys_profile_plan(spark):
+    """The skew profile must itself be skew-proof: top-k via
+    TakeOrderedAndProject (never a global sort), the totals scalar as a
+    broadcast (never a shuffled join), zero Python."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+    from ballcone_spark.plans.explain import uses_python
+
+    df = EXTRA_QUERIES["events_hot_keys"].fn(spark, SF)
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals crossJoin
+    assert not uses_python(df)
