@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.similarity import _dot, _norm
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["semantic_dedup_report"]
+__all__ = ["semantic_dedup_report", "semantic_dedup_trained", "adaptive_k"]
 
 #: floor on the number of deterministic seed centroids (vec_id < K)
 K_SEEDS = 8
@@ -71,9 +71,14 @@ def _assign(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
     row_number shuffle. Ties break to the lowest cluster_id (the
     struct's index field). Dividing by the row's own norm is skipped in
     the argmax (constant across candidates); the norm rides along as a
-    column so the pair stage pays ONE norm per row, not per pair —
-    the first cut of this operator recomputed the full cosine per pair
-    per leg and measured 42 s at 20k vectors; this shape is ~20×."""
+    column so the pair stage pays ONE norm per row, not per pair.
+
+    Retained as the pure-JVM cross-check twin of :func:`_assign_np`, not
+    the default: HOF dots evaluate interpreted (CodegenFallback, ~6 µs
+    each measured), so at scale this formulation is bounded by dot count
+    however it is expressed — five reformulations measured 8.5 to 23.6 s
+    for 1.58 M routing dots at sf1; the Arrow matmul does the same work
+    in milliseconds."""
     rows = (
         emb.where(F.col("vec_id") < k)
         .orderBy("vec_id")
@@ -107,30 +112,12 @@ def _assign(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
     )
 
 
-def _assign_np(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
-    """Vectorized twin of :func:`_assign` — Arrow-batched ``mapInPandas``
-    over a broadcast numpy centroid matrix (one b×64 @ 64×k matmul per
-    batch). Dense vector math is BLAS-shaped: Spark's higher-order
-    functions EXPRESS the dot product but evaluate it interpreted at
-    ~6 µs per 64-dim dot (measured; HOFs are CodegenFallback), which is
-    3 orders slower than a matmul. This is the same legitimate-Python
-    exception class as the multimodal codecs: Arrow batches, columnar
-    kernels, no per-row Python. Tie-break parity with the JVM path:
-    ``np.argmax`` returns the FIRST maximal index = lowest cluster_id,
-    exactly the struct-min tie rule; equality is pinned by
-    ``test_semantic_dedup_vectorized_matches_jvm``."""
+def _route_np(emb: DataFrame, ids, cmat) -> DataFrame:
+    """Routing kernel shared by seeded and trained paths: ``cmat`` is a
+    64×k numpy matrix of NORMALIZED centroid columns, ``ids`` the
+    cluster label per column; one b×64 @ 64×k matmul per Arrow batch."""
     import numpy as np
     import pandas as pd
-
-    rows = (
-        emb.where(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select("vec_id", "e")
-        .collect()
-    )
-    ids = np.array([int(r["vec_id"]) for r in rows])
-    cmat = np.array([r["e"] for r in rows], dtype=np.float64)
-    cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T  # 64×k
 
     def route(batches):
         for pdf in batches:
@@ -148,6 +135,32 @@ def _assign_np(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
     return emb.mapInPandas(
         route, "vec_id long, cluster_id long, e array<double>, nrm double"
     )
+
+
+def _assign_np(emb: DataFrame, k: int = K_SEEDS) -> DataFrame:
+    """Vectorized twin of :func:`_assign` — Arrow-batched ``mapInPandas``
+    over a broadcast numpy centroid matrix (one b×64 @ 64×k matmul per
+    batch). Dense vector math is BLAS-shaped: Spark's higher-order
+    functions EXPRESS the dot product but evaluate it interpreted at
+    ~6 µs per 64-dim dot (measured; HOFs are CodegenFallback), which is
+    3 orders slower than a matmul. This is the same legitimate-Python
+    exception class as the multimodal codecs: Arrow batches, columnar
+    kernels, no per-row Python. Tie-break parity with the JVM path:
+    ``np.argmax`` returns the FIRST maximal index = lowest cluster_id,
+    exactly the struct-min tie rule; equality is pinned by
+    ``test_semantic_dedup_vectorized_matches_jvm``."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "e")
+        .collect()
+    )
+    ids = np.array([int(r["vec_id"]) for r in rows])
+    cmat = np.array([r["e"] for r in rows], dtype=np.float64)
+    cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T  # 64×k
+    return _route_np(emb, ids, cmat)
 
 
 def _removed_np(assign: DataFrame) -> DataFrame:
@@ -175,6 +188,51 @@ def _removed_np(assign: DataFrame) -> DataFrame:
     )
 
 
+def _report_from_assign(assign: DataFrame) -> DataFrame:
+    """(cluster_id, n_vecs, n_removed, n_kept, removed_checksum) from a
+    materialized vectorized assignment."""
+    removed = (
+        _removed_np(assign)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_removed"),
+            F.sum("vec_id").alias("removed_sum"),
+        )
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("n_vecs"))
+    return sizes.join(removed, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vecs",
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+        F.coalesce("removed_sum", F.lit(0)).alias("removed_checksum"),
+    )
+
+
+def semantic_dedup_trained(
+    spark, emb: DataFrame, k: int = K_SEEDS, iters: int = 3
+) -> DataFrame:
+    """The production SemDeDup composition: Lloyd's-trained k-means
+    codebook (:func:`~ballcone_spark.operators.kmeans.train_ivf_codebook`
+    — Abbas et al. cluster with real k-means, not raw seeds) → the same
+    vectorized route → pair → greedy-remove report. Iterative training
+    makes this rows-only (the kmeans class); the seeded
+    :func:`semantic_dedup_report` is the oracle-checked twin sharing
+    every kernel downstream of the centroid source."""
+    import numpy as np
+
+    from ballcone_spark.operators.kmeans import train_ivf_codebook
+
+    cents = train_ivf_codebook(
+        spark, emb.select("vec_id", F.col("e").alias("embedding")), k, iters
+    ).collect()
+    cents = sorted(cents, key=lambda r: r["cell_id"])
+    ids = np.array([int(r["cell_id"]) for r in cents])
+    cmat = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T
+    return _report_from_assign(_route_np(emb, ids, cmat).localCheckpoint())
+
+
 def semantic_dedup_report(
     emb: DataFrame, k: int = K_SEEDS, vectorized: bool = True
 ) -> DataFrame:
@@ -191,27 +249,7 @@ def semantic_dedup_report(
     both paths to identical output, and the DuckDB oracle checks the
     vectorized path row-for-row)."""
     if vectorized:
-        assign = _assign_np(emb, k).localCheckpoint()
-        removed = (
-            _removed_np(assign)
-            .groupBy("cluster_id")
-            .agg(
-                F.count("*").alias("n_removed"),
-                F.sum("vec_id").alias("removed_sum"),
-            )
-        )
-        sizes = assign.groupBy("cluster_id").agg(
-            F.count("*").alias("n_vecs")
-        )
-        return sizes.join(removed, "cluster_id", "left").select(
-            "cluster_id",
-            "n_vecs",
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            (
-                F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))
-            ).alias("n_kept"),
-            F.coalesce("removed_sum", F.lit(0)).alias("removed_checksum"),
-        )
+        return _report_from_assign(_assign_np(emb, k).localCheckpoint())
     # materialize the routing once: three consumers (sizes + both pair
     # legs) would otherwise re-run the n×k argmax map each
     assign = _assign(emb, k).localCheckpoint()
@@ -304,3 +342,22 @@ def docs_semantic_dedup(spark, sf_dir):
     return semantic_dedup_report(emb, adaptive_k(emb.count())).orderBy(
         "cluster_id"
     )
+
+
+@_query(
+    "docs_semantic_dedup_trained",
+    None,  # iterative k-means training — rows-only (the kmeans class);
+    # every kernel downstream of the centroid source is oracle-checked
+    # through docs_semantic_dedup's seeded twin
+    driver=False,
+    cacheable=False,  # training runs driver-side jobs at build time
+)
+def docs_semantic_dedup_trained(spark, sf_dir):
+    """SemDeDup with a Lloyd's-trained codebook (the production
+    composition kmeans → route → pair → remove)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return semantic_dedup_trained(
+        spark, emb, adaptive_k(emb.count())
+    ).orderBy("cluster_id")

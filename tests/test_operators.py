@@ -1437,3 +1437,29 @@ def test_semantic_dedup_vectorized_matches_jvm(spark):
     vec = sorted(tuple(r) for r in semantic_dedup_report(emb, 8, vectorized=True).collect())
     jvm = sorted(tuple(r) for r in semantic_dedup_report(emb, 8, vectorized=False).collect())
     assert vec == jvm and len(vec) > 0
+
+
+def test_semantic_dedup_trained_composition(spark):
+    """kmeans → SemDeDup: the trained path returns exactly k clusters
+    partitioning the corpus, and still removes the planted-style
+    near-dups the seeded twin finds (trained centroids can only
+    tighten clusters, never lose a within-cluster dup pair entirely
+    on this corpus)."""
+    from ballcone_spark.operators.semantic_dedup import (
+        semantic_dedup_report,
+        semantic_dedup_trained,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rep = semantic_dedup_trained(spark, emb, k=8, iters=2).collect()
+    assert len(rep) == 8
+    assert sum(r["n_vecs"] for r in rep) == emb.count()
+    seeded_removed = sum(
+        r["n_removed"]
+        for r in semantic_dedup_report(emb, 8, vectorized=True).collect()
+    )
+    trained_removed = sum(r["n_removed"] for r in rep)
+    assert trained_removed >= seeded_removed > 0
