@@ -384,3 +384,155 @@ def ivf_pq_ann(
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# Arrow-vectorized PQ kernels (the BLAS-shaped twin; see semantic_dedup) #
+# --------------------------------------------------------------------- #
+
+
+def pq_encode_np(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Vectorized twin of :func:`pq_encode`: per Arrow batch, one
+    (b, k, d_sub) squared-distance broadcast + argmin per subspace.
+    Same tie rule as the JVM argmin (np.argmin returns the FIRST
+    minimal index = lowest code). Exists because the literal-table HOF
+    argmin evaluates interpreted (CodegenFallback) — the measured ~6 µs
+    per dot puts the JVM path 3 orders off a numpy kernel at corpus
+    scale (BASELINE.md §6: PQ was the one family member DuckDB beat)."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.array(books, dtype=np.float64)  # (m, k, d_sub)
+    m, _, d_sub = B.shape
+
+    def enc(batches):
+        for pdf in batches:
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.stack(
+                [
+                    np.argmin(
+                        (
+                            (e[:, i * d_sub : (i + 1) * d_sub, None] - B[i].T[None])
+                            ** 2
+                        ).sum(axis=1),
+                        axis=1,
+                    )
+                    for i in range(m)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes.astype("int32"))}
+            )
+
+    return emb.mapInPandas(enc, "vec_id long, codes array<int>")
+
+
+def pq_ann_np(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int,
+) -> DataFrame:
+    """Vectorized twin of :func:`pq_ann` — the FAISS ADC formulation
+    made explicit: per query a dot-product LUT (m × k) and a
+    squared-norm LUT over the codebooks, so each corpus vector's
+    similarity to every query is m table lookups + one divide; the
+    reconstructed vector is never materialized. Encode and score fuse
+    into ONE Arrow pass over the corpus; top-k stays the JVM
+    WindowGroupLimit tail."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.array(books, dtype=np.float64)  # (m, k, d_sub)
+    m, _, d_sub = B.shape
+    qrows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    qids = np.array([int(r["vec_id"]) for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (nq,)
+    # dot LUT: (m, nq, k) — query subvector · codebook centroid
+    dlut = np.stack(
+        [qmat[:, i * d_sub : (i + 1) * d_sub] @ B[i].T for i in range(m)]
+    )
+    nsq = (B * B).sum(axis=2)  # (m, k): centroid squared norms
+
+    def score(batches):
+        for pdf in batches:
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.stack(
+                [
+                    np.argmin(
+                        (
+                            (e[:, i * d_sub : (i + 1) * d_sub, None] - B[i].T[None])
+                            ** 2
+                        ).sum(axis=1),
+                        axis=1,
+                    )
+                    for i in range(m)
+                ],
+                axis=1,
+            )  # (b, m)
+            dots = np.zeros((codes.shape[0], len(qids)))
+            rn2 = np.zeros(codes.shape[0])
+            for i in range(m):
+                dots += dlut[i][:, codes[:, i]].T  # (b, nq)
+                rn2 += nsq[i][codes[:, i]]
+            sim = dots / (np.sqrt(rn2)[:, None] * qnorm[None, :])
+            b = codes.shape[0]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], b, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].values[:, None], len(qids), axis=1
+                    ).ravel(),
+                    "sim": sim.ravel(),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@_query(
+    "embeddings_pq_ann_recall_vectorized",
+    _PQ_RECALL_ORACLE,  # the SAME oracle as the JVM twin: recall counts
+    # neighbor-ID membership only, so the check is immune to last-ulp
+    # similarity differences between the fold and the LUT summation —
+    # the vectorized path gets FULL hash verification, not rows-only
+    driver=False,
+    cacheable=False,  # seed collect at plan build
+)
+def embeddings_pq_ann_recall_vectorized(spark, sf_dir):
+    """recall@5 of the ADC-LUT vectorized PQ path vs exact brute force —
+    the Arrow twin of `embeddings_pq_ann_recall`, hash-checked against
+    the identical DuckDB oracle."""
+    from ballcone_spark.operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    books = train_pq_codebooks(spark, emb, m=_M, k=_K_CODES, iters=0)
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    bf = knn_bruteforce(emb, q, _K_NN).select("query_id", "neighbor_id")
+    pq = (
+        pq_ann_np(emb, q, books, _K_NN)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        bf.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / float(_K_NN), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
