@@ -27,7 +27,7 @@ from pyspark.sql import Window
 
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["cosine", "knn_bruteforce", "ann_lsh", "PLANES"]
+__all__ = ["cosine", "knn_bruteforce", "knn_bruteforce_np", "ann_lsh", "PLANES"]
 
 _K = 5
 _N_QUERIES = 5  # vec_id < 5
@@ -121,6 +121,85 @@ def embeddings_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for query vectors vec_id<5 — the ANN baseline."""
     emb = _emb(spark, sf_dir)
     return knn_bruteforce(emb, emb.where(F.col("vec_id") < _N_QUERIES), _K)
+
+
+def knn_bruteforce_np(
+    emb: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Arrow twin of :func:`knn_bruteforce` — one corpus-batch ×
+    query-matrix matmul per Arrow batch instead of per-pair interpreted
+    HOF cosines (CodegenFallback, ~6 µs per 64-dim dot — the round-6
+    finding; see semantic_dedup/quantization). At a 100 TB corpus the
+    exact baseline is exactly this shape: queries broadcast as a numpy
+    matrix, one scan, per-batch BLAS, top-k via the same
+    WindowGroupLimit tail. Hash-checked against the SAME O(n²) DuckDB
+    oracle as the JVM twin (`embeddings_knn_bruteforce_vectorized`)."""
+    import numpy as np
+
+    qrows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    qids = np.array([int(r["vec_id"]) for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]  # (nq, d)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            en = e / np.sqrt((e * e).sum(axis=1))[:, None]
+            sim = en @ qn.T  # (b, nq)
+            b = sim.shape[0]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids[None, :], b, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].values[:, None], len(qids), axis=1
+                    ).ravel(),
+                    "sim": sim.ravel(),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.qe, c.e) AS sim
+               FROM q, corpus c WHERE c.vec_id != q.query_id),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim, rank
+    FROM ranked WHERE rank <= {_K} ORDER BY query_id, rank
+    """
+
+
+@_query(
+    "embeddings_knn_bruteforce_vectorized",
+    _KNN_ORACLE,  # the JVM twin's oracle verbatim — full hash check of
+    # the Arrow path incl. the rounded sims (matmul vs fold summation
+    # agree to 4 dp on this data; ranks break ties on neighbor_id)
+    driver=False,
+    cacheable=False,  # query collect at plan build
+)
+def embeddings_knn_bruteforce_vectorized(spark, sf_dir):
+    """Exact cosine top-5 via the Arrow matmul twin."""
+    emb = _emb(spark, sf_dir)
+    return knn_bruteforce_np(emb, emb.where(F.col("vec_id") < _N_QUERIES), _K)
 
 
 @_query(
