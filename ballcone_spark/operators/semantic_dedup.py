@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.similarity import _dot, _norm
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["semantic_dedup_report", "semantic_dedup_trained", "adaptive_k"]
+__all__ = [
+    "semantic_dedup_report",
+    "semantic_dedup_trained",
+    "semantic_dedup_keep",
+    "adaptive_k",
+]
 
 #: floor on the number of deterministic seed centroids (vec_id < K)
 K_SEEDS = 8
@@ -361,3 +366,17 @@ def docs_semantic_dedup_trained(spark, sf_dir):
     return semantic_dedup_trained(
         spark, emb, adaptive_k(emb.count())
     ).orderBy("cluster_id")
+
+
+def semantic_dedup_keep(
+    emb: DataFrame, k: int = K_SEEDS
+) -> DataFrame:
+    """The materialization consumers actually want: the corpus with the
+    removed vectors dropped — (vec_id, cluster_id, e) of survivors.
+    Same vectorized route/pair kernels; the removed set anti-joins the
+    assignment (hash join on vec_id, no second scoring pass)."""
+    assign = _assign_np(emb, k).localCheckpoint()
+    removed = _removed_np(assign).select("vec_id")
+    return assign.join(removed, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id", "e"
+    )

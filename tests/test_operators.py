@@ -1463,3 +1463,54 @@ def test_semantic_dedup_trained_composition(spark):
     )
     trained_removed = sum(r["n_removed"] for r in rep)
     assert trained_removed >= seeded_removed > 0
+
+
+def test_semantic_dedup_keep_complements_report(spark):
+    """keep-list ∪ removed == corpus, keep-list ∩ removed == ∅, and the
+    per-cluster survivor counts equal the report's n_kept."""
+    from ballcone_spark.operators.semantic_dedup import (
+        semantic_dedup_keep,
+        semantic_dedup_report,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    kept = semantic_dedup_keep(emb, 8)
+    rep = {r["cluster_id"]: r for r in semantic_dedup_report(emb, 8).collect()}
+    by_cluster = {
+        r["cluster_id"]: r["n"]
+        for r in kept.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(by_cluster.values()) == emb.count() - sum(
+        r["n_removed"] for r in rep.values()
+    )
+    for cid, n in by_cluster.items():
+        assert n == rep[cid]["n_kept"], cid
+
+
+def test_bigram_lm_ppl_bounds(spark):
+    """Perplexity under a smoothed LM is > 1 for every doc (probabilities
+    are strictly < 1 under add-one smoothing) and finite."""
+    from ballcone_spark.operators.lm_quality import bigram_lm_scores
+    from ballcone_spark.queries import load_table
+
+    rows = bigram_lm_scores(load_table(spark, SF, "documents")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["ppl"] > 1.0 and r["avg_logp"] < 0.0
+        assert r["n_bigrams"] >= 1
+
+
+def test_boilerplate_coverage_bounds(spark):
+    """Covered fraction lies in [0, 1] for every doc, and covered_tokens
+    never exceeds n_tokens."""
+    from ballcone_spark.operators.lm_quality import boilerplate_spans
+    from ballcone_spark.queries import load_table
+
+    rows = boilerplate_spans(load_table(spark, SF, "documents")).collect()
+    assert any(r["covered_tokens"] > 0 for r in rows)  # non-vacuous corpus
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["covered_frac"] <= 1.0
