@@ -1,0 +1,150 @@
+"""Incremental (streaming) semantic dedup — the SemDeDup decision rule
+applied per micro-batch against a persistent routed-vector index; the
+embedding twin of :mod:`ballcone_spark.streaming.dedup_stream`'s
+MinHash pipeline (beyond-reference).
+
+Semantics: a new vector is a duplicate when ANY earlier vector in its
+cluster — from a previous batch, or earlier (lower vec_id) within the
+same batch — sits at cosine >= tau. "Earlier" counts BOTH kept and
+removed vectors, which makes the streamed decision sequence EXACTLY the
+batch keep-lowest-id rule replayed in arrival order (greedy-vs-kept
+would diverge on chains A~B, B~C, A≁C); the equivalence is pinned by
+``test_semantic_stream_matches_batch_rule``.
+
+Durability contract (inherited from dedup_stream): per-batch decisions
+and index rows land in ``batch_id=<n>`` partition dirs via overwrite —
+a replayed batch rewrites its own partition idempotently and reads only
+``batch_id < current`` history, so crash/replay cannot double-count or
+see its own output.
+
+Scale shape: routing is the Arrow matmul kernel (one b×64 @ 64×k per
+batch); the decision pass is one ``applyInPandas`` per touched cluster
+over history∪batch (history filtered by the batch's cluster set before
+the shuffle). Per-batch cost grows with resident cluster size — a real
+deployment bounds it with IVF-PQ compressed-domain scoring; documented
+trade-off, same class as the MinHash index's band-probe growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.semantic_dedup import TAU, _route_np
+
+__all__ = ["start_semantic_dedup_stream", "read_semantic_index"]
+
+_IDX_SCHEMA = (
+    "vec_id long, cluster_id long, e array<double>, nrm double, batch_id long"
+)
+
+
+def read_semantic_index(spark: SparkSession, index_dir: str):
+    import os
+
+    if not os.path.isdir(index_dir) or not any(
+        d.startswith("batch_id=") for d in os.listdir(index_dir)
+    ):
+        return None
+    return spark.read.schema(_IDX_SCHEMA).parquet(index_dir)
+
+
+def _decide(batch_routed: DataFrame, hist: DataFrame | None, tau: float):
+    """(vec_id, cluster_id, is_dup, n_matches) for the batch rows."""
+    import numpy as np
+    import pandas as pd
+
+    new = batch_routed.select(
+        "vec_id", "cluster_id", "e", "nrm", F.lit(True).alias("_new")
+    )
+    if hist is not None:
+        clusters = new.select("cluster_id").distinct()
+        old = (
+            hist.join(F.broadcast(clusters), "cluster_id", "left_semi")
+            .select(
+                "vec_id", "cluster_id", "e", "nrm", F.lit(False).alias("_new")
+            )
+        )
+        pool = old.unionByName(new)
+    else:
+        pool = new
+
+    def decide(key, pdf):
+        # history first (already decided, any order), then new by vec_id —
+        # the arrival order the batch rule replays
+        pdf = pdf.sort_values(["_new", "vec_id"]).reset_index(drop=True)
+        e = np.array(pdf["e"].tolist(), dtype=np.float64)
+        n = e / pdf["nrm"].values[:, None]
+        sim = n @ n.T
+        earlier = np.tril(sim >= tau, k=-1)  # [j, i]: i earlier than j
+        is_new = pdf["_new"].values
+        matches = earlier.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].values[is_new],
+                "cluster_id": key[0],
+                "is_dup": (matches > 0)[is_new],
+                "n_matches": matches[is_new].astype("int64"),
+            }
+        )
+
+    return pool.groupBy("cluster_id").applyInPandas(
+        decide, "vec_id long, cluster_id long, is_dup boolean, n_matches long"
+    )
+
+
+def _overwrite_partition(df: DataFrame, base: str, batch_id: int) -> None:
+    df.write.mode("overwrite").parquet(f"{base}/batch_id={batch_id}")
+
+
+def start_semantic_dedup_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    index_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    tau: float = TAU,
+    available_now: bool = True,
+):
+    """Stream JSON-lines ``{"vec_id": ..., "e": [...]}`` files through
+    the incremental SemDeDup rule against a frozen centroid set.
+
+    Per batch: route (Arrow matmul) → decide vs ``batch_id < current``
+    history plus earlier-in-batch (both kept AND removed rows — exact
+    batch-rule equivalence) → overwrite ``decisions_dir/batch_id=<n>``
+    and ``index_dir/batch_id=<n>``. Returns the StreamingQuery."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    ids = np.array([int(c) for c, _ in cents])
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T
+
+    raw = spark.readStream.format("text").load(spool_dir)
+    vecs = raw.select(
+        F.get_json_object("value", "$.vec_id").cast("long").alias("vec_id"),
+        F.from_json(
+            F.get_json_object("value", "$.e"), "array<double>"
+        ).alias("e"),
+    ).where(F.col("vec_id").isNotNull() & F.col("e").isNotNull())
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = _route_np(batch_df, ids, cmat).localCheckpoint(eager=True)
+        if not routed.take(1):
+            return
+        hist = read_semantic_index(spark, index_dir)
+        if hist is not None:
+            hist = hist.where(F.col("batch_id") < F.lit(batch_id)).drop(
+                "batch_id"
+            )
+        decisions = _decide(routed, hist, tau)
+        _overwrite_partition(decisions, decisions_dir, batch_id)
+        _overwrite_partition(routed, index_dir, batch_id)
+
+    writer = vecs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

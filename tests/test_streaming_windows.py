@@ -770,3 +770,97 @@ def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
     assert shifted["drift"]
     assert shifted["n_oov"] > 0
     assert shifted["ppl"] > in_dist["ppl"]
+
+
+# --------------------------------------------------------------------- #
+# incremental semantic dedup (streaming/semantic_stream.py)             #
+# --------------------------------------------------------------------- #
+
+
+def _sem_batch_rule(rows, centroids, tau):
+    """Independent pure-numpy replay of the batch keep-lowest-id rule:
+    route by argmax cosine, then a vector is dup iff ANY lower-vec_id
+    vector (kept or removed) in its cluster sits at >= tau."""
+    import numpy as np
+
+    cents = sorted(centroids)
+    ids = [c for c, _ in cents]
+    C = np.array([v for _, v in cents], dtype=float)
+    C = C / np.sqrt((C * C).sum(axis=1))[:, None]
+    routed = {}
+    for vid, e in sorted(rows):
+        v = np.array(e, dtype=float)
+        cid = ids[int(np.argmax(C @ (v / np.linalg.norm(v))))]
+        routed.setdefault(cid, []).append((vid, v / np.linalg.norm(v)))
+    out = {}
+    for cid, members in routed.items():
+        for j, (vid, v) in enumerate(members):
+            out[vid] = any(
+                float(v @ u) >= tau for _, u in members[:j]
+            )
+    return out
+
+
+def test_semantic_stream_matches_batch_rule_and_replays(spark, tmp_path):
+    """Two micro-batches of vectors stream through the incremental
+    SemDeDup rule; the union of decisions must equal the batch
+    keep-lowest-id rule replayed in arrival order, and re-running the
+    stream (fresh checkpoint, same spool) must reproduce identical
+    decisions (partition-overwrite idempotence)."""
+    import json as _json
+
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def unit(axis, scale=1.0):
+        return [scale if d == axis else 0.0 for d in range(dim)]
+
+    centroids = [(0, unit(0)), (1, unit(1)), (2, unit(2))]
+    near0 = [0.99 if d == 0 else (0.01 if d == 1 else 0.0) for d in range(dim)]
+    batch1 = [(10, unit(0)), (11, unit(1)), (12, unit(2))]
+    batch2 = [(20, near0), (21, unit(1, 2.0)), (22, unit(2))]
+    # 20 dups 10 (cluster 0); 21 dups 11 (same direction, cluster 1);
+    # 22 dups 12 (cluster 2)
+
+    spool = tmp_path / "sem_spool"
+    spool.mkdir()
+
+    def write(name, rows):
+        with open(spool / name, "w") as f:
+            for vid, e in rows:
+                f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+
+    def run(tag):
+        q = start_semantic_dedup_stream(
+            spark,
+            str(spool),
+            str(tmp_path / f"sem_idx_{tag}"),
+            str(tmp_path / f"sem_dec_{tag}"),
+            str(tmp_path / f"sem_ckpt_{tag}"),
+            centroids,
+            tau=0.9,
+        )
+        q.awaitTermination(120)
+        return {
+            r["vec_id"]: r["is_dup"]
+            for r in spark.read.parquet(
+                str(tmp_path / f"sem_dec_{tag}")
+            ).collect()
+        }
+
+    write("b0.jsonl", batch1)
+    first = run("a")
+    write("b1.jsonl", batch2)
+    got = run("a")  # same checkpoint: processes only the new file
+
+    expected = _sem_batch_rule(batch1 + batch2, centroids, tau=0.9)
+    assert got == expected
+    assert not any(first[v] for v, _ in batch1)  # batch 1 all kept
+    assert got[20] and got[21] and got[22]       # batch 2 all dups
+
+    # full replay from scratch (fresh checkpoint+dirs) is identical
+    replay = run("b")
+    assert replay == got
