@@ -1514,3 +1514,36 @@ def test_boilerplate_coverage_bounds(spark):
     for r in rows:
         assert 0 <= r["covered_tokens"] <= r["n_tokens"]
         assert 0.0 <= r["covered_frac"] <= 1.0
+
+
+def test_ivf_pq_ann_np_matches_jvm_composition(spark):
+    """The Arrow IVF-PQ must return the identical top-k as the JVM
+    composition for the same centroids and codebooks (cell routing,
+    compressed-domain ranking, exact rerank all included)."""
+    from ballcone_spark.operators.kmeans import train_ivf_codebook
+    from ballcone_spark.operators.quantization import (
+        ivf_pq_ann,
+        ivf_pq_ann_np,
+        train_pq_codebooks,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents_df = train_ivf_codebook(spark, emb, k=4, iters=1)
+    cents = [
+        (r["cell_id"], [float(x) for x in r["centroid"]])
+        for r in cents_df.collect()
+    ]
+    books = train_pq_codebooks(spark, emb, m=8, k=16, iters=0)
+    q = emb.where(F.col("vec_id") < 3)
+
+    jvm = [
+        tuple(r)
+        for r in ivf_pq_ann(spark, emb, q, cents_df, books, k=5).collect()
+    ]
+    arrow = [
+        tuple(r) for r in ivf_pq_ann_np(emb, q, cents, books, k=5).collect()
+    ]
+    assert arrow == jvm and len(arrow) > 0
