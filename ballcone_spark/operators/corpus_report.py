@@ -152,7 +152,9 @@ ORDER BY a.source
 @_query(
     "docs_corpus_report",
     _REPORT_ORACLE,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted to driver r7 (VERDICT r6 #5): the dataset card a curator
+    # ships — the most production-shaped composition in the corpus
+    # family; slot freed by demoting the tpch_q14 echo
 )
 def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card: per-source doc/token mass, exact-dup count,

@@ -331,7 +331,9 @@ ORDER BY n.cluster_id
 @_query(
     "docs_semantic_dedup",
     _SEM_ORACLE,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted to driver r7 (VERDICT r6 #5): the published web-scale
+    # semantic-dedup method (Abbas et al.), vectorized route/pair
+    # kernels; slot freed by demoting the tpch_q8 echo
     cacheable=False,  # adaptive_k runs a count() at plan build
 )
 def docs_semantic_dedup(spark, sf_dir):

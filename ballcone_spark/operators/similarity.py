@@ -103,7 +103,11 @@ def knn_bruteforce(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 
 @_query(
     "embeddings_knn_bruteforce",
-    f"""
+    driver=False,  # demoted r7 (VERDICT r6 #1): interpreted-HOF cosine
+    # (~6 µs/dot, CodegenFallback) — the Arrow matmul twin with the
+    # identical oracle is the driver entry; this stays the pure-JVM
+    # cross-check, hash-checked locally
+    oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id < {_N_QUERIES}),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -193,7 +197,10 @@ _KNN_ORACLE = f"""
     _KNN_ORACLE,  # the JVM twin's oracle verbatim — full hash check of
     # the Arrow path incl. the rounded sims (matmul vs fold summation
     # agree to 4 dp on this data; ranks break ties on neighbor_id)
-    driver=False,
+    # promoted to driver r7 (VERDICT r6 #1): the exact baseline you'd
+    # actually run at 100 TB — queries broadcast as a numpy matrix, one
+    # corpus scan, per-batch BLAS (2.7× the interpreted-HOF twin here,
+    # and the gap grows with corpus size)
     cacheable=False,  # query collect at plan build
 )
 def embeddings_knn_bruteforce_vectorized(spark, sf_dir):

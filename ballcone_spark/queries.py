@@ -599,7 +599,12 @@ _sql_query(
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'
     """,
-    doc="TPC-H Q14 shape: conditional aggregation over a broadcast join.",
+    doc="TPC-H Q14 shape: conditional aggregation over a broadcast join. "
+    "Demoted to EXTRA (r7, VERDICT r6 #5): an echo of the covered "
+    "broadcast-join + conditional-agg shape (q8 is the strict superset); "
+    "the freed driver slot went to docs_corpus_report. Oracle parity "
+    "stays machine-checked locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(
@@ -723,7 +728,12 @@ _sql_query(
     GROUP BY o_year
     ORDER BY o_year
     """,
-    doc="TPC-H Q8 shape: supplier-nation market share inside a region.",
+    doc="TPC-H Q8 shape: supplier-nation market share inside a region. "
+    "Demoted to EXTRA (r7, VERDICT r6 #5): its deep star-join + "
+    "conditional-share shape is covered by q5/q9/q7; the freed driver "
+    "slot went to docs_semantic_dedup. Oracle parity stays "
+    "machine-checked locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(

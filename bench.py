@@ -66,7 +66,9 @@ HEADLINE = [
     # 3-batch form — the per-batch loop divides the same work over time)
     "dedup_incremental_minhash",
     "docs_token_stats",
-    "embeddings_knn_bruteforce",
+    # r7: the Arrow matmul twin is the registered entry (VERDICT r6 #1);
+    # bench the shipped path — same DuckDB oracle verbatim
+    "embeddings_knn_bruteforce_vectorized",
 ]
 
 #: runs per steady-state measurement; reported value is the median

@@ -789,6 +789,33 @@ def test_pq_quantization_properties(spark):
     assert len(bf & pq) / len(bf) >= 0.15  # ≫ ~0.01 chance
 
 
+def test_pq_encode_np_matches_jvm(spark):
+    """Code-level equality of the Arrow encoder vs the JVM literal-table
+    argmin at the oracle SF (ADVICE r6: np.argmin's pairwise summation
+    vs the JVM/DuckDB sequential fold could in principle flip an encode
+    for near-equidistant centroids, changing reconstructions and hence
+    neighbor IDs — which the recall oracle is NOT immune to; this pins
+    that the risk does not materialize on the oracle data, for both the
+    iters=0 seed codebooks the driver gate uses and trained ones)."""
+    from ballcone_spark.operators.quantization import (
+        pq_encode,
+        pq_encode_np,
+        train_pq_codebooks,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) embedding"
+    )
+    for iters in (0, 2):
+        books = train_pq_codebooks(spark, emb, m=8, k=16, iters=iters)
+        jvm = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+        arrow = {
+            r["vec_id"]: list(r["codes"]) for r in pq_encode_np(emb, books).collect()
+        }
+        assert jvm == arrow, f"encode mismatch at iters={iters}"
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation: chains, cliques, and singleton-free output
     on a known graph — (1-2-3-4 chain), (10-11-12 triangle), (20-21)."""

@@ -23,14 +23,46 @@ from tests.conftest import GOLDEN_ENTRIES
 SF = "/root/testdata/sf0.01"
 
 
-def test_no_python_in_any_registered_query(spark):
-    """Every driver-contract query is 100% JVM-side: no Python UDF, no
-    Arrow eval, nothing row-at-a-time outside codegen."""
+#: Driver entries allowed to carry Arrow-batched Python stages — each is
+#: BLAS-shaped dense vector math where the JVM expression evaluates
+#: interpreted (HOF CodegenFallback, ~6 µs/dot) and the Arrow kernel is
+#: the faster-at-any-scale path; every one is hash-checked against the
+#: same DuckDB oracle as (or instead of) a pure-JVM twin. Anything NOT
+#: on this list must still be 100% JVM-side — additions need a measured
+#: justification like VERDICT r6 #1's.
+ARROW_ALLOWED = {
+    "embeddings_knn_bruteforce_vectorized",  # corpus×query matmul
+    "embeddings_pq_ann_recall_vectorized",   # ADC lookup tables
+    "docs_semantic_dedup",                   # route matmul + cluster gram
+}
+
+
+def test_no_rowwise_python_in_any_registered_query(spark):
+    """No driver-contract query may contain per-row Python
+    (BatchEvalPython / F.udf / .rdd) — the anti-pattern tier. Arrow
+    stages are banned too UNLESS the entry is on the measured
+    ARROW_ALLOWED list (VERDICT r6 #1: the original all-Python ban also
+    caught the legitimate Arrow-batched BLAS class and kept 5-23×
+    slower HOF twins registered)."""
+    from ballcone_spark.plans.explain import uses_rowwise_python
+
     offenders = []
     for name, fn in entry_mod.queries().items():
-        if uses_python(fn(spark, SF)):
-            offenders.append(name)
+        df = fn(spark, SF)
+        if uses_rowwise_python(df):
+            offenders.append((name, "rowwise"))
+        elif uses_python(df) and name not in ARROW_ALLOWED:
+            offenders.append((name, "arrow-not-allowlisted"))
     assert offenders == []
+
+
+def test_arrow_allowlist_is_tight(spark):
+    """Every ARROW_ALLOWED entry actually needs its exception — if one
+    stops planning Python stages, it must leave the list."""
+    qs = entry_mod.queries()
+    for name in ARROW_ALLOWED:
+        assert name in qs, f"{name} allowlisted but not registered"
+        assert uses_python(qs[name](spark, SF)), name
 
 
 def test_warehouse_date_filter_prunes_partitions(seeded_dao):
@@ -71,7 +103,12 @@ def test_scan_limit_is_take_ordered(spark):
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):
-    df = entry_mod.queries()["embeddings_knn_bruteforce"](spark, SF)
+    """The pure-JVM k-NN twin (EXTRA since r7 — the Arrow matmul twin is
+    the driver entry) must still broadcast the tiny query side against
+    one corpus scan with zero Python."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["embeddings_knn_bruteforce"].fn(spark, SF)
     p = plan_str(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert not uses_python(df)  # dot products in codegen
@@ -457,9 +494,10 @@ def test_lm_quality_and_semdedup_plan_shapes(spark):
     # off a numpy matmul; same legitimate-Python class as the multimodal
     # codecs). The gate pins: per-cluster pairing via grouped Arrow
     # (FlatMapGroupsInPandas), no global windows, no nested-loop joins.
-    sd = plan_str(EXTRA_QUERIES["docs_semantic_dedup"].fn(spark, SF))
+    sd_fn = entry_mod.queries()["docs_semantic_dedup"]  # driver since r7
+    sd = plan_str(sd_fn(spark, SF))
     assert "FlatMapGroupsInPandas" in sd
-    assert global_window_count(EXTRA_QUERIES["docs_semantic_dedup"].fn(spark, SF)) == 0
+    assert global_window_count(sd_fn(spark, SF)) == 0
     assert sd.count("Exchange SinglePartition") == 0
     assert sd.count("BroadcastNestedLoopJoin") == 0
 
