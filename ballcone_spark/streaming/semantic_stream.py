@@ -11,6 +11,18 @@ batch keep-lowest-id rule replayed in arrival order (greedy-vs-kept
 would diverge on chains A~B, B~C, A≁C); the equivalence is pinned by
 ``test_semantic_stream_matches_batch_rule``.
 
+ARRIVAL-ORDER CAVEAT (ADVICE r6): "earlier" for cross-batch pairs means
+ARRIVAL order — every history row counts as earlier than every row of
+the current batch, regardless of vec_id. The streamed sequence is
+therefore the batch keep-lowest-id rule ONLY when vec_ids arrive
+nondecreasing across batches (within a batch the kernel sorts by
+vec_id, so intra-batch order never matters). A lower-vec_id vector
+arriving AFTER a similar higher-vec_id one is removed where a global
+batch run would instead keep it and remove the other — the standard
+first-seen-wins semantics of every streaming dedup index (the MinHash
+stream behaves identically). Pinned by
+``test_semantic_stream_out_of_order_arrival_is_first_seen_wins``.
+
 Durability contract (inherited from dedup_stream): per-batch decisions
 and index rows land in ``batch_id=<n>`` partition dirs via overwrite —
 a replayed batch rewrites its own partition idempotently and reads only
@@ -20,9 +32,15 @@ see its own output.
 Scale shape: routing is the Arrow matmul kernel (one b×64 @ 64×k per
 batch); the decision pass is one ``applyInPandas`` per touched cluster
 over history∪batch (history filtered by the batch's cluster set before
-the shuffle). Per-batch cost grows with resident cluster size — a real
-deployment bounds it with IVF-PQ compressed-domain scoring; documented
-trade-off, same class as the MinHash index's band-probe growth.
+the shuffle). The per-cluster gram is RECTANGULAR — new rows × all
+rows, O(b·(h+b)) FLOPs for history h and batch contribution b — not the
+full (h+b)² (VERDICT r6 #2: history×history similarities are already
+decided and would be computed only to be discarded; at the b≪h steady
+state that waste is a factor of ~h/b, growing with corpus age).
+Per-batch cost still grows linearly with resident cluster size — a
+real deployment bounds THAT with IVF-PQ compressed-domain scoring;
+documented trade-off, same class as the MinHash index's band-probe
+growth.
 """
 
 from __future__ import annotations
@@ -40,13 +58,47 @@ _IDX_SCHEMA = (
 
 
 def read_semantic_index(spark: SparkSession, index_dir: str):
-    import os
-
-    if not os.path.isdir(index_dir) or not any(
-        d.startswith("batch_id=") for d in os.listdir(index_dir)
-    ):
+    """The resident index as a DataFrame, or None before the first batch
+    lands. Probed through the Hadoop FS API (ADVICE r6: an os.listdir
+    probe silently restricted the index to the local filesystem, unlike
+    the DAO/ingest sinks which take any s3a/hdfs URI Spark can read)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    try:
+        if not fs.exists(path) or not any(
+            s.getPath().getName().startswith("batch_id=")
+            for s in fs.listStatus(path)
+        ):
+            return None
+    except Exception:
         return None
     return spark.read.schema(_IDX_SCHEMA).parquet(index_dir)
+
+
+def _decide_kernel(e, nrm, is_new, tau: float):
+    """Per-cluster decision math, factored out for direct testing.
+
+    ``e`` is the (h+b, d) matrix of history∪batch vectors ALREADY in
+    decision order (history first, then new rows by vec_id), ``nrm``
+    their norms, ``is_new`` the boolean batch mask. Returns
+    ``matches`` — for each NEW row, how many strictly-earlier rows sit
+    at cosine >= tau.
+
+    The gram is rectangular: new rows × ALL rows — O(b·(h+b)) FLOPs,
+    never the full (h+b)² (VERDICT r6 #2). The earlier-than mask on the
+    rectangle reproduces exactly the rows the old full-gram tril kept:
+    for the new row at sorted position p, columns 0..p-1.
+    """
+    import numpy as np
+
+    n = e / nrm[:, None]
+    pos = np.arange(len(e))
+    new_pos = pos[is_new]
+    sim = n[is_new] @ n.T  # (b, h+b)
+    earlier = (sim >= tau) & (pos[None, :] < new_pos[:, None])
+    return earlier.sum(axis=1)
 
 
 def _decide(batch_routed: DataFrame, hist: DataFrame | None, tau: float):
@@ -74,17 +126,14 @@ def _decide(batch_routed: DataFrame, hist: DataFrame | None, tau: float):
         # the arrival order the batch rule replays
         pdf = pdf.sort_values(["_new", "vec_id"]).reset_index(drop=True)
         e = np.array(pdf["e"].tolist(), dtype=np.float64)
-        n = e / pdf["nrm"].values[:, None]
-        sim = n @ n.T
-        earlier = np.tril(sim >= tau, k=-1)  # [j, i]: i earlier than j
         is_new = pdf["_new"].values
-        matches = earlier.sum(axis=1)
+        matches = _decide_kernel(e, pdf["nrm"].values, is_new, tau)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"].values[is_new],
                 "cluster_id": key[0],
-                "is_dup": (matches > 0)[is_new],
-                "n_matches": matches[is_new].astype("int64"),
+                "is_dup": matches > 0,
+                "n_matches": matches.astype("int64"),
             }
         )
 

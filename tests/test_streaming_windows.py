@@ -864,3 +864,108 @@ def test_semantic_stream_matches_batch_rule_and_replays(spark, tmp_path):
     # full replay from scratch (fresh checkpoint+dirs) is identical
     replay = run("b")
     assert replay == got
+
+
+def test_semantic_stream_out_of_order_arrival_is_first_seen_wins(
+    spark, tmp_path
+):
+    """ADVICE r6: cross-batch 'earlier' means ARRIVAL order, not vec_id
+    order. A lower-vec_id vector arriving in a LATER batch than a
+    similar higher-vec_id one is the one removed (first-seen-wins) —
+    where a global batch run would keep the lower id. This pins the
+    documented streaming semantics for non-monotone id arrival."""
+    import json as _json
+
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+    unit0 = [1.0 if d == 0 else 0.0 for d in range(dim)]
+    near0 = [0.99 if d == 0 else (0.01 if d == 1 else 0.0) for d in range(dim)]
+    centroids = [(0, unit0)]
+
+    spool = tmp_path / "ooo_spool"
+    spool.mkdir()
+
+    def write(name, rows):
+        with open(spool / name, "w") as f:
+            for vid, e in rows:
+                f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+
+    def run():
+        q = start_semantic_dedup_stream(
+            spark,
+            str(spool),
+            str(tmp_path / "ooo_idx"),
+            str(tmp_path / "ooo_dec"),
+            str(tmp_path / "ooo_ckpt"),
+            centroids,
+            tau=0.9,
+        )
+        q.awaitTermination(120)
+        return {
+            r["vec_id"]: r["is_dup"]
+            for r in spark.read.parquet(str(tmp_path / "ooo_dec")).collect()
+        }
+
+    write("b0.jsonl", [(100, unit0)])  # high id arrives FIRST
+    run()
+    write("b1.jsonl", [(5, near0)])  # lower id arrives second, similar
+    got = run()
+
+    # streaming: first-seen (vec_id 100) wins; the late low id is the dup
+    assert got == {100: False, 5: True}
+    # the global batch rule would decide the opposite way — the
+    # documented divergence for non-monotone arrival
+    batch = _sem_batch_rule([(100, unit0), (5, near0)], centroids, tau=0.9)
+    assert batch == {5: False, 100: True}
+
+
+def test_semantic_decide_kernel_rectangular_and_linear_in_history():
+    """VERDICT r6 #2: the per-cluster decision gram must be
+    b×(h+b), not (h+b)².
+
+    (a) Equivalence: the rectangular kernel reproduces the full-gram
+    tril formulation exactly on random data.
+    (b) Growth: at fixed batch size, doubling history roughly doubles
+    decide time (linear); the old full-gram kernel would quadruple.
+    """
+    import time
+
+    import numpy as np
+
+    from ballcone_spark.streaming.semantic_stream import _decide_kernel
+
+    rng = np.random.default_rng(7)
+
+    # (a) equivalence vs the old full-gram formulation
+    for h, b in [(0, 5), (30, 7), (100, 1)]:
+        e = rng.normal(size=(h + b, 16))
+        nrm = np.sqrt((e * e).sum(axis=1))
+        is_new = np.zeros(h + b, dtype=bool)
+        is_new[h:] = True
+        n = e / nrm[:, None]
+        full = np.tril(n @ n.T >= 0.2, k=-1).sum(axis=1)[is_new]
+        rect = _decide_kernel(e, nrm, is_new, 0.2)
+        assert np.array_equal(full, rect), (h, b)
+
+    # (b) near-linear growth in history at fixed batch size
+    d, b = 64, 200
+
+    def timed(h):
+        e = rng.normal(size=(h + b, d))
+        nrm = np.sqrt((e * e).sum(axis=1))
+        is_new = np.zeros(h + b, dtype=bool)
+        is_new[h:] = True
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _decide_kernel(e, nrm, is_new, 0.9)
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[1]
+
+    timed(1000)  # warm numpy/BLAS
+    t1, t2 = timed(20_000), timed(40_000)
+    # linear → ~2×; the old (h+b)² gram → ~4×. Generous noise margin.
+    assert t2 / t1 < 3.0, (t1, t2)
