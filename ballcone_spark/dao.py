@@ -44,6 +44,7 @@ Scale notes (the design target is a 1000-executor cluster over ~100 TB):
 from __future__ import annotations
 
 import datetime
+import functools
 import os
 import re
 import shutil
@@ -198,6 +199,15 @@ class SparkDAO:
         Within-batch duplicates resolve keep-LAST (later entries win),
         matching replay/CDC ordering. Returns
         ``{"upserted", "replaced", "partitions"}``.
+
+        Key columns match NULL-safely (ADVICE r6). The default keys
+        (datetime/ip/path) are non-nullable in ENTRY_SCHEMA, but custom
+        ``keys`` may include nullable fields (browser_name, referer, …)
+        — and plain ``=`` never matches a NULL, so a null-keyed update
+        would silently insert a duplicate row instead of replacing, and
+        ``replaced`` would undercount. ``datetime`` itself must be
+        non-null: it derives the target partition, so a null there has
+        no well-defined destination.
         """
         if "datetime" not in keys:
             raise ValueError("upsert keys must include 'datetime'")
@@ -205,6 +215,8 @@ class SparkDAO:
         self.create_table(service)
         if not entries:
             return {"upserted": 0, "replaced": 0, "partitions": 0}
+        if any(e.get("datetime") is None for e in entries):
+            raise ValueError("upsert entries must have a non-null datetime")
 
         # within-batch keep-last, driver-side (the API takes a driver list)
         dedup: dict = {}
@@ -225,10 +237,19 @@ class SparkDAO:
             .where(F.col("date").isin(dates))  # partition-pruned
         )
         key_cols = list(keys)
-        replaced = existing.join(
-            upd.select(key_cols), key_cols, "left_semi"
-        ).count()
-        survivors = existing.join(upd.select(key_cols), key_cols, "left_anti")
+        # NULL-safe key match (<=>): a NULL path/ip in an update must
+        # replace the NULL-keyed existing row, not silently duplicate it
+        ex = existing.alias("x")
+        upd_keys = upd.select(key_cols).alias("u")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"x.{k}").eqNullSafe(F.col(f"u.{k}"))
+                for k in key_cols
+            ],
+        )
+        replaced = ex.join(upd_keys, cond, "left_semi").count()
+        survivors = ex.join(upd_keys, cond, "left_anti")
 
         # Eagerly materialize before overwriting the path being read
         # (Spark refuses a lazy read-overwrite cycle on the same files);

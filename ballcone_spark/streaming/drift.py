@@ -45,7 +45,10 @@ def batch_ppl(
     return scored.agg(
         F.lit(n_docs).alias("n_docs"),
         F.count("*").alias("n_bigrams"),
-        F.sum("oov").alias("n_oov"),
+        # zero-bigram batch: SUM over no rows is NULL — report 0 OOV;
+        # ppl stays NULL (nothing scorable), drift is forced false
+        # downstream
+        F.coalesce(F.sum("oov"), F.lit(0)).alias("n_oov"),
         F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
     )
 
@@ -71,9 +74,13 @@ def start_drift_monitor(
     """Attach the drift monitor to a streaming document DataFrame.
 
     Appends one row per micro-batch to ``out_dir`` (parquet):
-    (batch_id, n_docs, n_bigrams, n_oov, ppl, drift) where ``drift`` is
-    true when batch perplexity leaves ``baseline_ppl ± rel_band``
-    (relative). The frozen model is materialized to a local literal-free
+    (batch_id, n_docs, n_bigrams, n_oov, ppl, drift) where ``drift``
+    is true when batch perplexity leaves ``baseline_ppl ± rel_band``
+    (relative). A non-empty batch whose docs are all <2 tokens has
+    ``n_bigrams = 0``: the model has nothing to score, so ``ppl`` is
+    written as NULL and ``drift`` as an explicit ``false`` (ADVICE r6:
+    a NULL drift flag made the batch invisible both to
+    ``drift = true`` alarms and to ``NOT drift`` all-quiet queries). The frozen model is materialized to a local literal-free
     DataFrame once; `foreachBatch` re-broadcasts it per batch — the
     exactly-once story is the sink file commit via the checkpointed
     batch_id, same as the ingest sink."""
@@ -92,7 +99,12 @@ def start_drift_monitor(
                 "n_bigrams",
                 "n_oov",
                 "ppl",
-                ((F.col("ppl") < lo) | (F.col("ppl") > hi)).alias("drift"),
+                # n_bigrams = 0 → ppl NULL; the guard makes drift an
+                # explicit false (false & NULL = false), never NULL
+                (
+                    (F.col("n_bigrams") > 0)
+                    & ((F.col("ppl") < lo) | (F.col("ppl") > hi))
+                ).alias("drift"),
             )
             .write.mode("append")
             .parquet(out_dir)

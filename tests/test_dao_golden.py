@@ -302,3 +302,37 @@ def test_upsert_requires_datetime_key(seeded_dao):
 
     with _pytest.raises(ValueError):
         seeded_dao.upsert_into("test", [], keys=("ip", "path"))
+
+
+def test_upsert_null_key_replaces_not_duplicates(seeded_dao):
+    """ADVICE r6: key columns match NULL-safely. The default keys are
+    non-nullable in ENTRY_SCHEMA, but a custom key tuple may include a
+    nullable field (browser_name here): a row with a NULL key value
+    must be REPLACED by a later upsert with the same NULL-keyed tuple —
+    plain = would never match the NULL and silently insert a duplicate
+    while undercounting `replaced`."""
+    import datetime as _d
+
+    keys = ("datetime", "ip", "path", "browser_name")
+    dt = _d.datetime(2020, 4, 1, 9, 0, 0)
+    seeded_dao.upsert_into(
+        "test",
+        [_upsert_entry(dt, path="/nullkey", browser_name=None, length=1)],
+        keys=keys,
+    )
+    stats = seeded_dao.upsert_into(
+        "test",
+        [_upsert_entry(dt, path="/nullkey", browser_name=None, length=2)],
+        keys=keys,
+    )
+    assert stats["replaced"] == 1  # the NULL-keyed row matched
+
+    rows = [e for e in seeded_dao.select("test") if e.path == "/nullkey"]
+    assert len(rows) == 1 and rows[0].length == 2  # replaced, not duped
+
+
+def test_upsert_rejects_null_datetime(seeded_dao):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-null datetime"):
+        seeded_dao.upsert_into("test", [_upsert_entry(None)])

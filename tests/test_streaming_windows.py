@@ -772,6 +772,49 @@ def test_drift_monitor_flags_distribution_shift(spark, tmp_path):
     assert shifted["ppl"] > in_dist["ppl"]
 
 
+def test_drift_monitor_zero_bigram_batch_is_explicit_false(spark, tmp_path):
+    """ADVICE r6: a non-empty batch whose docs are all <2 tokens yields
+    n_bigrams=0 and a NULL ppl; the drift flag must be an explicit
+    false — a NULL flag is invisible both to drift=true alarms and to
+    NOT-drift all-quiet queries."""
+    import json as _json
+
+    from ballcone_spark.operators.lm_quality import bigram_model
+    from ballcone_spark.streaming.drift import start_drift_monitor
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the lazy dog naps")],
+        ["doc_id", "text"],
+    )
+    model = bigram_model(train)
+
+    src = tmp_path / "zb_src"
+    src.mkdir()
+    with open(src / "b0.jsonl", "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"doc_id": i, "text": "word"}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out_dir = str(tmp_path / "zb_out")
+    q = start_drift_monitor(
+        spark,
+        stream,
+        model,
+        baseline_ppl=10.0,
+        out_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "zb_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["n_docs"] == 3 and row["n_bigrams"] == 0
+    assert row["n_oov"] == 0  # coalesced, not a NULL sum-over-nothing
+    assert row["ppl"] is None  # nothing scorable — documented NULL
+    assert row["drift"] is False  # explicit false, never NULL
+
+
 # --------------------------------------------------------------------- #
 # incremental semantic dedup (streaming/semantic_stream.py)             #
 # --------------------------------------------------------------------- #
