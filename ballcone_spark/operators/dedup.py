@@ -334,8 +334,10 @@ def jaccard_pairs(
     exhaustive inverted index.
 
     Plan-build cost: one count() plus one df-histogram collect (both
-    corpus scans; the registered query is ``cacheable=False`` so
-    neither can go stale)."""
+    corpus scans). The registered query caches the built plan keyed on
+    the documents parquet's fingerprint (``cacheable=("documents",)``)
+    — repeat calls on unchanged data skip both collects, and a data
+    change re-derives the cut, so neither can go stale."""
     if max_df is None or pair_budget is None:
         n_docs = docs.count()
         if max_df is None:
@@ -373,7 +375,11 @@ def jaccard_pairs(
     WHERE shared * 1.0 / (na + nb - shared) >= {_JACCARD_THRESHOLD}
     ORDER BY a_id, b_id
     """,
-    cacheable=False,  # count() + df-histogram collect at build (adaptive cut)
+    # plan (incl. the baked count/df-cut/injectivity literals) is reused
+    # while the documents parquet fingerprint is unchanged; a data
+    # change re-derives the cut (VERDICT r6 #4 — build-time collects
+    # made steady ≈ cold on the family's most expensive operator)
+    cacheable=("documents",),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-duplicate pairs with word-3-gram Jaccard ≥ 0.8 (the corpus
@@ -862,8 +868,11 @@ def _clusters_oracle() -> str:
 @_query(
     "docs_dedup_clusters",
     _clusters_oracle(),
-    cacheable=False,  # dedup_clusters iterates with eager checkpoints at
-    # plan build; a cached plan would freeze one convergence run's RDDs
+    # dedup_clusters iterates with eager checkpoints at plan build; the
+    # converged plan (anchoring those session-lived RDDs) is reused
+    # while the documents parquet fingerprint is unchanged — a data
+    # change re-runs the propagation (VERDICT r6 #4 pattern)
+    cacheable=("documents",),
 )
 def docs_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution, independently checked (VERDICT r4

@@ -243,7 +243,9 @@ def embedding_near_dup_pairs(
     """,
     driver=False,  # vacuous at sf0.01 (no pairs ≥0.9 exist); the driver-
     # checked quality gate is dedup_embedding_cosine_recall below
-    cacheable=False,  # adaptive n_planes runs a count() at plan build
+    # adaptive n_planes runs a count() at plan build — cached while the
+    # embeddings parquet fingerprint is unchanged (VERDICT r6 #4)
+    cacheable=("embeddings",),
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cos ≥ 0.9): the production API, with

@@ -292,7 +292,7 @@ GROUP BY b.query_id ORDER BY b.query_id
     # is 23× slower than the ADC-LUT Arrow path at 20 k vectors; the
     # vectorized twin (same oracle VERBATIM) is the driver entry and
     # this stays as the pure-JVM cross-check, hash-checked locally
-    cacheable=False,
+    cacheable=("embeddings",),  # seed collect at plan build
 )
 def embeddings_pq_ann_recall(spark, sf_dir):
     """recall@5 of compressed-domain PQ ANN vs the exact brute-force
@@ -520,7 +520,9 @@ def pq_ann_np(
     # promoted to driver r7 (VERDICT r6 #1): this IS the path you'd ship
     # at 100 TB — the JVM HOF twin is bounded at ~6 µs per interpreted
     # dot (CodegenFallback) however expressed
-    cacheable=False,  # seed collect at plan build
+    # seed collect at plan build — cached while the embeddings parquet
+    # fingerprint is unchanged (VERDICT r6 #4 pattern)
+    cacheable=("embeddings",),
 )
 def embeddings_pq_ann_recall_vectorized(spark, sf_dir):
     """recall@5 of the ADC-LUT vectorized PQ path vs exact brute force —

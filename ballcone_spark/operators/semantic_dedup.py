@@ -334,7 +334,10 @@ ORDER BY n.cluster_id
     # promoted to driver r7 (VERDICT r6 #5): the published web-scale
     # semantic-dedup method (Abbas et al.), vectorized route/pair
     # kernels; slot freed by demoting the tpch_q8 echo
-    cacheable=False,  # adaptive_k runs a count() at plan build
+    # adaptive_k runs a count() at plan build — cached (with the
+    # checkpointed routing it anchors) while the embeddings parquet
+    # fingerprint is unchanged (VERDICT r6 #4 pattern)
+    cacheable=("embeddings",),
 )
 def docs_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table with deterministic seed

@@ -201,7 +201,9 @@ _KNN_ORACLE = f"""
     # actually run at 100 TB — queries broadcast as a numpy matrix, one
     # corpus scan, per-batch BLAS (2.7× the interpreted-HOF twin here,
     # and the gap grows with corpus size)
-    cacheable=False,  # query collect at plan build
+    # query-vector collect at plan build — cached while the embeddings
+    # parquet fingerprint is unchanged (VERDICT r6 #4 pattern)
+    cacheable=("embeddings",),
 )
 def embeddings_knn_bruteforce_vectorized(spark, sf_dir):
     """Exact cosine top-5 via the Arrow matmul twin."""
