@@ -965,6 +965,94 @@ def test_semantic_stream_out_of_order_arrival_is_first_seen_wins(
     assert batch == {5: False, 100: True}
 
 
+def test_semantic_stream_compressed_matches_exact(spark, tmp_path):
+    """VERDICT r6 #3: the compressed-domain stream (PQ codes in the
+    index, ADC screen, exact rerank of near-tau candidates) must make
+    IDENTICAL decisions — is_dup AND n_matches — to the exact stream on
+    the same spool, and the compressed index must actually carry
+    codes."""
+    import json as _json
+
+    import numpy as np
+
+    from ballcone_spark.streaming.semantic_stream import (
+        _adc_sims,
+        _pq_encode_norm,
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def unit(axis, scale=1.0):
+        return [scale if d == axis else 0.0 for d in range(dim)]
+
+    centroids = [(0, unit(0)), (1, unit(1))]
+    near0 = [0.97, 0.04, 0.01, 0.0, 0.02, 0.0, 0.0, 0.0]
+    mid = [0.6, 0.6, 0.1, 0.0, 0.0, 0.1, 0.0, 0.0]  # no dup: cos < tau
+    batch1 = [(10, unit(0)), (11, unit(1)), (12, [0.95, 0.05, 0, 0, 0, 0, 0, 0])]
+    batch2 = [(20, near0), (21, unit(1, 2.0)), (22, mid)]
+
+    # m=2 subspaces of d_sub=4; centroids cover the corpus's subvectors
+    # imperfectly (noise components land on the nearest centroid) so the
+    # ADC screen is genuinely approximate and the rerank band does work
+    books = [
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0.7, 0.7, 0, 0], [0, 0, 0, 0]],
+        [[0, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0]],
+    ]
+
+    spool = tmp_path / "cmp_spool"
+    spool.mkdir()
+
+    def write(name, rows):
+        with open(spool / name, "w") as f:
+            for vid, e in rows:
+                f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+
+    def run(tag, **kw):
+        q = start_semantic_dedup_stream(
+            spark,
+            str(spool),
+            str(tmp_path / f"cmp_idx_{tag}"),
+            str(tmp_path / f"cmp_dec_{tag}"),
+            str(tmp_path / f"cmp_ckpt_{tag}"),
+            centroids,
+            tau=0.9,
+            **kw,
+        )
+        q.awaitTermination(120)
+        return {
+            r["vec_id"]: (r["is_dup"], r["n_matches"])
+            for r in spark.read.parquet(
+                str(tmp_path / f"cmp_dec_{tag}")
+            ).collect()
+        }
+
+    write("b0.jsonl", batch1)
+    run("exact")
+    run("pq", compressed=True, books=books, eps=0.3)
+    write("b1.jsonl", batch2)
+    exact = run("exact")
+    comp = run("pq", compressed=True, books=books, eps=0.3)
+
+    assert comp == exact
+    assert exact[20][0] and exact[21][0]  # the planted cross-batch dups
+    assert not exact[22][0]  # the sub-threshold vector is kept
+
+    # the compressed index really carries codes
+    idx = spark.read.parquet(str(tmp_path / "cmp_idx_pq")).collect()
+    assert all(r["codes"] is not None for r in idx)
+
+    # the eps band genuinely covers the ADC error on this corpus: the
+    # worst-case |approx - exact| over all pairs is inside eps
+    all_rows = batch1 + batch2
+    E = np.array([e for _, e in all_rows], dtype=float)
+    N = E / np.sqrt((E * E).sum(axis=1))[:, None]
+    codes = _pq_encode_norm(N, np.array(books, dtype=float))
+    approx = _adc_sims(N, codes, np.array(books, dtype=float))
+    err = np.abs(approx - N @ N.T).max()
+    assert err < 0.3, err
+
+
 def test_semantic_decide_kernel_rectangular_and_linear_in_history():
     """VERDICT r6 #2: the per-cluster decision gram must be
     b×(h+b), not (h+b)².
