@@ -247,13 +247,25 @@ _R4 = lambda c: F.round(c, 4)  # noqa: E731
     WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-10'
     ORDER BY ts, event_id LIMIT 100
     """,
+    # the plan reads the ts-sorted copy — rebuild (and re-sort, via
+    # ensure_sorted's own fingerprint guard) when the source changes
+    cacheable=("events",),
 )
 def events_scan_window(spark, sf_dir):
     """Q2: ordered/limited scan with inclusive date bounds (reference
     dao.py:236-249 + apply_dates dao.py:354-369). ts+event_id tie-break
     makes the LIMIT deterministic. Plans as TakeOrderedAndProject — no
-    global sort materialized."""
-    df = _events(spark, sf_dir)
+    global sort materialized.
+
+    Reads the write-once ts-sorted copy (``ensure_sorted``, r7 —
+    VERDICT r6 #6): Catalyst already pushed the date filter as a ts
+    range, but on randomly-ordered data every parquet row group spans
+    the whole month and the pushed filter prunes nothing; sorted, the
+    scan touches only the window's files/pages (sf3 steady
+    0.296 → 0.195 s). Same rows, same oracle — layout only."""
+    from ballcone_spark.plans.bucketing import ensure_sorted
+
+    df = ensure_sorted(spark, sf_dir, "events", "ts")
     return (
         df.where(
             F.to_date("ts").between(

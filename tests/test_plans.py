@@ -65,6 +65,49 @@ def test_arrow_allowlist_is_tight(spark):
         assert uses_python(qs[name](spark, SF)), name
 
 
+def test_ensure_sorted_writes_once_and_rewrites_on_source_change(
+    spark, tmp_path
+):
+    """The ts-sorted events copy (VERDICT r6 #6) is write-once: a second
+    call must reuse the files (same mtimes); a source regeneration must
+    trigger a rewrite (the r5 stale-bucket lesson applies identically)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from ballcone_spark.plans.bucketing import ensure_sorted
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+    shutil.copyfile(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(sf, "events.parquet"),
+    )
+
+    df1 = ensure_sorted(spark, sf, "events", "ts", n_files=2)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    copies = glob.glob(
+        os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts", "*.parquet")
+    )
+    assert copies
+    mtimes = {p: os.path.getmtime(p) for p in copies}
+
+    df2 = ensure_sorted(spark, sf, "events", "ts", n_files=2)
+    assert {p: os.path.getmtime(p) for p in copies} == mtimes  # reused
+    assert df1.count() == df2.count()
+
+    time.sleep(0.01)
+    os.utime(os.path.join(sf, "events.parquet"))  # regenerated source
+    ensure_sorted(spark, sf, "events", "ts", n_files=2)
+    assert {
+        p: os.path.getmtime(p) for p in glob.glob(copies[0].rsplit("/", 1)[0] + "/*.parquet")
+    } != mtimes  # rewritten
+
+    # cleanup: the sfX copy is test-local
+    shutil.rmtree(os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts"))
+
+
 def test_fingerprint_plan_cache_reuses_and_invalidates(spark, tmp_path):
     """VERDICT r6 #4: queries whose build bakes data-dependent literals
     (the jaccard df-cut) cache the built plan keyed on the source
