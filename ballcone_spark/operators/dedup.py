@@ -338,6 +338,20 @@ def jaccard_pairs(
     the documents parquet's fingerprint (``cacheable=("documents",)``)
     — repeat calls on unchanged data skip both collects, and a data
     change re-derives the cut, so neither can go stale."""
+    cand, inj = _rare_shingle_candidates(docs, n, max_df, pair_budget)
+    return exact_jaccard_on_pairs(docs, cand, n=n, hashed=inj)
+
+
+def _rare_shingle_candidates(
+    docs: DataFrame,
+    n: int,
+    max_df: int | None,
+    pair_budget: int | None,
+) -> tuple[DataFrame, bool]:
+    """Candidate (a_id, b_id) pairs from the df-cut inverted index (+
+    MinHash bands when selectivity collapses) and the hashed-verify
+    license — the shared front half of :func:`jaccard_pairs` and
+    :func:`containment_pairs`."""
     if max_df is None or pair_budget is None:
         n_docs = docs.count()
         if max_df is None:
@@ -362,7 +376,7 @@ def jaccard_pairs(
     cand = bucket_pairs(rare, ["s"]).distinct()
     if collapsed:
         cand = cand.union(band_pairs(minhash_signatures(docs, n=n))).distinct()
-    return exact_jaccard_on_pairs(docs, cand, n=n, hashed=bool(inj))
+    return cand, bool(inj)
 
 
 @_query(
@@ -393,6 +407,97 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+#: max-direction shingle containment at-or-above which a pair is a
+#: subset/truncation duplicate
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = _NGRAM,
+    max_df: int | None = None,
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle CONTAINMENT |A∩B|/|A| in
+    both directions, plus Jaccard, for candidate pairs. Catches the
+    duplicate class symmetric Jaccard misses — truncations, excerpts,
+    and subset pages (a 30% excerpt of a page has containment 1.0 but
+    Jaccard 0.3, far under any dedup threshold); standard practice in
+    web-corpus pipelines alongside Jaccard.
+
+    Same scale shape as :func:`jaccard_pairs` (shared candidate front
+    half: df-cut inverted index + band fallback, exact verify on full
+    sets via two doc_id joins — linear, never quadratic). Candidate
+    recall note: a contained doc is found when it shares ≥1 sub-cut
+    shingle with its container — guaranteed in practice for excerpts of
+    any distinctive text; the registered query is hash-checked against
+    the all-pairs oracle at the driver SFs, so a miss would fail the
+    gate, not hide."""
+    cand, inj = _rare_shingle_candidates(docs, n, max_df, pair_budget)
+    sets = docs.withColumn("toks", tokens(F.col("text"))).select(
+        "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
+    )
+    if inj:
+        sets = sets.select(
+            "doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh")
+        )
+    a = sets.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter / F.size("sh_a")).alias("containment_a"),
+            (inter / F.size("sh_b")).alias("containment_b"),
+            (inter / (F.size("sh_a") + F.size("sh_b") - inter)).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@_query(
+    "dedup_containment",
+    f"""
+    WITH {_DUCK_SHINGLES}, {_DUCK_PAIRS}
+    SELECT a_id, b_id,
+           round(shared * 1.0 / na, 4) AS containment_a,
+           round(shared * 1.0 / nb, 4) AS containment_b,
+           round(shared * 1.0 / (na + nb - shared), 4) AS jaccard
+    FROM inter
+    WHERE greatest(shared * 1.0 / na, shared * 1.0 / nb)
+          >= {_CONTAINMENT_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # df-cut collects at plan build
+)
+def dedup_containment(spark, sf_dir):
+    """Subset/truncation duplicates: pairs whose max-direction shingle
+    containment ≥ 0.9 (25 pairs at sf0.01 — the planted near-dup
+    families qualify in both metrics on this corpus; the
+    containment-only class is pinned by
+    ``test_containment_catches_truncation_jaccard_misses``)."""
+    pairs = containment_pairs(_docs(spark, sf_dir))
+    return (
+        pairs.where(
+            F.greatest("containment_a", "containment_b")
+            >= _CONTAINMENT_THRESHOLD
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round("containment_a", 4).alias("containment_a"),
+            F.round("containment_b", 4).alias("containment_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
         .orderBy("a_id", "b_id")
     )
 

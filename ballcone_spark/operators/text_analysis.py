@@ -507,3 +507,92 @@ def docs_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+# --------------------------------------------------------------------- #
+# PII scrubbing                                                         #
+# --------------------------------------------------------------------- #
+
+#: Conservative PII patterns, restricted to the regex subset Java
+#: (Spark) and RE2 (DuckDB) treat identically — explicit classes, no
+#: lookaround, ASCII \b only. Intentionally high-precision shapes (the
+#: published C4/RedPajama-style scrubbers run exactly this class of
+#: pattern at corpus scale; recall-maximal PII detection is an NER
+#: problem out of scope for a relational engine).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs from ``text_col``
+    and count each class — the scrub pass a training-data pipeline runs
+    before tokenization. Pure JVM (``regexp_replace``/``regexp_count``
+    inside codegen): at 100 TB this is a zero-shuffle map over the
+    corpus scan, exactly where regex belongs.
+
+    Counts are per-pattern over the RAW text; replacement is sequential
+    (email → ip → phone) so an address inside an email is redacted as
+    part of the email. Replacement tokens contain no digits, so later
+    patterns can never re-match earlier redactions."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, _PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, _PII_PHONE, "<PHONE>")
+    return (
+        docs.withColumn("n_emails", F.regexp_count(t, F.lit(_PII_EMAIL)))
+        .withColumn("n_ipv4", F.regexp_count(t, F.lit(_PII_IPV4)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(_PII_PHONE)))
+        .withColumn("text_clean", clean)
+    )
+
+
+@_query(
+    "docs_pii_scrub",
+    f"""
+    WITH scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS text_clean
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4,
+           CAST(sum(n_phones) AS BIGINT) AS phones,
+           CAST(sum(CAST(('0x' || substr(md5(text_clean), 1, 8)) AS BIGINT))
+               AS BIGINT) AS clean_checksum
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally —
+    # the synthetic corpus contains no PII (counts are zero), so the
+    # load-bearing value check here is clean_checksum: both engines
+    # must produce byte-identical redacted text; the non-vacuous
+    # planted-PII semantics are pinned by
+    # test_pii_scrub_redacts_planted_pii (incl. a DuckDB diff on the
+    # planted corpus)
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII scrub report: doc count, per-class redaction
+    counts, and a 32-bit-md5 checksum of the redacted text (the value
+    witness that both engines redacted identically)."""
+    scrubbed = pii_scrub(_docs(spark, sf_dir))
+    checksum = F.conv(
+        F.substring(F.md5("text_clean"), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("emails"),
+            F.sum("n_ipv4").alias("ipv4"),
+            F.sum("n_phones").alias("phones"),
+            F.sum(checksum).alias("clean_checksum"),
+        )
+        .orderBy("source")
+    )

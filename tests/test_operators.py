@@ -550,6 +550,115 @@ def test_adaptive_df_cut_budget(spark):
     assert adaptive_df_cut(e, 4, 8) == (2, True)
 
 
+def test_containment_catches_truncation_jaccard_misses(spark):
+    """The asymmetric-dup class: a 30% excerpt of a long doc has
+    containment ≈1.0 from the excerpt side but Jaccard ≈0.3 — under
+    every Jaccard dedup threshold. containment_pairs must flag it;
+    jaccard_pairs at 0.8 must not; and unrelated docs stay clean."""
+    from ballcone_spark.operators.dedup import (
+        _CONTAINMENT_THRESHOLD,
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    long_words = " ".join(f"tok{j} word{j} mid{j}" for j in range(30))
+    excerpt = " ".join(long_words.split()[: 27])  # first ~30%
+    docs = [(0, long_words), (1, excerpt)]
+    for i in range(2, 20):  # background docs, fully distinct vocab
+        docs.append((i, " ".join(f"bg{i}_{j}" for j in range(15))))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    cont = {
+        (r["a_id"], r["b_id"]): r
+        for r in containment_pairs(df).collect()
+    }
+    hit = cont[(0, 1)]
+    assert hit["containment_b"] >= _CONTAINMENT_THRESHOLD  # excerpt ⊆ source
+    assert hit["containment_a"] < 0.5  # asymmetric, as planted
+    assert hit["jaccard"] < 0.5  # Jaccard alone would keep the dup
+
+    jacc = {(r["a_id"], r["b_id"]) for r in jaccard_pairs(df).where(
+        "jaccard >= 0.8").collect()}
+    assert (0, 1) not in jacc  # the class jaccard misses
+
+    flagged = {
+        k
+        for k, r in cont.items()
+        if max(r["containment_a"], r["containment_b"])
+        >= _CONTAINMENT_THRESHOLD
+    }
+    assert flagged == {(0, 1)}  # no background false positives
+
+
+def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
+    """Planted-PII semantics for the scrubber (the synthetic corpus has
+    none, so the registered query's counts are vacuously zero there):
+    emails / IPv4s / phone-shaped runs are redacted and counted, clean
+    text passes through byte-identical — and DuckDB replays the full
+    per-source report on the SAME planted corpus, hash-equal."""
+    import math
+
+    import duckdb
+
+    from ballcone_spark.operators.text_analysis import pii_scrub
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    docs = [
+        (0, "src0", "contact john.doe+spam@example.co.uk for info"),
+        (1, "src0", "server at 192.168.1.254 port open"),
+        (2, "src1", "call +1 555-123-4567 or 555 867 5309 now"),
+        (3, "src1", "clean text with no pii at all"),
+        (4, "src1", "mixed a@b.io and 10.0.0.1 and +44 20 7946 0958"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, source string, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert out[0]["n_emails"] == 1
+    assert "<EMAIL>" in out[0]["text_clean"]
+    assert "@" not in out[0]["text_clean"]
+    assert out[1]["text_clean"] == "server at <IP> port open"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["text_clean"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["text_clean"] == docs[3][2]  # clean text untouched
+    assert (
+        out[4]["n_emails"] == 1
+        and out[4]["n_ipv4"] == 1
+        and out[4]["n_phones"] == 1
+    )
+
+    # cross-engine: the registered report vs its oracle on planted data
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spec = EXTRA_QUERIES["docs_pii_scrub"]
+    sdf = spec.fn(spark, str(tmp_path))
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    drows = cur.fetchall()
+    dcols = [d[0] for d in cur.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for row in rows:
+            vals = []
+            for i in order:
+                v = row[i]
+                if isinstance(v, float):
+                    v = round(v, 4)
+                    if math.isclose(v, 0.0, abs_tol=1e-9):
+                        v = 0.0
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    assert norm(srows, sdf.columns) == norm(drows, dcols)
+
+
 def test_jaccard_selectivity_collapse_fallback(spark):
     """Saturated-shingle-space corpus (5-word vocab → every trigram is
     corpus-hot): with a tiny pair budget the inverted index is cut to
