@@ -129,7 +129,7 @@ def ensure_sorted(
     sf_dir: str,
     table: str,
     col: str,
-    n_files: int = 8,
+    n_files: int | None = None,
 ) -> DataFrame:
     """Idempotently materialize a ``col``-sorted copy of a testdata
     table (range-partitioned into ``n_files`` files, sorted within
@@ -149,8 +149,21 @@ def ensure_sorted(
     stale-source (fingerprint) guards."""
     from ballcone_spark.queries import load_table
 
+    if n_files is None:
+        # Granularity rule (sf10 lesson): a range query only parallelizes
+        # over the files its range OVERLAPS — 8 files over a month means
+        # a 6-day window runs 2-3 tasks on 32 cores. Target ~5 MB of
+        # source per file (sf10 A/B, interleaved 7-run medians: 32 files
+        # 0.16-0.21 s steady vs 8 files 0.43 s and 21 files 0.24-0.33 s),
+        # floored at 8 so small SFs don't pay per-file overhead, capped
+        # at 32 where task scheduling starts to dominate (64 files
+        # measured slower than 32).
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        n_files = min(32, max(8, st.st_size // (5 << 20)))
     sf_key = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    name = f"srt_{table}_{sf_key}_{col}"
+    # file count is part of the copy's identity: a granularity change
+    # must land in a new path, never inherit the old layout
+    name = f"srt_{table}_{sf_key}_{col}_f{n_files}"
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

@@ -88,7 +88,7 @@ def test_ensure_sorted_writes_once_and_rewrites_on_source_change(
     df1 = ensure_sorted(spark, sf, "events", "ts", n_files=2)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     copies = glob.glob(
-        os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts", "*.parquet")
+        os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts_f2", "*.parquet")
     )
     assert copies
     mtimes = {p: os.path.getmtime(p) for p in copies}
@@ -105,7 +105,9 @@ def test_ensure_sorted_writes_once_and_rewrites_on_source_change(
     } != mtimes  # rewritten
 
     # cleanup: the sfX copy is test-local
-    shutil.rmtree(os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts"))
+    shutil.rmtree(
+        os.path.join(repo_root, "spark-warehouse", "srt_events_sfX_ts_f2")
+    )
 
 
 def test_fingerprint_plan_cache_reuses_and_invalidates(spark, tmp_path):
