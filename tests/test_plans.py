@@ -34,6 +34,7 @@ ARROW_ALLOWED = {
     "embeddings_knn_bruteforce_vectorized",  # corpus×query matmul
     "embeddings_pq_ann_recall_vectorized",   # ADC lookup tables
     "docs_semantic_dedup",                   # route matmul + cluster gram
+    "dedup_minhash_lsh_vectorized",          # numpy permutation minima
 }
 
 
