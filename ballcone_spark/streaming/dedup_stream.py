@@ -104,10 +104,25 @@ def _track_scratch_dir(path: str) -> None:
     _SCRATCH_DIRS.add(path)
 
 
-def batch_signatures(docs: DataFrame) -> DataFrame:
+def batch_signatures(docs: DataFrame, vectorized: bool = True) -> DataFrame:
     """``(doc_id, sig array<bigint>)`` — the per-row MinHash signature
-    folded into one array column (the index's storage shape)."""
-    sig = minhash_signatures(docs)
+    folded into one array column (the index's storage shape).
+
+    ``vectorized=True`` (default, r7) signs with the Arrow kernel
+    (:func:`~ballcone_spark.operators.dedup.minhash_signatures_np` —
+    BIT-identical to the HOF twin, ~3× at corpus scale), always at the
+    index's FIXED 16-hash geometry: an index dir must stay
+    signature-compatible for its lifetime, so the batch family's
+    adaptive geometry does not apply here (per-batch probe cost is
+    bounded by batch size, not corpus size). The JVM signer stays
+    available for cross-checks."""
+    from ballcone_spark.operators.dedup import minhash_signatures_np
+
+    sig = (
+        minhash_signatures_np(docs)
+        if vectorized
+        else minhash_signatures(docs)
+    )
     return sig.select(
         "doc_id",
         F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig"),

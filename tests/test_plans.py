@@ -35,6 +35,10 @@ ARROW_ALLOWED = {
     "embeddings_pq_ann_recall_vectorized",   # ADC lookup tables
     "docs_semantic_dedup",                   # route matmul + cluster gram
     "dedup_minhash_lsh_vectorized",          # numpy permutation minima
+    # NOT listed although it signs with the same Arrow kernel (r7):
+    # dedup_incremental_minhash materializes its signature frame behind
+    # a localCheckpoint barrier, so its visible plan is an RDD scan with
+    # zero Python markers — the gate sees (correctly) no Python stage.
 }
 
 
