@@ -829,7 +829,7 @@ def docs_cross_source_dups(spark, sf_dir):
     joins; the source-pair key is order-normalized (least/greatest) so
     (srcA, srcB) and (srcB, srcA) collapse."""
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(docs)
+    pairs = minhash_lsh_pairs(docs, vectorized=True)  # r7 scale path
     src = docs.select("doc_id", "source")
     j = pairs.join(
         src.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
@@ -1152,7 +1152,11 @@ def docs_dedup_clusters(spark, sf_dir):
     guarantee — WHICH docs merge into WHICH cluster — is hash-verified
     by an independent engine: any wrong merge or missed merge shifts a
     cluster size or a min-label sum."""
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir))
+    # vectorized pair source (r7): identical pairs at oracle SFs (floor
+    # geometry + bit-identical Arrow signatures); the iterative
+    # propagation's eager checkpoints mean the visible plan is an RDD
+    # scan either way
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), vectorized=True)
     clusters = dedup_clusters(pairs)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     return (
