@@ -1054,6 +1054,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
         )
         .distinct()
+        # materialize ONCE before iterating (r7 sf10 fix): `edges` is the
+        # whole upstream pair pipeline — signatures, band join, exact
+        # verify — and every propagation round references it twice.
+        # Un-checkpointed, each round re-ran that pipeline and re-built
+        # its AQE broadcasts; at 500 k docs the concurrent rebuilds
+        # exhausted the driver's broadcast memory (SparkException: "Not
+        # enough memory to build and broadcast"). Edge lists are
+        # pair-sized (tiny next to the corpus), so the barrier is cheap
+        # at any scale.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")

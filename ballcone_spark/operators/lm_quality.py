@@ -57,17 +57,16 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     groupBy; the model table is O(distinct bigrams). Reused by the
     batch quality scorer below and the streaming drift monitor
     (:mod:`ballcone_spark.streaming.drift`)."""
-    w = F.split(F.col(text_col), " ")
-    bg = docs.select(F.explode(_ngrams(w, 2)).alias("g"))
+    bg = _gram_rows(docs, text_col, 2).select("g")
     counts = (
         bg.groupBy("g")
         .agg(F.count("*").alias("c"))
         .withColumn("w1", F.substring_index("g", " ", 1))
     )
     ctx = counts.groupBy("w1").agg(F.sum("c").alias("cc"))
-    vocab = docs.select(F.explode(w).alias("t")).agg(
-        F.countDistinct("t").alias("v")
-    )
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
     return (
         counts.join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -90,10 +89,15 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     trained on the same corpus), so the inner join loses nothing;
     docs with < 2 tokens have no transitions and drop out by contract.
     """
-    w = F.split(F.col(text_col), " ")
-    bg = docs.select("doc_id", F.explode(_ngrams(w, 2)).alias("g"))
+    bg = _gram_rows(docs, text_col, 2).select("doc_id", "g")
+    # SHUFFLE_HASH with the model as the (hinted) build side: the
+    # window-shaped gram frame carries a bogus small size estimate, and
+    # at sf10 the planner chose the 26 M-row DOC-GRAM side as a
+    # broadcast build (driver OOM). The model side is O(distinct
+    # bigrams) — per-partition hash builds of it are bounded at any
+    # corpus scale; AQE's skew split still owns hot grams.
     return (
-        bg.join(bigram_model(docs, text_col), "g")
+        bg.join(bigram_model(docs, text_col).hint("shuffle_hash"), "g")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -101,6 +105,34 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.exp(-F.avg("logp")), 4).alias("ppl"),
         )
     )
+
+
+def _gram_rows(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, pos, g) — every word-n-gram of ``split(text, ' ')`` with
+    its 0-based start position, duplicates and empty tokens preserved:
+    the row form of :func:`~ballcone_spark.operators.repetition._ngrams`
+    (same split, same space-join — pinned equal by
+    ``test_gram_rows_matches_ngrams_hof``).
+
+    Exists for the shingle_rows reason: ``posexplode(_ngrams(...))``
+    evaluates the zip_with/concat chain INTERPRETED per row
+    (CodegenFallback — the gram pass alone measured 60 s at 500 k docs),
+    while posexplode + ``lead`` windows stay in codegen. The window
+    shuffles by doc_id with a per-doc sort — bounded doc sizes make
+    that safe at any corpus scale."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("t", i).over(win).alias(f"_t{i}") for i in range(1, n)]
+    out = tok.select("doc_id", "pos", F.col("t").alias("_t0"), *leads)
+    # concat_ws skips NULLs, so a tail position with a null lead would
+    # silently emit a shorter gram — filter to full-width windows first
+    out = out.where(F.col(f"_t{n - 1}").isNotNull())
+    g = F.concat_ws(" ", *[F.col(f"_t{i}") for i in range(n)])
+    return out.select("doc_id", "pos", g.alias("g"))
 
 
 def boilerplate_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -112,27 +144,45 @@ def boilerplate_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
     count once (distinct on position). Docs with no boilerplate span
     report 0 coverage (left join back to the corpus)."""
     w = F.split(F.col(text_col), " ")
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(_ngrams(w, SPAN_N)).alias("pos", "g"),
-    )
+    # one codegen gram pass, materialized lazily: both consumers below
+    # (the frequency aggregate and the occurrence semi-join) reference
+    # it — un-checkpointed, each re-ran the gram construction
+    grams = _gram_rows(docs, text_col, SPAN_N).localCheckpoint(eager=False)
     frequent = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= MIN_DOCS)
         .select("g")
     )
+    # union of fixed-length intervals per doc WITHOUT materializing the
+    # positions (r7 sf10 fix): the explode-to-positions + corpus-wide
+    # distinct formulation blew up to ~SPAN_N× the gram volume (750 M
+    # rows at 500 k docs — 397 s, the whole corpus-report budget).
+    # Identity: occurrence positions are unique per doc, so
+    # |⋃ [pᵢ, pᵢ+N-1]| = N + Σ_{i>0} min(N, pᵢ − pᵢ₋₁) over sorted pᵢ —
+    # one doc_id-partitioned window over the occurrence rows only.
+    # Same values (the oracle still replays the explode+distinct form).
+    from pyspark.sql import Window
+
+    # SHUFFLE_HASH, not broadcast (r7 sf10 fix #2): `frequent` grows
+    # with the corpus — 6.9 M five-gram strings (~270 MB built) at
+    # 500 k docs — and letting AQE broadcast it OOMed the driver
+    # ("Not enough memory to build and broadcast") once the report ran
+    # it concurrently with the LM join. A partitioned hash build is
+    # bounded per task at any corpus size; at small SFs the difference
+    # is noise.
+    occ = grams.join(
+        frequent.hint("shuffle_hash"), "g", "left_semi"
+    ).select("doc_id", "pos")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.coalesce(
+        F.least(F.lit(SPAN_N), F.col("pos") - F.lag("pos").over(wspec)),
+        F.lit(SPAN_N),
+    )
     covered = (
-        grams.join(frequent, "g", "left_semi")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_N - 1))
-            ).alias("p"),
-        )
-        .distinct()
+        occ.select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("covered_tokens"))
+        .agg(F.sum("c").alias("covered_tokens"))
     )
     base = docs.select("doc_id", F.size(w).alias("n_tokens"))
     out = base.join(covered, "doc_id", "left").select(

@@ -666,6 +666,38 @@ def test_containment_catches_truncation_jaccard_misses(spark):
     assert flagged == {(0, 1)}  # no background false positives
 
 
+def test_gram_rows_matches_ngrams_hof(spark):
+    """The codegen posexplode+lead gram builder must reproduce the HOF
+    `_ngrams` formulation exactly — grams AND positions — including the
+    edges: empty tokens from double spaces, docs shorter than n, and
+    duplicate grams within a doc."""
+    from ballcone_spark.operators.lm_quality import _gram_rows
+    from ballcone_spark.operators.repetition import _ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a  b c"),      # double space → empty token
+            (2, "x y"),          # shorter than n=5
+            (3, "a b a b a b"),  # duplicate grams
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    for n in (2, 5):
+        hof = sorted(
+            tuple(r)
+            for r in docs.select(
+                "doc_id",
+                F.posexplode(_ngrams(F.split(F.col("text"), " "), n)).alias(
+                    "pos", "g"
+                ),
+            ).collect()
+        )
+        new = sorted(tuple(r) for r in _gram_rows(docs, "text", n).collect())
+        assert hof == new, f"n={n}"
+
+
 def test_pii_scrub_redacts_planted_pii(spark, tmp_path):
     """Planted-PII semantics for the scrubber (the synthetic corpus has
     none, so the registered query's counts are vacuously zero there):
