@@ -74,26 +74,42 @@ def docs_token_stats(spark, sf_dir):
     with index + aggregate), so even it costs no explode and no shuffle —
     the whole query is a pure map over the corpus scan."""
     t = F.col("text")
-    ts = tokens(t)
     h = lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")  # noqa: E731
-    contrib = F.transform(ts, lambda tok, i: (h(tok) * (i + 1)) % F.lit(_FP_P))
+    # positional fp via posexplode + partial-aggregated groupBy (r7
+    # sf10 fix): the old transform-with-index + aggregate fold is a
+    # CodegenFallback HOF — ~150 M interpreted md5·mul·mod steps at
+    # 500 k docs made this query 150 s where every family peer is ~24 s.
+    # posexplode + SUM stays in codegen and map-side combine reduces the
+    # exchange to one partial row per doc (measured cold at sf10:
+    # 150.9 → 99.0 s; the fp column alone 24 s vs ~90 s interpreted —
+    # the residual is the multi-column text scan, 5-10 s per derived
+    # column at 500 k docs). Same value as the fold: the per-element
+    # mods are summed then reduced mod P in both formulations.
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.posexplode(tokens(t)).alias("pos", "tok"))
     posfp = (
-        F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, c: acc + c)
-        % F.lit(_FP_P)
+        tok.select(
+            "doc_id",
+            ((h(F.col("tok")) * (F.col("pos") + 1)) % F.lit(_FP_P)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum("c") % F.lit(_FP_P)).alias("positional_fp"))
     )
     bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
     ws = token_count(t)
+    base = docs.select(
+        "doc_id",
+        ws.alias("n_tokens"),
+        F.size(distinct_tokens(t)).alias("n_uniq_tokens"),
+        F.round(avg_token_len(t), 4).alias("avg_token_len"),
+        fingerprint(t).alias("fp"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
+    )
     return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            ws.alias("n_tokens"),
-            F.size(distinct_tokens(t)).alias("n_uniq_tokens"),
-            F.round(avg_token_len(t), 4).alias("avg_token_len"),
-            fingerprint(t).alias("fp"),
-            bpe.alias("bpe_tokens"),
-            F.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
-            posfp.alias("positional_fp"),
+        base.join(posfp, "doc_id", "left")
+        .withColumn(
+            "positional_fp", F.coalesce("positional_fp", F.lit(0))
         )
         .orderBy("doc_id")
     )
