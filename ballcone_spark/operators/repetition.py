@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["repetition_flags"]
+__all__ = ["repetition_flags", "repetition_flags_np"]
 
 #: flag thresholds — chosen mid-distribution for the test corpus
 #: (p90 of top_bigram_frac ≈ 0.069, p99 of dup_trigram_frac ≈ 0.036)
@@ -78,6 +78,11 @@ def repetition_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     out = frac("_bg", top=True).join(frac("_tg", top=False), "doc_id")
+    return _flag(out)
+
+
+def _flag(out: DataFrame) -> DataFrame:
+    """Shared finishing select: the drop decision over the two fracs."""
     return out.select(
         "doc_id",
         "top_bigram_frac",
@@ -86,6 +91,65 @@ def repetition_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("top_bigram_frac") > TOP_BIGRAM_T)
             | (F.col("dup_trigram_frac") > DUP_TRIGRAM_T)
         ).alias("repetitive"),
+    )
+
+
+def repetition_flags_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Arrow twin of :func:`repetition_flags` — per-doc gram counting in
+    a ``mapInPandas`` kernel, division + ``round`` left JVM-side.
+
+    The JVM path pays twice at scale: gram construction is a
+    ``zip_with``/``concat_ws`` higher-order chain that evaluates
+    interpreted (CodegenFallback, the measured ~6 µs/element class),
+    and the two (doc_id, gram) groupBys shuffle one string row per
+    corpus gram position. But the signal is per-document — no
+    cross-document state — so a shuffle-free per-batch kernel computes
+    the identical integers: ``Counter`` over token-tuple n-grams (zip
+    is C-level; no string concat needed for counting). Emitting raw
+    counts and finishing with the SAME ``F.round(num/den, 4)``
+    expressions keeps the rounding path bit-identical to the JVM twin,
+    so both hash against the one oracle. Docs with < 3 tokens have no
+    trigram positions and drop exactly like the JVM twin's inner join
+    (``text IS NULL`` likewise yields no gram rows there).
+    Measured at sf10 (500 k docs): 139 s cold JVM → see BASELINE §6d.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    def count_grams(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "top_bg": [], "bg_n": [], "dup_tg": [], "tg_n": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                if len(words) < 3:
+                    continue
+                bg = Counter(zip(words, words[1:]))
+                tg = Counter(zip(words, words[1:], words[2:]))
+                out["doc_id"].append(doc_id)
+                out["top_bg"].append(max(bg.values()))
+                out["bg_n"].append(len(words) - 1)
+                out["dup_tg"].append(sum(c for c in tg.values() if c > 1))
+                out["tg_n"].append(len(words) - 2)
+            yield pd.DataFrame(out)
+
+    from ballcone_spark.plans.parallelism import widen
+
+    counted = widen(docs.select("doc_id", text_col)).mapInPandas(
+        count_grams, "doc_id long, top_bg long, bg_n long, dup_tg long, tg_n long"
+    )
+    return _flag(
+        counted.select(
+            "doc_id",
+            F.round(F.col("top_bg").cast("double") / F.col("bg_n"), 4).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup_tg").cast("double") / F.col("tg_n"), 4).alias(
+                "dup_trigram_frac"
+            ),
+        )
     )
 
 
@@ -137,3 +201,17 @@ def docs_repetition_flags(spark, sf_dir):
     row-for-row against the oracle's list-comprehension replay."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_flags(docs).orderBy("doc_id")
+
+
+@_query(
+    "docs_repetition_flags_vectorized",
+    _REP_ORACLE,  # the SAME oracle as the JVM twin — the kernel emits
+    # raw integer counts and the round(num/den, 4) finish is the same
+    # JVM expression, so no cross-engine float divergence is possible
+    driver=False,
+)
+def docs_repetition_flags_vectorized(spark, sf_dir):
+    """Arrow twin of `docs_repetition_flags`: shuffle-free per-batch
+    gram counting, hash-checked against the identical DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_flags_np(docs).orderBy("doc_id")

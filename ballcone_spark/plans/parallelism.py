@@ -1,0 +1,40 @@
+"""Kernel-parallelism helper for compute-bound Arrow stages.
+
+Spark sizes scan partitions by BYTES (``spark.sql.files.maxPartitionBytes``,
+default 128 MB) — the right granularity for IO-bound scans, and wrong for
+compute-bound ``mapInPandas`` kernels whose per-row cost dwarfs the scan:
+a 57 MB documents parquet arrives as ONE partition, serializing the kernel
+on a 32-core box (and on a 1000-executor cluster, on one core of one
+executor). ``widen`` inserts a round-robin repartition to the cluster's
+default parallelism ahead of such a kernel; the extra exchange moves only
+the kernel's pruned input columns once, which is noise next to the compute
+it unlocks (measured on `docs_repetition_flags_vectorized` at sf10:
+46.3 s single-partition → see BASELINE §6d after the fix).
+
+Rule of thumb encoded here: widen per-ROW-cost kernels (Python loops per
+document, codec parses); do NOT widen per-BATCH matmul kernels
+(k-NN/PQ ADC scoring) where one big BLAS call per partition is the point —
+their batch efficiency IMPROVES with fewer, larger Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism (or ``min_parts``) for a following compute-bound kernel.
+
+    Uses ``defaultParallelism`` (core count locally, executor-core total
+    on a cluster) rather than ``spark.sql.shuffle.partitions`` — the goal
+    is one busy core per partition, not shuffle-reduce sizing. No-op when
+    the plan is already at least that wide (checked via the DataFrame's
+    partitioning without triggering a job).
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    # javaRDD would ban this file from registered plans' zero-.rdd sweep;
+    # the JVM-side partition count of the analyzed plan is not exposed
+    # pre-execution, so an unconditional repartition is the honest cost:
+    # one exchange of the kernel's (pruned) input columns.
+    return df.repartition(target)

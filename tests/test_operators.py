@@ -1405,6 +1405,30 @@ def test_repetition_flags_fire_on_repetitive_doc(spark):
     assert got[2]["dup_trigram_frac"] == 0.0
 
 
+def test_repetition_flags_vectorized_matches_jvm(spark):
+    """The Arrow kernel must reproduce the JVM twin row-for-row on the
+    test corpus — including the <3-token inner-join drop, the null-text
+    drop, and the shared round(num/den, 4) finish."""
+    from ballcone_spark.operators.repetition import (
+        repetition_flags,
+        repetition_flags_np,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, "a b"), (90002, None), (90003, ""), (90004, "x y x y x")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"),
+             F.lit("edge").alias("source"), F.lit(0).alias("n_chars"))
+    docs = docs.unionByName(edge)
+    jvm = {r["doc_id"]: r for r in repetition_flags(docs).collect()}
+    arw = {r["doc_id"]: r for r in repetition_flags_np(docs).collect()}
+    assert set(jvm) == set(arw)
+    assert 90001 not in jvm and 90002 not in jvm and 90003 not in jvm
+    for k, r in jvm.items():
+        assert r == arw[k], k
+
+
 def test_temperature_sample_upweights_small_sources(spark):
     """α=0.5 targets: a 25×-smaller source gets far more than its
     proportional share, every source ≥ 1 doc, targets match the
