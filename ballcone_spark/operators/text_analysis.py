@@ -34,9 +34,7 @@ _BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
 _FP_P = 2147483647
 
 
-@_query(
-    "docs_token_stats",
-    f"""
+_TOKEN_STATS_ORACLE = f"""
     WITH tokp AS (
         SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
@@ -60,7 +58,15 @@ _FP_P = 2147483647
            p.positional_fp
     FROM documents d JOIN posfp p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id
-    """,
+    """
+
+
+@_query(
+    "docs_token_stats",
+    _TOKEN_STATS_ORACLE,
+    driver=False,  # r7: the one-pass Arrow twin is the registered entry
+    # (same oracle verbatim, 99.0 → 20.9 s cold at sf10); this JVM
+    # seven-scan projection stays as the EXTRA cross-check
 )
 def docs_token_stats(spark, sf_dir):
     """Per-doc token statistics in ONE narrow, shuffle-free projection:
@@ -113,6 +119,109 @@ def docs_token_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def token_stats_np(docs: DataFrame) -> DataFrame:
+    """Arrow twin of the `docs_token_stats` projection — ONE pass over
+    each document instead of seven independent JVM regex scans plus an
+    md5-per-token posexplode (each derived column re-scans the text:
+    measured 5-10 s per column at 500 k docs, 99 s total at sf10).
+
+    Engine-parity notes (each pinned by the twin-equality edge test):
+    - Spark ``trim`` strips only 0x20 → ``str.strip(' ')``;
+    - Java ``\\s`` is the ASCII class [ \\t\\n\\x0b\\f\\r] → Python
+      ``re.ASCII`` gives the identical set (``\\v`` = 0x0b);
+    - ``re.split(r'\\s+', '')`` → ``['']`` exactly like Java split, so
+      a whitespace-only doc has ONE empty token on both engines (and a
+      positional fp seeded by md5(''), not 0);
+    - md5 over UTF-8 bytes is bit-identical across Spark, DuckDB and
+      hashlib — the `fingerprint` portability contract;
+    - the division + round(·, 4) finish stays JVM-side, so float
+      formatting can't diverge from the JVM twin.
+    Non-ASCII case/length edge cases (astral-plane lengths, locale
+    lowercasing) are out of contract — the DuckDB oracle already pins
+    the JVM twin to code-point semantics on this corpus.
+    Token md5s are memoized per batch: natural-language corpora repeat
+    tokens heavily, so the cache converts the dominant cost (25 M
+    hashlib calls at sf10) into dict hits.
+    """
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    bpe_re = re.compile(_BPE_RE)
+
+    def stats(batches):
+        h_cache: dict[str, int] = {}
+
+        def h32(tok: str) -> int:
+            v = h_cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                h_cache[tok] = v
+            return v
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_tokens": [], "n_uniq_tokens": [],
+                "non_ws": [], "fp": [], "bpe_tokens": [], "positional_fp": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(doc_id)
+                if text is None:
+                    for c in ("n_tokens", "n_uniq_tokens", "non_ws", "fp",
+                              "bpe_tokens"):
+                        out[c].append(None)
+                    out["positional_fp"].append(0)  # the left-join coalesce
+                    continue
+                st = text.strip(" ")
+                toks = ws_re.split(st)
+                out["n_tokens"].append(len(toks))
+                out["n_uniq_tokens"].append(len(set(toks)))
+                out["non_ws"].append(len(ws_re.sub("", st)))
+                out["fp"].append(
+                    hashlib.md5(ws_re.sub(" ", st.lower()).encode("utf-8")).hexdigest()
+                )
+                out["bpe_tokens"].append(len(bpe_re.findall(text)))
+                out["positional_fp"].append(
+                    sum(h32(t) * p % _FP_P for p, t in enumerate(toks, 1)) % _FP_P
+                )
+            yield pd.DataFrame(out)
+
+    from ballcone_spark.plans.parallelism import widen
+
+    counted = widen(docs.select("doc_id", "text")).mapInPandas(
+        stats,
+        "doc_id long, n_tokens int, n_uniq_tokens int, non_ws long, "
+        "fp string, bpe_tokens int, positional_fp long",
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        F.round(F.col("non_ws").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        "fp",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens").cast("double") / F.col("n_tokens"), 4).alias(
+            "tokens_per_word"
+        ),
+        "positional_fp",
+    )
+
+
+@_query(
+    "docs_token_stats_vectorized",
+    _TOKEN_STATS_ORACLE,  # the SAME oracle as the JVM twin, verbatim
+)
+def docs_token_stats_vectorized(spark, sf_dir):
+    """Arrow twin of `docs_token_stats`: one-pass per-doc kernel with
+    the round(·, 4) finish JVM-side, hash-checked against the identical
+    DuckDB oracle. sf10: 99.0 s JVM → see BASELINE §6d."""
+    return token_stats_np(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 @_query(

@@ -67,7 +67,9 @@ HEADLINE = [
     # r4: the streaming incremental dedup's decision rule (declarative
     # 3-batch form — the per-batch loop divides the same work over time)
     "dedup_incremental_minhash",
-    "docs_token_stats",
+    # r7: the one-pass Arrow kernel is the registered entry (same
+    # oracle verbatim); bench the shipped path
+    "docs_token_stats_vectorized",
     # r7: the Arrow matmul twin is the registered entry (VERDICT r6 #1);
     # bench the shipped path — same DuckDB oracle verbatim
     "embeddings_knn_bruteforce_vectorized",

@@ -1405,6 +1405,78 @@ def test_repetition_flags_fire_on_repetitive_doc(spark):
     assert got[2]["dup_trigram_frac"] == 0.0
 
 
+def test_token_stats_vectorized_matches_jvm(spark):
+    """The one-pass Arrow kernel must reproduce the JVM projection
+    row-for-row — including the Java-regex edge cases the kernel's
+    parity notes claim: trim strips only 0x20, \\s is the ASCII class,
+    a whitespace-only doc has one empty token (md5('')-seeded
+    positional fp, not 0), and \\x0b/\\xa0 sit on opposite sides of
+    the Java \\s line."""
+    from ballcone_spark.operators.text_analysis import token_stats_np
+    from ballcone_spark.queries import EXTRA_QUERIES, QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    jvm = EXTRA_QUERIES["docs_token_stats"].fn(spark, sf).collect()
+    arw = QUERIES["docs_token_stats_vectorized"].fn(spark, sf).collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in arw]
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),                      # -> one empty token
+            (2, "   "),                   # trimmed to '' -> same
+            (3, "\ta  b\x0bc"),           # \t survives trim; \x0b splits
+            (4, "a\xa0b MiXeD CasE"),     # \xa0 is NOT Java \s -> one token
+            (5, "  x  "),                 # trim both ends
+        ],
+        "doc_id long, text string",
+    )
+    from ballcone_spark.operators.text_analysis import _FP_P
+    from pyspark.sql import functions as FF
+
+    # replay the JVM projection directly over the edge frame (the
+    # registered query only reads from an sf_dir)
+    t = FF.col("text")
+    from ballcone_spark.functions.text import (
+        avg_token_len,
+        distinct_tokens,
+        fingerprint,
+        token_count,
+        tokens,
+    )
+    from ballcone_spark.operators.text_analysis import _BPE_RE
+
+    h = lambda tok: FF.conv(  # noqa: E731
+        FF.substring(FF.md5(tok), 1, 8), 16, 10
+    ).cast("long")
+    tok = edge.select("doc_id", FF.posexplode(tokens(t)).alias("pos", "tok"))
+    posfp = (
+        tok.select(
+            "doc_id", ((h(FF.col("tok")) * (FF.col("pos") + 1)) % FF.lit(_FP_P)).alias("c")
+        )
+        .groupBy("doc_id")
+        .agg((FF.sum("c") % FF.lit(_FP_P)).alias("positional_fp"))
+    )
+    bpe = FF.size(FF.regexp_extract_all(t, FF.lit(_BPE_RE), FF.lit(0)))
+    ws = token_count(t)
+    jvm_edge = (
+        edge.select(
+            "doc_id",
+            ws.alias("n_tokens"),
+            FF.size(distinct_tokens(t)).alias("n_uniq_tokens"),
+            FF.round(avg_token_len(t), 4).alias("avg_token_len"),
+            fingerprint(t).alias("fp"),
+            bpe.alias("bpe_tokens"),
+            FF.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
+        )
+        .join(posfp, "doc_id", "left")
+        .withColumn("positional_fp", FF.coalesce("positional_fp", FF.lit(0)))
+        .orderBy("doc_id")
+    )
+    got = [tuple(r) for r in token_stats_np(edge).orderBy("doc_id").collect()]
+    want = [tuple(r) for r in jvm_edge.collect()]
+    assert got == want
+
+
 def test_repetition_flags_vectorized_matches_jvm(spark):
     """The Arrow kernel must reproduce the JVM twin row-for-row on the
     test corpus — including the <3-token inner-join drop, the null-text

@@ -35,6 +35,8 @@ ARROW_ALLOWED = {
     "embeddings_pq_ann_recall_vectorized",   # ADC lookup tables
     "docs_semantic_dedup",                   # route matmul + cluster gram
     "dedup_minhash_lsh_vectorized",          # numpy permutation minima
+    "docs_token_stats_vectorized",           # one-pass token kernel
+    #   (99.0 → 20.9 s cold at sf10 vs the seven-scan JVM twin)
     # NOT listed although it signs with the same Arrow kernel (r7):
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
@@ -159,7 +161,7 @@ def test_events_filter_pushed_to_scan(spark):
 
 
 def test_column_pruning_token_stats(spark):
-    df = entry_mod.queries()["docs_token_stats"](spark, SF)
+    df = entry_mod.queries()["docs_token_stats_vectorized"](spark, SF)
     cols = read_schema_columns(df)
     assert "doc_id" in cols and "text" in cols
     assert "lang" not in cols and "source" not in cols and "n_chars" not in cols
