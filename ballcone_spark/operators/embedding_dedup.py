@@ -40,6 +40,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_candidate_pairs",
     "ivf_ann",
+    "ivf_ann_np",
     "PROBE_PLANES",
 ]
 
@@ -384,7 +385,16 @@ def ivf_ann(
             .drop("_cells")
         )
 
-    corpus = assign(emb, "embedding")
+    # Lineage barrier on the corpus assignment: without it, the
+    # interpreted argmax fold is re-inlined into the cell join and
+    # re-evaluates ~per candidate row — measured at sf10 (200 k × 10
+    # cells): scoring 59.7 s fused vs 0.4 s behind the barrier, with
+    # the barrier'd corpus side at 2.0 s. Materializing the assignment
+    # is also what a production IVF does — the cell index IS the
+    # materialized routing. eager=False keeps plan-build free; the
+    # query-side assign (a handful of rows) stays inline so the plan
+    # gate still sees the fold.
+    corpus = assign(emb, "embedding").localCheckpoint(eager=False)
     q = assign(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -398,6 +408,78 @@ def ivf_ann(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_ann_np(
+    emb: DataFrame, queries: DataFrame, centroids: DataFrame, k: int
+) -> DataFrame:
+    """Arrow twin of :func:`ivf_ann` — route + score in ONE kernel pass.
+
+    The JVM fold's real cost only shows when the routing column is
+    consumed: a ``count()`` over the assignment prunes the fold
+    entirely (Catalyst), which is why the r7 profile first blamed the
+    window tail. Measured with the projection kept: 200 k corpus rows ×
+    10 cells ≈ 30 s of interpreted cosines (each ``cosine`` is THREE
+    CodegenFallback folds over 64 elements) — and without a lineage
+    barrier the fused plan re-evaluated it ~2× (59.7 s). Here the
+    codebook and the (assigned) queries broadcast as numpy matrices;
+    each Arrow batch pays one b×k routing matmul plus one b×nq scoring
+    matmul, masked to same-cell candidates. Top-k keeps the JVM
+    WindowGroupLimit tail like every ANN peer.
+
+    Tie parity with the JVM twin: centroid columns are sorted by
+    cell_id, so ``np.argmax``'s first-maximum rule equals the
+    ``max(struct(sim, -cell_id))`` rule; equality at the oracle SF is
+    pinned by ``test_ivf_ann_np_matches_jvm``. Residual ulp risk
+    (matmul vs sequential fold flipping a near-tie) is the same
+    accepted class as the PQ encode ties."""
+    import numpy as np
+
+    crows = centroids.orderBy("cell_id").collect()
+    cids = np.array([int(r["cell_id"]) for r in crows])
+    cmat = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cn = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
+    qrows = (
+        queries.select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    qids = np.array([int(r["vec_id"]) for r in qrows])
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = qmat / np.sqrt((qmat * qmat).sum(axis=1))[:, None]
+    qcell = cids[np.argmax(qn @ cn.T, axis=1)]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            en = e / np.sqrt((e * e).sum(axis=1))[:, None]
+            cell = cids[np.argmax(en @ cn.T, axis=1)]
+            sim = en @ qn.T  # (b, nq)
+            vid = pdf["vec_id"].values
+            out_q, out_n, out_s = [], [], []
+            for j, (qid, qc) in enumerate(zip(qids, qcell)):
+                m = (cell == qc) & (vid != qid)
+                out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
+                out_n.append(vid[m])
+                out_s.append(sim[m, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -471,6 +553,9 @@ def embeddings_ann_ivf(spark, sf_dir):
       ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
     GROUP BY b.query_id ORDER BY b.query_id
     """,
+    # query rows collected at plan build (Arrow truth side) — cache
+    # keyed on the embeddings parquet fingerprint
+    cacheable=("embeddings",),
 )
 def embeddings_ann_ivf_recall(spark, sf_dir):
     """recall@5 of IVF ANN vs the exact brute-force top-5, per query —
@@ -480,13 +565,17 @@ def embeddings_ann_ivf_recall(spark, sf_dir):
     tie-break are both reproduced in DuckDB SQL, so the driver
     hash-verifies the full IVF path; recall counts neighbor-ID
     membership only, immune to last-ulp similarity noise."""
-    from ballcone_spark.operators.similarity import knn_bruteforce
+    from ballcone_spark.operators.similarity import knn_bruteforce_np
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < _N_QUERIES)
-    bf = knn_bruteforce(emb, q, _K).select("query_id", "neighbor_id")
+    # r7: Arrow matmul truth side (output pinned identical to the HOF
+    # twin; the interpreted path cost 5×corpus dots at ~6 µs each)
+    bf = knn_bruteforce_np(emb, q, _K).select("query_id", "neighbor_id")
+    # r7: the Arrow routing/scoring twin is the shipped path (output
+    # pinned identical to the JVM fold by test_ivf_ann_np_matches_jvm)
     ivf = (
-        ivf_ann(emb, q, _label_centroids(emb), _K)
+        ivf_ann_np(emb, q, _label_centroids(emb), _K)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )

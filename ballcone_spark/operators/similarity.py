@@ -338,6 +338,9 @@ def _duck_bucket_expr(vec: str) -> str:
       ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
     GROUP BY b.query_id ORDER BY b.query_id
     """,
+    # query rows collected at plan build (Arrow truth side) — cache
+    # keyed on the embeddings parquet fingerprint
+    cacheable=("embeddings",),
 )
 def embeddings_ann_lsh_recall(spark, sf_dir):
     """recall@5 of hyperplane-LSH ANN vs the exact brute-force top-5, per
@@ -346,10 +349,12 @@ def embeddings_ann_lsh_recall(spark, sf_dir):
     literals shared verbatim with the oracle, so DuckDB reproduces the
     exact bucketing; recall counts neighbor-ID membership only, immune to
     last-ulp similarity noise. Plan: the ANN side touches only same-bucket
-    candidates; the brute-force side is the one-scan broadcast baseline."""
+    candidates; the brute-force truth side is the Arrow matmul twin
+    (r7 — output pinned identical to the HOF twin, which costs ~6 µs
+    per interpreted dot × corpus × queries at sf10)."""
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < _N_QUERIES)
-    bf = knn_bruteforce(emb, q, _K).select("query_id", "neighbor_id")
+    bf = knn_bruteforce_np(emb, q, _K).select("query_id", "neighbor_id")
     ann = (
         ann_lsh(emb, q, _K)
         .select("query_id", "neighbor_id")

@@ -1856,6 +1856,28 @@ def test_boilerplate_coverage_bounds(spark):
         assert 0.0 <= r["covered_frac"] <= 1.0
 
 
+def test_ivf_ann_np_matches_jvm(spark):
+    """The fused Arrow route+score IVF must return the identical top-k
+    rows as the JVM argmax-fold path for the same label centroids —
+    routing ties (np.argmax first-max vs max(struct(sim, -cell_id)))
+    and the rank tail included."""
+    from ballcone_spark.operators.embedding_dedup import (
+        _label_centroids,
+        ivf_ann,
+        ivf_ann_np,
+    )
+    from ballcone_spark.queries import load_table
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = _label_centroids(emb)
+    q = emb.where(F.col("vec_id") < 5)
+    jvm = [tuple(r) for r in ivf_ann(emb, q, cents, 5).collect()]
+    arrow = [tuple(r) for r in ivf_ann_np(emb, q, cents, 5).collect()]
+    assert arrow == jvm and len(arrow) > 0
+
+
 def test_ivf_pq_ann_np_matches_jvm_composition(spark):
     """The Arrow IVF-PQ must return the identical top-k as the JVM
     composition for the same centroids and codebooks (cell routing,

@@ -37,6 +37,11 @@ ARROW_ALLOWED = {
     "dedup_minhash_lsh_vectorized",          # numpy permutation minima
     "docs_token_stats_vectorized",           # one-pass token kernel
     #   (99.0 → 20.9 s cold at sf10 vs the seven-scan JVM twin)
+    # r7: both recall gates' brute-force TRUTH side is the Arrow matmul
+    # twin (output pinned identical; the HOF side cost 5×corpus
+    # interpreted dots at sf10)
+    "embeddings_ann_lsh_recall",
+    "embeddings_ann_ivf_recall",
     # NOT listed although it signs with the same Arrow kernel (r7):
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
@@ -252,13 +257,16 @@ def test_broadcast_hints_survive_without_auto_threshold(spark):
 
 
 def test_ivf_routing_is_map_side(spark):
-    """IVF cell assignment must be a map-side argmax over the broadcast
-    codebook: no Exchange keyed on vec_id, no window partitioned by
-    vec_id (the r1 formulation shuffled corpus×n_cells rows through a
-    row_number window), and the argmax fold visible in the plan."""
+    """IVF cell assignment must be map-side: no Exchange keyed on
+    vec_id, no window partitioned by vec_id (the r1 formulation
+    shuffled corpus×n_cells rows through a row_number window). Since r7
+    the registered path routes+scores in one Arrow kernel (the JVM
+    argmax fold is ~30 s of interpreted cosines at sf10 once the
+    routing column is actually consumed), so the gate checks the Arrow
+    stage instead of the fold."""
     df = entry_mod.queries()["embeddings_ann_ivf_recall"](spark, SF)
     p = plan_str(df)
-    assert "array_max(transform(" in p          # the fold exists
+    assert "MapInPandas" in p                   # the fused route+score kernel
     assert "hashpartitioning(vec_id" not in p   # corpus never shuffles to route
     assert "windowspecdefinition(vec_id" not in p
 
