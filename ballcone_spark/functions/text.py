@@ -98,15 +98,23 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_rows(df, key: str = "doc_id", text_col: str = "text", n: int = 3):
-    """Distinct word-n-gram shingles as ROWS: ``(key, s)``.
+def shingle_rows(
+    df, key: str = "doc_id", text_col: str = "text", n: int = 3,
+    distinct: bool = True,
+):
+    """Word-n-gram shingles as ROWS: ``(key, s)``, distinct by default.
 
     posexplode the tokens, then ``lead`` over (key, pos) assembles each
     n-gram — all codegen'd, no higher-order functions.
     ``explode(transform(...))`` is 5-15× slower (Generate re-evaluates the
     interpreted lambda); measured 8.4 s vs 1.8 s on 5k docs × 52 shingles.
     The window shuffles by ``key`` with a per-doc sort — bounded doc sizes
-    make that safe at any corpus scale."""
+    make that safe at any corpus scale.
+
+    ``distinct=False`` skips the final (key, s)-keyed exchange — a
+    corpus-scale shuffle of long gram strings. Pass it when the consumer
+    is multiplicity-insensitive (semi joins, EXISTS-style flags): set
+    semantics cost one extra shuffle only where a consumer needs them."""
     from pyspark.sql import Window
 
     tok = df.select(
@@ -118,4 +126,5 @@ def shingle_rows(df, key: str = "doc_id", text_col: str = "text", n: int = 3):
         F.col(f"t{n-1}").isNotNull() if n > 1 else F.lit(True)
     )
     gram = F.concat_ws(" ", "t", *[f"t{i}" for i in range(1, n)])
-    return out.select(key, gram.alias("s")).distinct()
+    rows = out.select(key, gram.alias("s"))
+    return rows.distinct() if distinct else rows

@@ -1278,12 +1278,16 @@ def decontamination_flags(
     n-gram set BROADCASTS; the corpus side is a semi-join against it —
     one scan of the corpus shingle stream, no corpus-side shuffle, never
     O(corpus × benchmark). Returns the flagged ``(doc_id)`` rows."""
-    # no distinct() on the benchmark grams: a semi join doesn't need a
-    # deduplicated build side, and skipping it removes the only
-    # shingle-keyed exchange from the whole plan (gated in tests)
+    # r7: no distinct() on the corpus PROBE side — duplicates can't
+    # change EXISTS semantics and the trailing doc_id distinct dedups
+    # the flags, so the corpus-scale (doc_id, gram)-keyed exchange of
+    # long gram strings is gone (sf10 wall is window-shuffle-bound so
+    # this shows at larger benchmarks, not in the 30 s sf10 number).
+    # The bench BUILD side keeps distinct: planted near-dups repeat
+    # grams, and a smaller broadcast beats the tiny bench-side shuffle.
     bench_grams = shingle_rows(benchmark, n=n).select("s")
     return (
-        shingle_rows(docs, n=n)
+        shingle_rows(docs, n=n, distinct=False)
         .join(F.broadcast(bench_grams), "s", "semi")
         .select("doc_id")
         .distinct()
