@@ -600,7 +600,8 @@ def minhash_signatures(
 
 
 def minhash_signatures_np(
-    docs: DataFrame, n: int = _NGRAM, n_hashes: int = N_HASHES
+    docs: DataFrame, n: int = _NGRAM, n_hashes: int = N_HASHES,
+    wide: bool = True,
 ) -> DataFrame:
     """Arrow twin of :func:`minhash_signatures` — one ``mapInPandas``
     pass computing tokenize → shingle → md5 → all permutation minima in
@@ -659,7 +660,16 @@ def minhash_signatures_np(
     schema = "doc_id long, " + ", ".join(
         f"sig_{i} long" for i in range(n_hashes)
     )
-    return docs.select("doc_id", "text").mapInPandas(kern, schema)
+    src = docs.select("doc_id", "text")
+    if wide:
+        # a 128 MB-bound scan hands a 57 MB corpus to ONE core (r7
+        # widen finding); streaming micro-batches pass wide=False —
+        # they are already small and an extra per-batch exchange only
+        # adds latency
+        from ballcone_spark.plans.parallelism import widen
+
+        src = widen(src)
+    return src.mapInPandas(kern, schema)
 
 
 def _duck_minhash_cte() -> str:

@@ -478,7 +478,9 @@ def ivf_ann_np(
                 }
             )
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(
+    from ballcone_spark.plans.parallelism import widen
+
+    scored = widen(emb.select("vec_id", "embedding")).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")

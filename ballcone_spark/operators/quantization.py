@@ -433,7 +433,11 @@ def pq_encode_np(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "codes": list(codes.astype("int32"))}
             )
 
-    return emb.mapInPandas(enc, "vec_id long, codes array<int>")
+    from ballcone_spark.plans.parallelism import widen
+
+    return widen(emb.select("vec_id", "embedding")).mapInPandas(
+        enc, "vec_id long, codes array<int>"
+    )
 
 
 def pq_ann_np(
@@ -497,7 +501,9 @@ def pq_ann_np(
                 }
             )
 
-    scored = emb.mapInPandas(
+    from ballcone_spark.plans.parallelism import widen
+
+    scored = widen(emb.select("vec_id", "embedding")).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
@@ -622,7 +628,9 @@ def ivf_pq_ann_np(
                 }
             )
 
-    cand = emb.mapInPandas(
+    from ballcone_spark.plans.parallelism import widen
+
+    cand = widen(emb.select("vec_id", "embedding")).mapInPandas(
         score, "query_id long, neighbor_id long, pq_sim double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(

@@ -163,7 +163,9 @@ def knn_bruteforce_np(
                 }
             )
 
-    scored = emb.mapInPandas(
+    from ballcone_spark.plans.parallelism import widen
+
+    scored = widen(emb.select("vec_id", "embedding")).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
     ).where(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(

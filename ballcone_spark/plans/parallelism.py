@@ -11,10 +11,15 @@ the kernel's pruned input columns once, which is noise next to the compute
 it unlocks (measured on `docs_repetition_flags_vectorized` at sf10:
 46.3 s single-partition → see BASELINE §6d after the fix).
 
-Rule of thumb encoded here: widen per-ROW-cost kernels (Python loops per
-document, codec parses); do NOT widen per-BATCH matmul kernels
-(k-NN/PQ ADC scoring) where one big BLAS call per partition is the point —
-their batch efficiency IMPROVES with fewer, larger Arrow batches.
+Rule of thumb encoded here: widen any kernel whose per-partition cost is
+CPU-bound — per-row Python loops (document counters, codec parses) AND
+per-batch matmul kernels. The matmul kernels' dominant cost at corpus
+scale is not the BLAS call but the Arrow→numpy conversion of the vector
+column (``tolist()`` per batch), which is just as serialized by a
+1-partition scan; at defaultParallelism=32 a 500 k-row corpus still
+yields ~15 k-row batches, far above the matmul-efficiency floor. The
+contraindication is a SMALL input (≪ a few thousand rows per core),
+where the exchange costs more than it unlocks.
 """
 
 from __future__ import annotations

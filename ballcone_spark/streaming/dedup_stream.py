@@ -119,7 +119,10 @@ def batch_signatures(docs: DataFrame, vectorized: bool = True) -> DataFrame:
     from ballcone_spark.operators.dedup import minhash_signatures_np
 
     sig = (
-        minhash_signatures_np(docs)
+        # wide=False: micro-batches are small; an extra exchange per
+        # batch only adds latency (the r7 widen fix targets 1-partition
+        # BATCH scans)
+        minhash_signatures_np(docs, wide=False)
         if vectorized
         else minhash_signatures(docs)
     )
