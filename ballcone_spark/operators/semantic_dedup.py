@@ -137,6 +137,11 @@ def _route_np(emb: DataFrame, ids, cmat) -> DataFrame:
                 }
             )
 
+    # deliberately NOT widen()-ed (r7): the route output feeds an
+    # immediate cluster_id-keyed applyInPandas shuffle, which
+    # re-parallelizes the expensive per-cluster gram work anyway —
+    # measured at sf10, widening added an exchange for nothing
+    # (16.1 s → 21.2 s cold)
     return emb.mapInPandas(
         route, "vec_id long, cluster_id long, e array<double>, nrm double"
     )

@@ -18,8 +18,12 @@ scale is not the BLAS call but the Arrow→numpy conversion of the vector
 column (``tolist()`` per batch), which is just as serialized by a
 1-partition scan; at defaultParallelism=32 a 500 k-row corpus still
 yields ~15 k-row batches, far above the matmul-efficiency floor. The
-contraindication is a SMALL input (≪ a few thousand rows per core),
-where the exchange costs more than it unlocks.
+contraindications: a SMALL input (≪ a few thousand rows per core), and
+a kernel whose output feeds an IMMEDIATE shuffle that re-parallelizes
+the real work anyway (e.g. SemDeDup's route → per-cluster gram:
+widening the route added an exchange for nothing, 16.1 → 21.2 s cold
+at sf10) — widen pays off when the kernel itself is the expensive
+stage.
 """
 
 from __future__ import annotations
