@@ -119,10 +119,12 @@ def batch_signatures(docs: DataFrame, vectorized: bool = True) -> DataFrame:
     from ballcone_spark.operators.dedup import minhash_signatures_np
 
     sig = (
-        # wide=False: micro-batches are small; an extra exchange per
-        # batch only adds latency (the r7 widen fix targets 1-partition
-        # BATCH scans)
-        minhash_signatures_np(docs, wide=False)
+        # wide=True also here: backfill micro-batches are corpus-scale
+        # thirds (a 1-partition scan each — signing one serialized cost
+        # dedup_incremental_minhash 103.6 s at sf10), while for small
+        # live batches the round-robin exchange is sub-ms — the widen
+        # cost scales with the batch, the win doesn't invert
+        minhash_signatures_np(docs)
         if vectorized
         else minhash_signatures(docs)
     )
