@@ -1477,6 +1477,73 @@ def test_token_stats_vectorized_matches_jvm(spark):
     assert got == want
 
 
+def test_token_stats_kernel_fuzz_parity(spark):
+    """Seeded fuzz over the Java-vs-Python regex boundary: 200 random
+    strings mixing ASCII words/digits/punctuation, every ASCII
+    whitespace flavor (incl. \\x0b, which IS Java \\s) and non-ASCII
+    whitespace/letters (\\xa0, é, 中 — NOT Java \\s), leading/trailing
+    runs, and empties. One Spark round-trip compares the kernel to the
+    JVM expressions row-for-row."""
+    import random
+
+    from ballcone_spark.operators.text_analysis import token_stats_np
+
+    rng = random.Random(4242)
+    atoms = [
+        "word", "W0rd", "123", "!!", "a,b", "é", "中文", "x\xa0y",
+        "", " ", "  ", "\t", "\n", "\x0b", "\f", "\r", "MiXeD",
+    ]
+    rows = []
+    for i in range(200):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12)))
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from pyspark.sql import functions as FF
+
+    from ballcone_spark.functions.text import (
+        avg_token_len,
+        distinct_tokens,
+        fingerprint,
+        token_count,
+        tokens,
+    )
+    from ballcone_spark.operators.text_analysis import _BPE_RE, _FP_P
+
+    h = lambda tok: FF.conv(  # noqa: E731
+        FF.substring(FF.md5(tok), 1, 8), 16, 10
+    ).cast("long")
+    t = FF.col("text")
+    tok = df.select("doc_id", FF.posexplode(tokens(t)).alias("pos", "tok"))
+    posfp = (
+        tok.select(
+            "doc_id",
+            ((h(FF.col("tok")) * (FF.col("pos") + 1)) % FF.lit(_FP_P)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg((FF.sum("c") % FF.lit(_FP_P)).alias("positional_fp"))
+    )
+    bpe = FF.size(FF.regexp_extract_all(t, FF.lit(_BPE_RE), FF.lit(0)))
+    ws = token_count(t)
+    jvm = (
+        df.select(
+            "doc_id",
+            ws.alias("n_tokens"),
+            FF.size(distinct_tokens(t)).alias("n_uniq_tokens"),
+            FF.round(avg_token_len(t), 4).alias("avg_token_len"),
+            fingerprint(t).alias("fp"),
+            bpe.alias("bpe_tokens"),
+            FF.round(bpe.cast("double") / ws, 4).alias("tokens_per_word"),
+        )
+        .join(posfp, "doc_id", "left")
+        .withColumn("positional_fp", FF.coalesce("positional_fp", FF.lit(0)))
+        .orderBy("doc_id")
+    )
+    got = [tuple(r) for r in token_stats_np(df).orderBy("doc_id").collect()]
+    want = [tuple(r) for r in jvm.collect()]
+    assert got == want
+
+
 def test_repetition_flags_vectorized_matches_jvm(spark):
     """The Arrow kernel must reproduce the JVM twin row-for-row on the
     test corpus — including the <3-token inner-join drop, the null-text
@@ -1499,6 +1566,33 @@ def test_repetition_flags_vectorized_matches_jvm(spark):
     assert 90001 not in jvm and 90002 not in jvm and 90003 not in jvm
     for k, r in jvm.items():
         assert r == arw[k], k
+
+
+def test_repetition_kernel_fuzz_parity(spark):
+    """Seeded fuzz for the repetition twin over the same Java-regex
+    boundary atoms as the token-stats fuzz (split semantics are the
+    whole parity surface here: space-joined gram strings vs token
+    tuples can only diverge if tokenization does)."""
+    import random
+
+    from ballcone_spark.operators.repetition import (
+        repetition_flags,
+        repetition_flags_np,
+    )
+
+    rng = random.Random(777)
+    atoms = [
+        "spam ham", "w", "9", "a b a b", "é", "x\xa0y", "", " ",
+        "\t", "\x0b", "q r s", "spam",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(atoms) for _ in range(rng.randint(0, 9))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {r["doc_id"]: tuple(r) for r in repetition_flags(df).collect()}
+    arw = {r["doc_id"]: tuple(r) for r in repetition_flags_np(df).collect()}
+    assert jvm == arw and len(jvm) > 50
 
 
 def test_temperature_sample_upweights_small_sources(spark):
