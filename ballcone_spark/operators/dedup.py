@@ -301,11 +301,58 @@ def adaptive_df_cut(
     return corpus_cut, False
 
 
+def shingle_sets_np(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
+    """Arrow twin of the ``shingles_of`` projection: (doc_id,
+    sh array<string>) with first-occurrence-distinct order, built per
+    batch in Python instead of the interpreted transform-over-indexes
+    HOF (CodegenFallback — at sf10 the verify stage built this
+    projection TWICE over 500 k docs, the bulk of its cost). Exact
+    construction parity with the JVM expression: Spark ``trim`` strips
+    only 0x20 → ``strip(' ')``; Java ``\\s`` → ``re.ASCII``; k ≤ 0 and
+    NULL text both yield an EMPTY array (``when(k > 0, ...)`` is falsy
+    for null); ``array_distinct`` keeps first occurrence →
+    ``dict.fromkeys``. The same token-parity rules are fuzz-pinned in
+    test_token_stats_kernel_fuzz_parity."""
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kern(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(doc_id)
+                if text is None:
+                    shs.append([])
+                    continue
+                t = ws.split(text.strip(" "))
+                k = len(t) - n + 1
+                shs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(t[i : i + n]) for i in range(k)
+                        )
+                    )
+                    if k > 0
+                    else []
+                )
+            yield pd.DataFrame({"doc_id": ids, "sh": shs})
+
+    from ballcone_spark.plans.parallelism import widen
+
+    return widen(docs.select("doc_id", "text")).mapInPandas(
+        kern, "doc_id long, sh array<string>"
+    )
+
+
 def exact_jaccard_on_pairs(
     docs: DataFrame,
     cand: DataFrame,
     n: int = _NGRAM,
     hashed: bool = False,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs (a_id, b_id): attach each side's
     distinct shingle set (a per-row array — no shingle-keyed shuffle) via
@@ -324,9 +371,15 @@ def exact_jaccard_on_pairs(
     must check (one countDistinct aggregation, see ``jaccard_pairs``)
     and fall back to strings on a collision, keeping "exact" a
     guarantee rather than a 2⁻⁶⁴ probability."""
-    sets = docs.withColumn("toks", tokens(F.col("text"))).select(
-        "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
-    )
+    if vectorized:
+        # r7: the Arrow set builder (construction-parity documented on
+        # shingle_sets_np); used by the registered vectorized queries —
+        # the pure-JVM twins keep the HOF projection as the cross-check
+        sets = shingle_sets_np(docs, n=n)
+    else:
+        sets = docs.withColumn("toks", tokens(F.col("text"))).select(
+            "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
+        )
     if hashed:
         # injective by caller contract ⇒ distinctness and every set
         # cardinality survive the mapping; Jaccard values are identical
@@ -347,6 +400,7 @@ def jaccard_pairs(
     n: int = _NGRAM,
     max_df: int | None = None,
     pair_budget: int | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Doc pairs sharing ≥1 *rare* word-``n``-gram, with exact Jaccard
     over full distinct shingle sets. Candidate generation is the
@@ -382,7 +436,14 @@ def jaccard_pairs(
     — repeat calls on unchanged data skip both collects, and a data
     change re-derives the cut, so neither can go stale."""
     cand, inj = _rare_shingle_candidates(docs, n, max_df, pair_budget)
-    return exact_jaccard_on_pairs(docs, cand, n=n, hashed=inj)
+    # vectorized=False by default: an A/B at sf10 showed the jaccard
+    # wall is candidate-generation-bound (238.5 vs 234.3 s — noise), so
+    # the registered query stays Python-free; the Arrow set builder
+    # pays off where verify dominates (minhash 58.7 → 36.2 s, clusters
+    # 67.3 → 41.4 s at sf10)
+    return exact_jaccard_on_pairs(
+        docs, cand, n=n, hashed=inj, vectorized=vectorized
+    )
 
 
 def _rare_shingle_candidates(
@@ -490,9 +551,8 @@ def containment_pairs(
     the all-pairs oracle at the driver SFs, so a miss would fail the
     gate, not hide."""
     cand, inj = _rare_shingle_candidates(docs, n, max_df, pair_budget)
-    sets = docs.withColumn("toks", tokens(F.col("text"))).select(
-        "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
-    )
+    sets = shingle_sets_np(docs, n=n)  # r7: Arrow set builder (parity
+    # pinned by test_shingle_sets_np_matches_jvm_projection)
     if inj:
         sets = sets.select(
             "doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh")
@@ -795,7 +855,7 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     # here: forcing the build relation adds two driver collect jobs that
     # AQE's runtime decision avoids.)
     return (
-        exact_jaccard_on_pairs(docs, cand)
+        exact_jaccard_on_pairs(docs, cand, vectorized=vectorized)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a_id", "b_id")

@@ -1568,6 +1568,33 @@ def test_repetition_flags_vectorized_matches_jvm(spark):
         assert r == arw[k], k
 
 
+def test_shingle_sets_np_matches_jvm_projection(spark):
+    """The Arrow shingle-set builder must reproduce the JVM
+    shingles_of projection EXACTLY — element order included
+    (first-occurrence distinct), plus the k<=0 and NULL-text
+    empty-array contract — on the corpus and on edge docs."""
+    from ballcone_spark.functions.text import shingles_of, tokens
+    from ballcone_spark.operators.dedup import shingle_sets_np
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, "a b"), (90002, None), (90003, ""), (90004, "x y x y x y x"),
+         (90005, "\ta  b\x0bc d")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"),
+             F.lit("edge").alias("source"), F.lit(0).alias("n_chars"))
+    docs = docs.unionByName(edge)
+    jvm = {
+        r["doc_id"]: list(r["sh"])
+        for r in docs.withColumn("toks", tokens(F.col("text")))
+        .select("doc_id", shingles_of(F.col("toks"), n=3).alias("sh"))
+        .collect()
+    }
+    arw = {r["doc_id"]: list(r["sh"]) for r in shingle_sets_np(docs).collect()}
+    assert jvm == arw
+    assert arw[90001] == [] and arw[90002] == [] and arw[90003] == []
+
+
 def test_repetition_kernel_fuzz_parity(spark):
     """Seeded fuzz for the repetition twin over the same Java-regex
     boundary atoms as the token-stats fuzz (split semantics are the
