@@ -603,3 +603,29 @@ def test_hot_keys_profile_plan(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row totals crossJoin
     assert not uses_python(df)
+
+
+def test_widen_reaches_default_parallelism(spark):
+    """widen() must give a compute-bound kernel one partition per core
+    regardless of scan granularity: a single-file parquet scan arrives
+    as few partitions (sized by bytes), and the round-robin exchange
+    takes it to defaultParallelism. Checked via a mapInPandas stage
+    that reports its partition count."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.plans.parallelism import widen
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    wide = widen(docs)
+
+    def count_parts(batches):
+        import pandas as pd
+
+        n = sum(len(p) for p in batches)
+        yield pd.DataFrame({"rows": [n]})
+
+    parts = wide.mapInPandas(count_parts, "rows long").count()
+    assert parts == spark.sparkContext.defaultParallelism
+    # and the un-widened scan really is narrower (the premise)
+    narrow = docs.mapInPandas(count_parts, "rows long").count()
+    assert narrow < parts
