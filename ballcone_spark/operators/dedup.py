@@ -963,14 +963,19 @@ def docs_simhash(spark, sf_dir):
     e = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("s")
     )
+    # materialize the token hash in a projection BEFORE the aggregate:
+    # referencing the md5 expression inside all 32 sums leans on
+    # codegen subexpression elimination, which is imperfect here
+    # (A/B at sf10: 12.4 s inline vs 10.2 s projected)
     h = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    hashed = e.select("doc_id", h.alias("h"))
     sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s_{b}")
         for b in range(_SIM_BITS)
     ]
-    bits = e.groupBy("doc_id").agg(*sums)
+    bits = hashed.groupBy("doc_id").agg(*sums)
     val = None
     for b in range(_SIM_BITS):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
@@ -994,14 +999,17 @@ def simhash_signatures_df(docs: DataFrame, bits: int = _SIM_BITS_WIDE) -> DataFr
     e = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("s")
     )
+    # same pre-projection as docs_simhash: one md5 per token row, not
+    # one per (row, bit) when subexpression elimination falls short
     h = F.conv(F.substring(F.md5("s"), 1, (bits + 3) // 4), 16, 10).cast("long")
+    hashed = e.select("doc_id", h.alias("h"))
     sums = [
         F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"s_{b}")
         for b in range(bits)
     ]
-    agg = e.groupBy("doc_id").agg(*sums)
+    agg = hashed.groupBy("doc_id").agg(*sums)
     val = None
     for b in range(bits):
         term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
