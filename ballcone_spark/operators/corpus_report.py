@@ -25,11 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ballcone_spark.functions.text import (
-    fingerprint,
-    token_count,
-    uniq_token_ratio,
-)
 from ballcone_spark.operators.lm_quality import (
     _BP_ORACLE,
     _LM_ORACLE,
@@ -43,15 +38,24 @@ __all__ = ["corpus_report"]
 
 def corpus_report(docs: DataFrame) -> DataFrame:
     """One row per source: the dataset-card summary."""
-    t = F.col("text")
-    base = docs.select(
+    # r7: the per-doc signal base runs the one-pass Arrow quality
+    # kernel (the JVM projection tokenized each doc ~5×; passthrough
+    # columns keep the stage shuffle-free) — same values, ratio
+    # division + round left JVM-side
+    from ballcone_spark.operators.text_analysis import quality_signals_np
+
+    base = quality_signals_np(
+        docs, extra_cols=("source", "lang", "n_chars")
+    ).select(
         "doc_id",
         "source",
         "lang",
-        F.col("n_chars"),
-        token_count(t).alias("n_tokens"),
-        F.round(uniq_token_ratio(t), 4).alias("uniq_ratio"),
-        fingerprint(t).alias("fp"),
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4
+        ).alias("uniq_ratio"),
+        "fp",
     )
     dup_fps = (
         base.groupBy("fp")

@@ -213,6 +213,59 @@ def token_stats_np(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_signals_np(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, n_tokens, n_uniq_tokens, fp) in one Arrow
+    pass — the quality-gate subset of :func:`token_stats_np` (same
+    tokenization-parity rules, fuzz-pinned there) WITHOUT the BPE regex
+    and positional-fp work the curation/report consumers don't need.
+    ``extra_cols`` echo through the kernel so downstream grouping needs
+    no join back to the corpus — the whole signal stage stays
+    shuffle-free."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    extra = list(extra_cols)
+
+    def stats(batches):
+        for pdf in batches:
+            out = {c: [] for c in ["doc_id", *extra, "n_tokens", "n_uniq_tokens", "fp"]}
+            for row in zip(pdf["doc_id"], *[pdf[c] for c in extra], pdf["text"]):
+                doc_id, text = row[0], row[-1]
+                out["doc_id"].append(doc_id)
+                for c, v in zip(extra, row[1:-1]):
+                    out[c].append(v)
+                if text is None:
+                    out["n_tokens"].append(None)
+                    out["n_uniq_tokens"].append(None)
+                    out["fp"].append(None)
+                    continue
+                st = text.strip(" ")
+                toks = ws_re.split(st)
+                out["n_tokens"].append(len(toks))
+                out["n_uniq_tokens"].append(len(set(toks)))
+                out["fp"].append(
+                    hashlib.md5(
+                        ws_re.sub(" ", st.lower()).encode("utf-8")
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    from ballcone_spark.plans.parallelism import widen
+
+    schema_extra = ", ".join(
+        f"{c} {dict(docs.dtypes)[c]}" for c in extra
+    )
+    schema = "doc_id long, " + (schema_extra + ", " if schema_extra else "") + (
+        "n_tokens int, n_uniq_tokens int, fp string"
+    )
+    return widen(docs.select("doc_id", *extra, "text")).mapInPandas(stats, schema)
+
+
 @_query(
     "docs_token_stats_vectorized",
     _TOKEN_STATS_ORACLE,  # the SAME oracle as the JVM twin, verbatim
@@ -551,9 +604,7 @@ def docs_deterministic_sample(spark, sf_dir):
     )
 
 
-@_query(
-    "docs_curation_pipeline",
-    f"""
+_CURATION_ORACLE = f"""
     WITH scored AS (
         SELECT doc_id, source, lang, n_chars,
                len({_DUCK_TOKENS}) AS n_tokens,
@@ -582,32 +633,16 @@ def docs_deterministic_sample(spark, sf_dir):
            round(avg(d.n_tokens), 4) AS avg_tokens
     FROM deduped d LEFT JOIN sampled s ON d.doc_id = s.doc_id
     GROUP BY d.source, d.lang ORDER BY d.source, d.lang
-    """,
-)
-def docs_curation_pipeline(spark, sf_dir):
-    """The composed curation pass every training pipeline runs: quality
-    gate (length, token count, repetition ratio) → exact dedup (keep
-    lowest doc_id per normalized fingerprint) → deterministic hash-bucket
-    train-split sample (md5(doc_id) mod 100 < 80: content-independent,
-    engine-portable, shuffle-free — the docs_deterministic_sample
-    primitive, EXTRA_QUERIES) → per-(source, lang) yield report with kept
-    and train counts. One scan computes all per-doc signals; dedup is one
-    shuffle on the fingerprint; the sample is a pure map predicate; the
-    report is a partial-aggregated groupBy — three shuffles end to end
-    regardless of corpus size."""
+    """
+
+
+def _curation_tail(scored: DataFrame) -> DataFrame:
+    """quality gate → fp dedup (keep lowest doc_id) → hash-bucket train
+    split → per-(source, lang) yield report. Shared by both curation
+    twins; ``scored`` must carry (doc_id, source, lang, n_chars,
+    n_tokens, uniq_ratio, fp)."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
-    scored = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        token_count(t).alias("n_tokens"),
-        uniq_token_ratio(t).alias("uniq_ratio"),
-        fingerprint(t).alias("fp"),
-    )
     quality = scored.where(
         (F.col("n_chars") >= 100)
         & (F.col("n_tokens") >= 20)
@@ -632,6 +667,64 @@ def docs_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source", "lang")
     )
+
+
+@_query(
+    "docs_curation_pipeline",
+    _CURATION_ORACLE,
+)
+def docs_curation_pipeline(spark, sf_dir):
+    """The composed curation pass every training pipeline runs: quality
+    gate (length, token count, repetition ratio) → exact dedup (keep
+    lowest doc_id per normalized fingerprint) → deterministic hash-bucket
+    train-split sample (md5(doc_id) mod 100 < 80: content-independent,
+    engine-portable, shuffle-free — the docs_deterministic_sample
+    primitive, EXTRA_QUERIES) → per-(source, lang) yield report with kept
+    and train counts. r7: the per-doc signal stage is the one-pass Arrow
+    quality kernel (the JVM projection tokenized each doc ~5×;
+    passthrough columns keep the stage shuffle-free) with the ratio
+    division left JVM-side; the JVM projection remains the EXTRA
+    cross-check (`docs_curation_pipeline_jvm`). Dedup is one shuffle on
+    the fingerprint; the sample is a pure map predicate; the report is a
+    partial-aggregated groupBy — three shuffles end to end regardless of
+    corpus size."""
+    scored = quality_signals_np(
+        _docs(spark, sf_dir), extra_cols=("source", "lang", "n_chars")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        (
+            F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")
+        ).alias("uniq_ratio"),
+        "fp",
+    )
+    return _curation_tail(scored)
+
+
+@_query(
+    "docs_curation_pipeline_jvm",
+    _CURATION_ORACLE,  # same oracle verbatim — continuous cross-check
+    driver=False,
+)
+def docs_curation_pipeline_jvm(spark, sf_dir):
+    """Pure-JVM twin of `docs_curation_pipeline` (the r7 driver entry
+    runs the Arrow quality kernel); hash-checked locally against the
+    identical oracle."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        token_count(t).alias("n_tokens"),
+        uniq_token_ratio(t).alias("uniq_ratio"),
+        fingerprint(t).alias("fp"),
+    )
+    return _curation_tail(scored)
 
 
 # --------------------------------------------------------------------- #

@@ -42,6 +42,9 @@ ARROW_ALLOWED = {
     # interpreted dots at sf10)
     "embeddings_ann_lsh_recall",
     "embeddings_ann_ivf_recall",
+    "docs_curation_pipeline",                # one-pass quality kernel
+    #   (the JVM projection tokenized each doc ~5×; JVM twin is EXTRA)
+    "docs_corpus_report",                    # same kernel as its base
     # NOT listed although it signs with the same Arrow kernel (r7):
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
