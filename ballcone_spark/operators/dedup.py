@@ -347,6 +347,41 @@ def shingle_sets_np(docs: DataFrame, n: int = _NGRAM) -> DataFrame:
     )
 
 
+def shingle_rows_np(docs: DataFrame, n: int) -> DataFrame:
+    """Arrow twin of ``shingle_rows(distinct=False)``: (doc_id, s) gram
+    ROWS emitted straight from a per-batch kernel — no posexplode and,
+    decisively, no lead-window shuffle of the corpus token stream (the
+    JVM assembly shuffles one row per token to sort within doc).
+    Multiplicity and gram strings match the JVM construction exactly
+    (same tokenizer parity rules as :func:`shingle_sets_np`; grams in
+    document order, duplicates kept). For multiplicity-insensitive
+    consumers (the decontamination semi join) row ORDER is irrelevant."""
+    import re
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kern(batches):
+        for pdf in batches:
+            ids, grams = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
+                k = len(t) - n + 1
+                for i in range(k):
+                    ids.append(doc_id)
+                    grams.append(" ".join(t[i : i + n]))
+            yield pd.DataFrame({"doc_id": ids, "s": grams})
+
+    from ballcone_spark.plans.parallelism import widen
+
+    return widen(docs.select("doc_id", "text")).mapInPandas(
+        kern, "doc_id long, s string"
+    )
+
+
 def exact_jaccard_on_pairs(
     docs: DataFrame,
     cand: DataFrame,
@@ -1356,16 +1391,16 @@ def decontamination_flags(
     n-gram set BROADCASTS; the corpus side is a semi-join against it —
     one scan of the corpus shingle stream, no corpus-side shuffle, never
     O(corpus × benchmark). Returns the flagged ``(doc_id)`` rows."""
-    # r7: no distinct() on the corpus PROBE side — duplicates can't
-    # change EXISTS semantics and the trailing doc_id distinct dedups
-    # the flags, so the corpus-scale (doc_id, gram)-keyed exchange of
-    # long gram strings is gone (sf10 wall is window-shuffle-bound so
-    # this shows at larger benchmarks, not in the 30 s sf10 number).
-    # The bench BUILD side keeps distinct: planted near-dups repeat
-    # grams, and a smaller broadcast beats the tiny bench-side shuffle.
-    bench_grams = shingle_rows(benchmark, n=n).select("s")
+    # r7: gram rows come from the Arrow kernel — the JVM assembly paid
+    # a lead-window shuffle of one row per corpus token just to build
+    # grams, the dominant cost once the probe-side distinct was gone.
+    # A semi join is multiplicity-insensitive and the trailing doc_id
+    # distinct dedups the flags, so no gram-keyed exchange exists
+    # anywhere in the plan (gated: the bench side broadcasts raw gram
+    # rows — a semi-join build dedups in its hash table for free).
+    bench_grams = shingle_rows_np(benchmark, n=n).select("s")
     return (
-        shingle_rows(docs, n=n, distinct=False)
+        shingle_rows_np(docs, n=n)
         .join(F.broadcast(bench_grams), "s", "semi")
         .select("doc_id")
         .distinct()

@@ -1595,6 +1595,33 @@ def test_shingle_sets_np_matches_jvm_projection(spark):
     assert arw[90001] == [] and arw[90002] == [] and arw[90003] == []
 
 
+def test_shingle_rows_np_matches_jvm_multiset(spark):
+    """The Arrow gram-row kernel must emit the same (doc_id, s)
+    MULTISET as shingle_rows(distinct=False) — duplicates and gram
+    strings included; only row order may differ."""
+    from collections import Counter
+
+    from ballcone_spark.functions.text import shingle_rows
+    from ballcone_spark.operators.dedup import shingle_rows_np
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, "a b"), (90002, None), (90003, "x y x y x"),
+         (90004, "\tp  q\x0br s")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"),
+             F.lit("edge").alias("source"), F.lit(0).alias("n_chars"))
+    docs = docs.unionByName(edge)
+    jvm = Counter(
+        (r["doc_id"], r["s"])
+        for r in shingle_rows(docs, n=8, distinct=False).collect()
+    )
+    arw = Counter(
+        (r["doc_id"], r["s"]) for r in shingle_rows_np(docs, n=8).collect()
+    )
+    assert jvm == arw and len(arw) > 0
+
+
 def test_repetition_kernel_fuzz_parity(spark):
     """Seeded fuzz for the repetition twin over the same Java-regex
     boundary atoms as the token-stats fuzz (split semantics are the

@@ -45,6 +45,8 @@ ARROW_ALLOWED = {
     "docs_curation_pipeline",                # one-pass quality kernel
     #   (the JVM projection tokenized each doc ~5×; JVM twin is EXTRA)
     "docs_corpus_report",                    # same kernel as its base
+    "docs_decontamination",                  # gram-rows kernel replaces
+    #   the lead-window token shuffle on both semi-join sides
     # NOT listed although it signs with the same Arrow kernel (r7):
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
