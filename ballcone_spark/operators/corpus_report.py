@@ -66,6 +66,14 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     flagged = base.join(dup_fps, "fp", "left_semi").select(
         "doc_id", F.lit(1).alias("is_dup")
     )
+    # JVM gram source, deliberately: an interleaved A/B at sf10
+    # measured the Arrow gram-rows kernel ~30% SLOWER for the LM +
+    # boilerplate pair (59.4 s vs 77.7 s) — emitting 25 M gram strings
+    # from Python through Arrow three times costs more than the
+    # lead-window shuffle it removes, because here the gram stream
+    # feeds gram-keyed aggregates that dominate either way (contrast
+    # decontamination, where the window WAS the whole cost and the
+    # kernel won 2.3×). See _gram_rows_np's docstring.
     lm = bigram_lm_scores(docs).select("doc_id", "ppl")
     bp = boilerplate_spans(docs).select(
         "doc_id", F.col("boilerplate").cast("int").alias("bp")

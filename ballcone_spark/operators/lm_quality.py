@@ -51,13 +51,16 @@ MIN_DOCS = 2
 COVER_T = 0.30
 
 
-def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_model(
+    docs: DataFrame, text_col: str = "text", vectorized: bool = False
+) -> DataFrame:
     """(g, logp): the add-one-smoothed bigram LM trained on ``docs``,
     P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+|V|) — one explode + one gram
     groupBy; the model table is O(distinct bigrams). Reused by the
     batch quality scorer below and the streaming drift monitor
-    (:mod:`ballcone_spark.streaming.drift`)."""
-    bg = _gram_rows(docs, text_col, 2).select("g")
+    (:mod:`ballcone_spark.streaming.drift`). ``vectorized`` swaps the
+    gram source for the Arrow kernel (see :func:`_gram_rows_np`)."""
+    bg = _grams(docs, text_col, 2, vectorized).select("g")
     counts = (
         bg.groupBy("g")
         .agg(F.count("*").alias("c"))
@@ -79,7 +82,9 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", vectorized: bool = False
+) -> DataFrame:
     """(doc_id, n_bigrams, avg_logp, ppl) — each doc scored by the mean
     natural-log probability of its bigram transitions under the
     corpus-trained :func:`bigram_model`, and the corresponding
@@ -89,7 +94,7 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     trained on the same corpus), so the inner join loses nothing;
     docs with < 2 tokens have no transitions and drop out by contract.
     """
-    bg = _gram_rows(docs, text_col, 2).select("doc_id", "g")
+    bg = _grams(docs, text_col, 2, vectorized).select("doc_id", "g")
     # SHUFFLE_HASH with the model as the (hinted) build side: the
     # window-shaped gram frame carries a bogus small size estimate, and
     # at sf10 the planner chose the 26 M-row DOC-GRAM side as a
@@ -97,7 +102,9 @@ def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # bigrams) — per-partition hash builds of it are bounded at any
     # corpus scale; AQE's skew split still owns hot grams.
     return (
-        bg.join(bigram_model(docs, text_col).hint("shuffle_hash"), "g")
+        bg.join(
+            bigram_model(docs, text_col, vectorized).hint("shuffle_hash"), "g"
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -135,7 +142,57 @@ def _gram_rows(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     return out.select("doc_id", "pos", g.alias("g"))
 
 
-def boilerplate_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def _gram_rows_np(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Arrow twin of :func:`_gram_rows` — same (doc_id, pos, g) rows
+    (duplicates, empty tokens and 0-based positions preserved; pinned
+    row-for-row by ``test_gram_rows_np_matches_jvm``) emitted from a
+    per-batch kernel instead of posexplode + a lead window.
+    ``split(text, ' ')`` parity: Python ``str.split(' ')`` keeps
+    leading/trailing/interior empties exactly like Spark's regex split
+    with limit -1; null text yields no rows (posexplode of null).
+
+    MEASURED NEGATIVE for the LM/boilerplate consumers (r7, interleaved
+    A/B at sf10): ~30% slower than the window path (77.7 vs 59.4 s for
+    the pair) — emitting 25 M gram strings from Python through Arrow
+    costs more than the lead-window shuffle it removes when the gram
+    stream feeds gram-keyed aggregates that dominate either way. The
+    kernel wins only when gram construction IS the dominant cost
+    (decontamination's one-semi-join shape: 2.3×, see
+    ``operators/dedup.shingle_rows_np``). Kept with the ``vectorized``
+    flag plumbed so the next profiling round doesn't re-derive this."""
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            ids, poss, grams = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
+                t = text.split(" ")
+                for i in range(len(t) - n + 1):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    grams.append(" ".join(t[i : i + n]))
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "g": grams})
+
+    from ballcone_spark.plans.parallelism import widen
+
+    return widen(docs.select("doc_id", text_col)).mapInPandas(
+        kern, "doc_id long, pos int, g string"
+    )
+
+
+def _grams(docs: DataFrame, text_col: str, n: int, vectorized: bool) -> DataFrame:
+    return (
+        _gram_rows_np(docs, text_col, n)
+        if vectorized
+        else _gram_rows(docs, text_col, n)
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame, text_col: str = "text", vectorized: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens, covered_tokens, covered_frac, boilerplate) —
     token positions covered by corpus-frequent exact 5-gram spans.
 
@@ -147,7 +204,9 @@ def boilerplate_spans(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # one codegen gram pass, materialized lazily: both consumers below
     # (the frequency aggregate and the occurrence semi-join) reference
     # it — un-checkpointed, each re-ran the gram construction
-    grams = _gram_rows(docs, text_col, SPAN_N).localCheckpoint(eager=False)
+    grams = _grams(docs, text_col, SPAN_N, vectorized).localCheckpoint(
+        eager=False
+    )
     frequent = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -1595,6 +1595,31 @@ def test_shingle_sets_np_matches_jvm_projection(spark):
     assert arw[90001] == [] and arw[90002] == [] and arw[90003] == []
 
 
+def test_gram_rows_np_matches_jvm(spark):
+    """The Arrow gram-row kernel must emit the identical (doc_id, pos,
+    g) row set as the JVM posexplode+lead assembly — empty tokens,
+    duplicates and positions included — for both the LM bigrams and the
+    boilerplate 5-grams."""
+    from ballcone_spark.operators.lm_quality import _gram_rows, _gram_rows_np
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(90001, "a  b"), (90002, None), (90003, ""), (90004, " x y "),
+         (90005, "p q r s t u v")],
+        "doc_id long, text string",
+    ).select("doc_id", "text", F.lit("en").alias("lang"),
+             F.lit("edge").alias("source"), F.lit(0).alias("n_chars"))
+    docs = docs.unionByName(edge)
+    for n in (2, 5):
+        jvm = sorted(
+            tuple(r) for r in _gram_rows(docs, "text", n).collect()
+        )
+        arw = sorted(
+            tuple(r) for r in _gram_rows_np(docs, "text", n).collect()
+        )
+        assert jvm == arw and len(arw) > 0, n
+
+
 def test_shingle_rows_np_matches_jvm_multiset(spark):
     """The Arrow gram-row kernel must emit the same (doc_id, s)
     MULTISET as shingle_rows(distinct=False) — duplicates and gram
