@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.lm_quality import (
     _BP_ORACLE,
     _LM_ORACLE,
-    bigram_lm_scores,
+    bigram_lm_scores_np,
     boilerplate_spans,
 )
 from ballcone_spark.queries import _query, load_table
@@ -66,15 +66,16 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     flagged = base.join(dup_fps, "fp", "left_semi").select(
         "doc_id", F.lit(1).alias("is_dup")
     )
-    # JVM gram source, deliberately: an interleaved A/B at sf10
-    # measured the Arrow gram-rows kernel ~30% SLOWER for the LM +
-    # boilerplate pair (59.4 s vs 77.7 s) — emitting 25 M gram strings
-    # from Python through Arrow three times costs more than the
-    # lead-window shuffle it removes, because here the gram stream
-    # feeds gram-keyed aggregates that dominate either way (contrast
-    # decontamination, where the window WAS the whole cost and the
-    # kernel won 2.3×). See _gram_rows_np's docstring.
-    lm = bigram_lm_scores(docs).select("doc_id", "ppl")
+    # LM scoring via the map-side kernel (r7B): the model broadcasts as
+    # a dict and each doc is scored in one pass — no gram rows
+    # materialize, so neither the lead-window assembly nor the
+    # 25 M-row gram⋈model join exists (falls back to the shuffle join
+    # past BROADCAST_MODEL_MAX entries). Note the contrast with the
+    # REJECTED gram-rows kernel (interleaved A/B: ~30% slower — see
+    # _gram_rows_np): that one expanded rows through Arrow; this one is
+    # one row in, one row out. Boilerplate stays on the JVM gram source
+    # (its frequent-gram set is corpus-sized — no broadcastable model).
+    lm = bigram_lm_scores_np(docs).select("doc_id", "ppl")
     bp = boilerplate_spans(docs).select(
         "doc_id", F.col("boilerplate").cast("int").alias("bp")
     )

@@ -114,6 +114,73 @@ def bigram_lm_scores(
     )
 
 
+#: model entries above which the map-side scorer refuses to broadcast
+#: and falls back to the shuffle-hash join (open-vocabulary corpora)
+BROADCAST_MODEL_MAX = 2_000_000
+
+
+def bigram_lm_scores_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-side twin of :func:`bigram_lm_scores` for corpora whose
+    bigram model fits memory: the trained (g → logp) table broadcasts
+    into a per-batch kernel as a plain dict, and each document is
+    scored in ONE pass — no gram rows are ever materialized, so neither
+    the lead-window assembly nor the 25 M-row gram⋈model shuffle join
+    exists in the plan. One row in, one row out (the row-expansion
+    serialization trap measured on `_gram_rows_np` doesn't apply).
+
+    The model is collected at plan build; above
+    ``BROADCAST_MODEL_MAX`` entries this falls back to the
+    open-vocabulary shuffle join (`bigram_lm_scores`) — the same
+    broadcast-vs-shuffle threshold decision Spark itself makes for
+    joins, made explicit because the build side crosses into Python.
+    Values are identical: the kernel sums the same model doubles the
+    join would (`avg` order is arbitrary in both engines), docs with
+    < 2 tokens drop out, and the round(·, 4) finish matches."""
+    model = bigram_model(docs, text_col)
+    rows = model.limit(BROADCAST_MODEL_MAX + 1).collect()
+    if len(rows) > BROADCAST_MODEL_MAX:
+        return bigram_lm_scores(docs, text_col)
+    logp = {r["g"]: r["logp"] for r in rows}
+
+    import math
+
+    import pandas as pd
+
+    def kern(batches):
+        for pdf in batches:
+            ids, nbg, avg, ppl = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                if text is None:
+                    continue
+                t = text.split(" ")
+                if len(t) < 2:
+                    continue
+                s = 0.0
+                for i in range(len(t) - 1):
+                    s += logp[t[i] + " " + t[i + 1]]
+                n = len(t) - 1
+                a = s / n
+                ids.append(doc_id)
+                nbg.append(n)
+                avg.append(a)
+                ppl.append(math.exp(-a))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bigrams": nbg, "avg_logp": avg, "ppl": ppl}
+            )
+
+    from ballcone_spark.plans.parallelism import widen
+
+    scored = widen(docs.select("doc_id", text_col)).mapInPandas(
+        kern, "doc_id long, n_bigrams long, avg_logp double, ppl double"
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 4).alias("avg_logp"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def _gram_rows(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     """(doc_id, pos, g) — every word-n-gram of ``split(text, ' ')`` with
     its 0-based start position, duplicates and empty tokens preserved:

@@ -1595,6 +1595,21 @@ def test_shingle_sets_np_matches_jvm_projection(spark):
     assert arw[90001] == [] and arw[90002] == [] and arw[90003] == []
 
 
+def test_bigram_lm_scores_np_matches_join_path(spark):
+    """The map-side LM scorer must reproduce the shuffle-join scorer
+    row-for-row (same model doubles, same <2-token drops, same
+    round(·, 4) finish)."""
+    from ballcone_spark.operators.lm_quality import (
+        bigram_lm_scores,
+        bigram_lm_scores_np,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    jvm = {r["doc_id"]: tuple(r) for r in bigram_lm_scores(docs).collect()}
+    arw = {r["doc_id"]: tuple(r) for r in bigram_lm_scores_np(docs).collect()}
+    assert jvm == arw and len(arw) > 100
+
+
 def test_gram_rows_np_matches_jvm(spark):
     """The Arrow gram-row kernel must emit the identical (doc_id, pos,
     g) row set as the JVM posexplode+lead assembly — empty tokens,
