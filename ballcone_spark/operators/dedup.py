@@ -409,8 +409,11 @@ def exact_jaccard_on_pairs(
     if vectorized:
         # r7: the Arrow set builder (construction-parity documented on
         # shingle_sets_np); used by the registered vectorized queries —
-        # the pure-JVM twins keep the HOF projection as the cross-check
-        sets = shingle_sets_np(docs, n=n)
+        # the pure-JVM twins keep the HOF projection as the cross-check.
+        # Lineage barrier: both join sides reference this frame, so
+        # without it the kernel runs twice (A/B at sf10: verify 26 s →
+        # 19.7 s behind the barrier)
+        sets = shingle_sets_np(docs, n=n).localCheckpoint(eager=False)
     else:
         sets = docs.withColumn("toks", tokens(F.col("text"))).select(
             "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
@@ -917,7 +920,7 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            count(*) AS n_pairs,
-           round(avg(jaccard), 4) AS avg_jaccard
+           round(CAST(avg(jaccard) AS DECIMAL(28, 8)), 4) AS avg_jaccard
     FROM verified v
     JOIN documents da ON v.a_id = da.doc_id
     JOIN documents db ON v.b_id = db.doc_id
@@ -954,7 +957,16 @@ def docs_cross_source_dups(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            # DECIMAL(28,8) intermediate: round(double, 4) diverges
+            # across engines at exact .xxxx5 artifacts (avg of two 4-dp
+            # jaccards lands on one: 0.93905 → Spark 0.939 via the
+            # binary, DuckDB 0.9391 — found by the sf0.1 oracle sweep,
+            # r7). 8 dp is exact for N=2^a·5^b pair counts and
+            # unambiguous otherwise, so both engines round the
+            # identical decimal. Same fix as tpch_q2_min_unit_price.
+            F.round(F.avg("jaccard").cast("decimal(28,8)"), 4).alias(
+                "avg_jaccard"
+            ),
         )
         .orderBy("source_a", "source_b")
     )
