@@ -303,7 +303,15 @@ def semantic_dedup_report(
 
 _SEM_ORACLE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-seeds AS (SELECT vec_id AS cluster_id, e AS c FROM v WHERE vec_id < {K_SEEDS}),
+-- adaptive k replayed IN SQL (r7: the old literal {K_SEEDS} made the
+-- oracle exact only below K_SEEDS*TARGET_CLUSTER vectors; an sf1 sweep
+-- tripped it) — the same max(K_SEEDS, ceil(n/TARGET_CLUSTER)) formula
+-- as adaptive_k, derived from the data so the oracle tracks any SF
+kval AS (SELECT GREATEST({K_SEEDS},
+                         CAST(CEIL(count(*) / {TARGET_CLUSTER}.0) AS BIGINT))
+                AS k FROM v),
+seeds AS (SELECT vec_id AS cluster_id, e AS c FROM v
+          WHERE vec_id < (SELECT k FROM kval)),
 scored AS (SELECT v.vec_id, s.cluster_id,
                   list_cosine_similarity(v.e, s.c) AS cos
            FROM v CROSS JOIN seeds s),
@@ -348,9 +356,10 @@ def docs_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table with deterministic seed
     centroids: route → within-cluster cosine pairs → greedy
     keep-lowest-id, reported per cluster with a removed-id checksum.
-    DuckDB replays the identical pipeline (exact for corpora ≤ 2 048
-    vectors, where adaptive_k == the oracle's K=8 — all oracle-checked
-    SFs; see :func:`adaptive_k`)."""
+    DuckDB replays the identical pipeline INCLUDING the adaptive
+    cluster count (replayed in SQL from the data, r7 — the old
+    K=8-literal oracle was exact only ≤ 2 048 vectors and an sf1 sweep
+    tripped it); oracle-checked green at sf0.01 / 0.1 / 1."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
