@@ -85,6 +85,10 @@ MINHASH_A, MINHASH_B = _minhash_ab(N_HASHES)
 #: sf1) so the static oracle SQL replays the EXACT pipeline there
 _BAND_SCALE_N = 100_000
 
+#: bands used by the jaccard/containment selectivity-collapse fallback
+#: (r7B: twice the default — squares the per-pair band-miss envelope)
+_FALLBACK_BANDS = 8
+
 
 def adaptive_band_rows(n_docs: int) -> int:
     """Rows-per-band for the LSH banding, growing with corpus size
@@ -460,10 +464,12 @@ def jaccard_pairs(
     cut until candidates fit the (linear) budget; if that binds, the
     information for near-dup detection no longer lives in any single
     shingle, so MinHash band candidates (:func:`band_pairs` — the
-    sketch that samples shingle *conjunctions*) are unioned in. Exact
-    verification makes extra candidates harmless; the only recall cost
-    is a pair whose every shared shingle is above the cut AND that
-    agrees on no band — P(miss) = (1−J⁴)⁴ ≤ 1.4 % per pair at J ≥ 0.9.
+    sketch that samples shingle *conjunctions*, 8 bands × 4 rows on
+    this branch since r7B) are unioned in. Exact verification makes
+    extra candidates harmless; the only recall cost is a pair whose
+    every shared shingle is above the cut AND that agrees on no band —
+    P(miss) = (1−J⁴)⁸ ≈ 1.5 % per pair at J = 0.8 (measured end to
+    end at sf1: 2 975/2 980 pairs, vs 2 956 with 4 bands).
     At the driver-oracled scales (≤ sf0.1: 1.27 M pairs < 2 M floor)
     the budget never binds and plans/results are bit-identical to the
     exhaustive inverted index.
@@ -522,10 +528,21 @@ def _rare_shingle_candidates(
     rare = e_idx.join(F.broadcast(hot_shingles(e_idx, cut)), "s", "left_anti")
     cand = bucket_pairs(rare, ["s"]).distinct()
     if collapsed:
-        # sketch fallback: Arrow signatures (bit-identical to the JVM
-        # twin, ~3× faster at corpus scale) — candidates unchanged
+        # sketch fallback: Arrow signatures (bit-identical derivation
+        # to the JVM twin). 8 bands × 4 rows rather than the default
+        # 4×4 (r7B): the sf1 oracle sweep measured the 4-band envelope
+        # at 24/2980 missed pairs (0.8 %); doubling bands squares the
+        # per-pair band-miss from (1−J⁴)⁴ ≈ 12 % to ≈ 1.5 % at J=0.8
+        # for one extra numpy permutation batch and 2× band rows — paid
+        # only on this branch, which never activates at driver SFs
         cand = cand.union(
-            band_pairs(minhash_signatures_np(docs, n=n))
+            band_pairs(
+                minhash_signatures_np(
+                    docs, n=n, n_hashes=_FALLBACK_BANDS * 4
+                ),
+                n_bands=_FALLBACK_BANDS,
+                rows=4,
+            )
         ).distinct()
     return cand, bool(inj)
 
@@ -555,8 +572,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     linear pair budget does not bind — every driver-checked SF. When
     the corpus saturates its shingle space and the budget binds (sf1+
     on this synthetic vocab), recall follows the documented
-    band-fallback envelope: measured 2 956/2 980 pairs (0.8 % short of
-    the exhaustive oracle) at 50 k docs — the designed price of
+    band-fallback envelope: measured 2 975/2 980 pairs (0.17 % short of
+    the exhaustive oracle; 8-band fallback) at 50 k docs — the designed price of
     linearity, see ``jaccard_pairs`` and BASELINE §6i."""
     pairs = jaccard_pairs(_docs(spark, sf_dir))
     return (
