@@ -135,14 +135,18 @@ base AS (
 dups AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1),
 agg AS (
     SELECT source, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           -- CASTs: DuckDB SUM(int) is HUGEINT → float64 through the
+           -- driver's pandas hash path while Spark stays int64; cast to
+           -- keep the hash input representation-identical (r07 red)
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(CASE WHEN fp IN (SELECT fp FROM dups) THEN 1 ELSE 0 END)
-               AS exact_dup_docs,
+           CAST(sum(CASE WHEN fp IN (SELECT fp FROM dups) THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_dup_docs,
            count(DISTINCT lang) AS n_langs,
            round(avg(uniq_ratio), 4) AS avg_uniq_ratio,
            round(avg(lm.ppl), 4) AS avg_ppl,
-           sum(CASE WHEN bp.boilerplate THEN 1 ELSE 0 END) AS boilerplate_docs
+           CAST(sum(CASE WHEN bp.boilerplate THEN 1 ELSE 0 END) AS BIGINT)
+               AS boilerplate_docs
     FROM base
     LEFT JOIN (SELECT doc_id, ppl FROM lm) lm USING (doc_id)
     LEFT JOIN (SELECT doc_id, boilerplate FROM bp) bp USING (doc_id)

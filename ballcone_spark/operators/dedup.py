@@ -610,8 +610,12 @@ def containment_pairs(
     the all-pairs oracle at the driver SFs, so a miss would fail the
     gate, not hide."""
     cand, inj = _rare_shingle_candidates(docs, n, max_df, pair_budget)
-    sets = shingle_sets_np(docs, n=n)  # r7: Arrow set builder (parity
-    # pinned by test_shingle_sets_np_matches_jvm_projection)
+    # r7: Arrow set builder (parity pinned by
+    # test_shingle_sets_np_matches_jvm_projection); localCheckpoint
+    # mirrors exact_jaccard_on_pairs — both join sides reference this
+    # one frame, and without the lineage barrier the Arrow shingle
+    # kernel runs twice per execution (sf10 A/B: 26 → 19.7 s, ADVICE r7)
+    sets = shingle_sets_np(docs, n=n).localCheckpoint(eager=False)
     if inj:
         sets = sets.select(
             "doc_id", F.transform("sh", lambda x: F.xxhash64(x)).alias("sh")
@@ -741,8 +745,17 @@ def minhash_signatures_np(
 
     def kern(batches):
         import hashlib
+        import re
 
         import pandas as pd
+
+        # JVM tokenizer parity (same contract as shingle_sets_np): Spark
+        # `trim` strips only 0x20 → strip(' '); Java \s+ split is ASCII
+        # (Python's default also splits \xa0 etc.) and emits a leading
+        # empty token after leading \t/\n — re.ASCII split reproduces
+        # both. NULL text → no row (JVM yields null sigs; both are zero
+        # candidates downstream, pinned by the parity test).
+        ws = re.compile(r"\s+", re.ASCII)
 
         cache: dict = {}
 
@@ -756,7 +769,9 @@ def minhash_signatures_np(
         for pdf in batches:
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                t = text.strip().split()
+                if text is None:
+                    continue
+                t = ws.split(text.strip(" "))
                 if len(t) < n:
                     continue
                 sh = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
@@ -949,6 +964,10 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     ORDER BY source_a, source_b
     """,
     driver=False,  # registry capped at 50; oracle-checked locally
+    # minhash_lsh_pairs(vectorized=True) bakes count-derived band
+    # geometry into the plan at build — invalidate on data change like
+    # every other query on that path (ADVICE r7)
+    cacheable=("documents",),
 )
 def docs_cross_source_dups(spark, sf_dir):
     """Cross-source contamination matrix: near-dup pair counts (and mean

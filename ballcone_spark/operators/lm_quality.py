@@ -155,10 +155,22 @@ def bigram_lm_scores_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 t = text.split(" ")
                 if len(t) < 2:
                     continue
-                s = 0.0
+                # OOV grams are DROPPED from both sum and count,
+                # mirroring the JVM twin's inner join (which silently
+                # drops unmatched grams) — same-corpus training makes
+                # this a no-op today, but the kernel must not KeyError
+                # the stage if handed foreign text (ADVICE r7)
+                s, n = 0.0, 0
                 for i in range(len(t) - 1):
-                    s += logp[t[i] + " " + t[i + 1]]
-                n = len(t) - 1
+                    v = logp.get(t[i] + " " + t[i + 1])
+                    if v is None:
+                        continue
+                    s += v
+                    n += 1
+                if n == 0:
+                    # all grams OOV → the join yields no rows for the
+                    # doc → no output row, same as the JVM groupBy
+                    continue
                 a = s / n
                 ids.append(doc_id)
                 nbg.append(n)

@@ -235,11 +235,13 @@ counted AS (
     FROM documents
 ),
 packed AS (
+    -- CAST: DuckDB SUM(BIGINT) is HUGEINT → float64 through the
+    -- driver's pandas hash path while Spark stays int64 (VERDICT r7 #1)
     SELECT doc_id, n_tokens,
-           COALESCE(sum(n_tokens) OVER (
+           CAST(COALESCE(sum(n_tokens) OVER (
                ORDER BY h, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) AS "offset"
+           ), 0) AS BIGINT) AS "offset"
     FROM counted
 )
 """
@@ -281,8 +283,9 @@ def docs_pack_sequences(spark, sf_dir):
         FROM packed
     )
     SELECT block_id, count(*) AS n_docs,
-           sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
-               - greatest(block_id * {_SEQ_LEN}, "offset")) AS n_tokens
+           CAST(sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
+                    - greatest(block_id * {_SEQ_LEN}, "offset"))
+                AS BIGINT) AS n_tokens
     FROM spans
     GROUP BY block_id
     ORDER BY block_id
@@ -318,8 +321,9 @@ _BLOCKS_PER_SHARD = 16
                AS shard_id,
            count(DISTINCT block_id) AS n_blocks,
            count(DISTINCT doc_id) AS n_docs,
-           sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
-               - greatest(block_id * {_SEQ_LEN}, "offset")) AS n_tokens
+           CAST(sum(least((block_id + 1) * {_SEQ_LEN}, "offset" + n_tokens)
+                    - greatest(block_id * {_SEQ_LEN}, "offset"))
+                AS BIGINT) AS n_tokens
     FROM spans
     GROUP BY shard_id
     ORDER BY shard_id

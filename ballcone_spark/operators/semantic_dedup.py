@@ -324,7 +324,11 @@ assign AS (
 ),
 av AS (SELECT a.vec_id, a.cluster_id, v.e FROM assign a JOIN v USING (vec_id)),
 rem AS (
-    SELECT cluster_id, count(*) AS n_removed, sum(vec_id) AS removed_sum
+    -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which the driver's pandas
+    -- hash path renders as float64 while Spark stays int64 (equal
+    -- values, divergent hash input) — the CORRECTNESS_r07 red
+    SELECT cluster_id, count(*) AS n_removed,
+           CAST(sum(vec_id) AS BIGINT) AS removed_sum
     FROM (SELECT DISTINCT a.cluster_id, b.vec_id
           FROM av a JOIN av b
             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
@@ -334,7 +338,7 @@ rem AS (
 SELECT n.cluster_id, n.n_vecs,
        COALESCE(r.n_removed, 0) AS n_removed,
        n.n_vecs - COALESCE(r.n_removed, 0) AS n_kept,
-       COALESCE(r.removed_sum, 0) AS removed_checksum
+       CAST(COALESCE(r.removed_sum, 0) AS BIGINT) AS removed_checksum
 FROM (SELECT cluster_id, count(*) AS n_vecs FROM assign GROUP BY cluster_id) n
 LEFT JOIN rem r USING (cluster_id)
 ORDER BY n.cluster_id

@@ -286,7 +286,8 @@ def docs_token_stats_vectorized(spark, sf_dir):
            round(avg(len({_DUCK_TOKENS})), 4) AS avg_tokens,
            round(avg(len(list_distinct({_DUCK_TOKENS}))
                      * 1.0 / len({_DUCK_TOKENS})), 4) AS avg_uniq_ratio,
-           sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs
+           CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_docs
     FROM documents GROUP BY source ORDER BY source
     """,
     driver=False,  # quality signals + per-source report covered by curation

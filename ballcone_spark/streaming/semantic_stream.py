@@ -70,13 +70,14 @@ def read_semantic_index(spark: SparkSession, index_dir: str):
     jsc = spark._jsc
     path = jvm.org.apache.hadoop.fs.Path(index_dir)
     fs = path.getFileSystem(jsc.hadoopConfiguration())
-    try:
-        if not fs.exists(path) or not any(
-            s.getPath().getName().startswith("batch_id=")
-            for s in fs.listStatus(path)
-        ):
-            return None
-    except Exception:
+    # no try/except: fs.exists already covers the 'no index yet' case;
+    # a transient FS/permission failure must PROPAGATE so the batch
+    # retries, not be mis-read as empty history and durably write false
+    # not-dup decisions (ADVICE r7)
+    if not fs.exists(path) or not any(
+        s.getPath().getName().startswith("batch_id=")
+        for s in fs.listStatus(path)
+    ):
         return None
     return spark.read.schema(_IDX_SCHEMA).parquet(index_dir)
 

@@ -578,8 +578,20 @@ def test_minhash_signatures_np_matches_jvm(spark):
     # planted text incl. a <n-token doc: the Arrow kernel emits no row
     # for it (the oracle's WHERE len(t) >= n); the JVM twin emits null
     # sigs — both yield zero candidates downstream
+    # ADVICE r7: whitespace-parity + NULL edge docs (the shingle_sets_np
+    # contract) — leading \t yields a leading empty JVM token; \x0b is
+    # Java \s but vertical-tab; \xa0 is Unicode whitespace Python's
+    # DEFAULT split eats but Java \s (and re.ASCII) must NOT; NULL text
+    # must not crash the kernel (JVM → null sigs, Arrow → no row)
     planted = spark.createDataFrame(
-        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma"), (2, "xy z")],
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma"),
+            (2, "xy z"),
+            (3, "\ta  b\x0bc"),
+            (4, "x\xa0y alpha beta"),
+            (5, None),
+        ],
         "doc_id int, text string",
     )
     jvm = {
@@ -591,7 +603,7 @@ def test_minhash_signatures_np_matches_jvm(spark):
         r["doc_id"]: tuple(r[f"sig_{i}"] for i in range(N_HASHES))
         for r in minhash_signatures_np(planted).collect()
     }
-    assert jvm == arw and set(arw) == {0, 1}
+    assert jvm == arw and set(arw) == {0, 1, 3, 4}
 
 
 def test_adaptive_band_rows_floor_and_growth():
@@ -1608,6 +1620,43 @@ def test_bigram_lm_scores_np_matches_join_path(spark):
     jvm = {r["doc_id"]: tuple(r) for r in bigram_lm_scores(docs).collect()}
     arw = {r["doc_id"]: tuple(r) for r in bigram_lm_scores_np(docs).collect()}
     assert jvm == arw and len(arw) > 100
+
+
+def test_bigram_lm_scores_np_oov_drops_like_inner_join(spark):
+    """Scoring text FOREIGN to the trained model must not KeyError the
+    stage: OOV grams drop from both sum and count (mirroring the JVM
+    inner join), and an all-OOV doc yields no output row — pinned by
+    running both scorers on a model trained on a different corpus
+    (ADVICE r7)."""
+    from ballcone_spark.operators.lm_quality import (
+        bigram_lm_scores_np,
+        bigram_model,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    # foreign corpus shares ONE bigram ('the cat') with the model;
+    # doc 11 is half-OOV, doc 12 fully OOV
+    foreign = spark.createDataFrame(
+        [(11, "the cat flew"), (12, "zig zag zog")],
+        "doc_id long, text string",
+    )
+    model = {r["g"]: r["logp"] for r in bigram_model(train).collect()}
+    import ballcone_spark.operators.lm_quality as lmq
+
+    orig = lmq.bigram_model
+    # score `foreign` under the model trained on `train`
+    lmq.bigram_model = lambda docs, text_col="text", vectorized=False: orig(
+        train, "text"
+    )
+    try:
+        rows = {r["doc_id"]: r for r in bigram_lm_scores_np(foreign).collect()}
+    finally:
+        lmq.bigram_model = orig
+    assert set(rows) == {11}  # all-OOV doc 12 dropped, no crash
+    assert rows[11]["n_bigrams"] == 1  # only 'the cat' matched
+    assert abs(rows[11]["avg_logp"] - round(model["the cat"], 4)) < 1e-9
 
 
 def test_gram_rows_np_matches_jvm(spark):

@@ -1,13 +1,26 @@
 """Differential correctness: run every registered query through Spark AND
 its DuckDB oracle on the same parquet files, compare row-for-row — a local
-replica of the driver's t2 gate (sorted columns, order-insensitive rows)."""
+replica of the driver's t2 gate (sorted columns, order-insensitive rows).
+
+Driver-exact since r8 (VERDICT r7 #2): the compare fetches BOTH sides
+through the pandas/Arrow conversion the driver hashes (``sdf.toPandas()``
+vs ``con.execute(...).df()``) with dtype-sensitive stringification, so a
+DuckDB HUGEINT that surfaces as float64 (``388.0``) no longer silently
+matches Spark's int64 (``388``) — the exact class that produced the two
+r07 reds. A DESCRIBE lint over every oracle additionally bans
+HUGEINT/UHUGEINT result columns outright.
+"""
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -37,21 +50,53 @@ def _duck():
     return con
 
 
-def _norm(rows, colnames):
-    """Sort columns by name, normalize values, sort rows — matches the
-    driver's order-insensitive compare."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = round(v, 4)
-                if math.isclose(v, 0.0, abs_tol=1e-9):
-                    v = 0.0
-            vals.append(str(v))
-        out.append(tuple(vals))
+def _cell(v) -> str:
+    """Dtype-sensitive normalization of one pandas cell.
+
+    floats keep their ``.0`` (``repr``), ints do not — so an oracle whose
+    aggregate came back float64 through the pandas conversion while Spark
+    stayed int64 is a MISMATCH here, exactly as it is in the driver's
+    hash. Floats are rounded to 4 places first (both engines round(·, 4)
+    in-query; this only absorbs representation noise below that)."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    # Spark DATE surfaces as datetime.date through toPandas while
+    # DuckDB DATE surfaces as datetime64 midnight through .df() — the
+    # driver hashes these equal (every events_* date query was green in
+    # r07), so normalize the whole datetime family to one isoformat
+    if isinstance(v, (dt.date, dt.datetime, np.datetime64)):
+        # NaT subclasses datetime — a ROLLUP grand-total's null date is
+        # None through Spark but NaT through DuckDB's datetime64 column
+        if pd.isna(v):
+            return "None"
+        return pd.Timestamp(v).isoformat()
+    # Spark DECIMAL surfaces as decimal.Decimal ('267.4630') while
+    # DuckDB's pandas conversion gives float64 — also driver-equal
+    # (tpch_q2 green in r07); fold into the float path
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        f = round(f, 4)
+        if math.isclose(f, 0.0, abs_tol=1e-9):
+            f = 0.0
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if v is None or v is pd.NaT:
+        return "None"
+    return str(v)
+
+
+def _norm_pdf(pdf: pd.DataFrame):
+    """Sort columns by name, normalize cells dtype-sensitively, sort
+    rows — the driver's order-insensitive hash input, reproduced."""
+    pdf = pdf[sorted(pdf.columns)]
+    out = [tuple(_cell(v) for v in row) for row in pdf.itertuples(index=False)]
     return sorted(out)
 
 
@@ -61,20 +106,31 @@ def duck_con():
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_no_hugeint(duck_con, name):
+    """No oracle may produce HUGEINT/UHUGEINT result columns: DuckDB's
+    pandas conversion renders int128 as float64 while Spark's BIGINT
+    stays int64 — equal values, divergent driver hash (the r07 reds).
+    SUM(int) must be wrapped in CAST(... AS BIGINT)."""
+    desc = duck_con.execute(f"DESCRIBE {ALL_SPECS[name].oracle}").fetchall()
+    bad = [(col, typ) for col, typ, *_ in desc if "HUGEINT" in typ.upper()]
+    assert not bad, (
+        f"{name}: oracle result columns typed HUGEINT (cast to BIGINT): {bad}"
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck_con, name):
     spec = ALL_SPECS[name]
     sdf = spec.fn(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
-    res = duck_con.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = duck_con.execute(spec.oracle).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ: "
+        f"{list(spark_pdf.columns)} vs {list(duck_pdf.columns)}"
     )
-    s, d = _norm(spark_rows, spark_cols), _norm(duck_rows, duck_cols)
+    s, d = _norm_pdf(spark_pdf), _norm_pdf(duck_pdf)
     assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
     mismatches = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
     assert not mismatches, (
