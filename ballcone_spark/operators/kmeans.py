@@ -102,6 +102,13 @@ def train_ivf_codebook(
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)
     ]
+    # pin the input behind a lineage barrier: every Lloyd round reads
+    # the materialized corpus, not the caller's upstream pipeline —
+    # without this, iters× re-runs of whatever lineage the caller hands
+    # in (and iters× rebuilds of any broadcast inside it; the r4
+    # CollapseProject / r7 sf10 loop lessons). Gated by
+    # test_iterative_loops_read_checkpointed_input.
+    emb = emb.localCheckpoint(eager=False)
     for _ in range(iters):
         assigned = assign_cells(emb, _codebook_df(spark, cents))
         new_rows = (

@@ -258,7 +258,9 @@ packed AS (
     FROM packed
     ORDER BY doc_id
     """,
-    driver=False,  # registry capped at 50; oracle-checked locally
+    # promoted to driver r8 (VERDICT r7 #4): the most production-shaped
+    # packing query — the bucketed two-phase prefix sum vs the oracle's
+    # naive global window; slot freed by demoting the tpch_q18 echo
 )
 def docs_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing map at 512 tokens/block. The oracle is

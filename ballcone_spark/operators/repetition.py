@@ -208,7 +208,8 @@ def docs_repetition_flags(spark, sf_dir):
     _REP_ORACLE,  # the SAME oracle as the JVM twin — the kernel emits
     # raw integer counts and the round(num/den, 4) finish is the same
     # JVM expression, so no cross-engine float divergence is possible
-    driver=False,
+    # promoted to driver r8 (VERDICT r7 #4): Gopher-rule repetition
+    # filters, 12.1 s at sf10; slot freed by demoting the tpch_q11 echo
 )
 def docs_repetition_flags_vectorized(spark, sf_dir):
     """Arrow twin of `docs_repetition_flags`: shuffle-free per-batch

@@ -1,0 +1,183 @@
+"""Exact duplicated-span detection between document pairs — the
+substring-level duplicate signal of Lee et al. 2021 ("Deduplicating
+Training Data Makes Language Models Better": near-duplicate *documents*
+are only half the problem; verbatim *spans* repeated across otherwise
+different documents measurably hurt LMs). Beyond-reference (the
+reference has no corpus operators); completes the dedup family's
+coverage matrix: exact-doc (md5), set-level (Jaccard/containment/
+MinHash/SimHash), vector-level (cosine/SemDeDup) — and now span-level.
+
+The published method builds a corpus-wide suffix array — inherently
+single-machine. The same signal is relational: two documents share a
+verbatim span of ≥ S tokens iff they agree on S−k+1 *consecutive*
+k-gram positions along one alignment diagonal (pos_a − pos_b
+constant). That makes it four codegen-friendly stages:
+
+  gram rows (doc_id, pos, g)   posexplode + lead windows (codegen;
+                               the measured-fastest gram assembly)
+  df-cut on hot grams          anti-join, the jaccard/decontamination
+                               trick — bounds the join fan-out
+  self-join on the gram key    ONE gram-keyed shuffle, skew bounded
+                               by the df-cut
+  diagonal gaps-and-islands    row_number window per (pair, diagonal);
+                               run of R matches = span of R+k−1 tokens
+
+Scale notes (the 100 TB lens): the only corpus-sized shuffles are the
+gram self-join (keyed on an injectivity-checked xxhash64 of the gram —
+8-byte payloads, the `_rare_shingle_candidates` pattern) and the
+islands window (keyed on (a_id, b_id, diagonal) — partition size is
+bounded by one pair's matched positions ≤ the shorter doc's length).
+Hot-gram pairs are cut before the join, so fan-out per gram is
+≤ max_df² instance pairs, linear overall under a fixed cut.
+
+Recall envelope (documented, deterministic): a span survives exactly
+as its *surviving* gram positions run consecutively — a corpus-hot
+k-gram inside an otherwise-rare span splits (or, if the whole span is
+boilerplate repeated > max_df times, drops) the island. Both engines
+apply the identical cut, so the oracle is exact, and the dropped class
+is precisely the corpus-wide boilerplate that `docs_boilerplate_spans`
+flags through its own frequency lens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.lm_quality import _gram_rows
+from ballcone_spark.queries import _query, load_table
+
+__all__ = ["exact_span_pairs"]
+
+#: k-gram width: wide enough that random token collisions are
+#: negligible, narrow enough that spans only slightly longer than the
+#: report threshold still contribute many consecutive positions
+SPAN_K = 8
+#: minimum verbatim span length (tokens) a pair must share to be
+#: reported — the Lee et al. threshold is 50 BPE tokens ≈ 20-25 words
+MIN_SPAN = 20
+#: corpus-frequency cut: gram instances above this are treated as
+#: boilerplate and never joined (fan-out bound, see module docstring)
+SPAN_MAX_DF = 64
+
+
+def exact_span_pairs(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_span: int = MIN_SPAN,
+    max_df: int = SPAN_MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, n_spans, max_span, dup_tokens) for every doc pair
+    sharing ≥ 1 verbatim token span of ≥ ``min_span`` tokens built from
+    sub-cut k-grams. ``dup_tokens`` sums qualifying span lengths per
+    pair (per-diagonal; overlapping diagonals each count — it is a
+    duplication *mass* signal, not a coverage measure)."""
+    g = _gram_rows(docs, text_col, k)
+    # 8-byte join keys when xxhash64 is injective on this corpus's
+    # grams (the _rare_shingle_candidates license: a collision anywhere
+    # degrades to the string path, exactness never rests on odds)
+    inj = g.agg(
+        (F.countDistinct("g") == F.countDistinct(F.xxhash64("g"))).alias("ok")
+    ).first()["ok"]
+    gi = (
+        g.select("doc_id", "pos", F.xxhash64("g").alias("g")) if inj else g
+    )
+    hot = (
+        gi.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("g")
+    )
+    rare = gi.join(F.broadcast(hot), "g", "left_anti").localCheckpoint(
+        eager=False
+    )  # both join sides below reference this one frame — barrier keeps
+    # the gram assembly + cut from running twice (the containment lesson)
+    a = rare.select(
+        F.col("doc_id").alias("a_id"), F.col("pos").alias("pos_a"), "g"
+    )
+    b = rare.select(
+        F.col("doc_id").alias("b_id"), F.col("pos").alias("pos_b"), "g"
+    )
+    m = (
+        a.join(b, "g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("pos_a") - F.col("pos_b")).alias("d"),
+            "pos_a",
+        )
+    )
+    # gaps-and-islands: on one diagonal pos_a values are unique, so
+    # (pos_a − row_number) is constant exactly along consecutive runs
+    w = Window.partitionBy("a_id", "b_id", "d").orderBy("pos_a")
+    spans = (
+        m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("a_id", "b_id", "d", "_grp")
+        .agg((F.count("*") + (k - 1)).alias("span"))
+        .where(F.col("span") >= min_span)
+    )
+    return (
+        spans.groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("span").alias("max_span"),
+            F.sum("span").alias("dup_tokens"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _gram_concat(k: int) -> str:
+    return " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+
+
+_SPAN_ORACLE = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gk AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(w) - {SPAN_K - 1})) - 1 AS pos,
+           unnest(list_transform(generate_series(1, len(w) - {SPAN_K - 1}),
+                  i -> {_gram_concat(SPAN_K)})) AS g
+    FROM ws
+),
+hot AS (SELECT g FROM gk GROUP BY g HAVING count(*) > {SPAN_MAX_DF}),
+rare AS (SELECT * FROM gk WHERE g NOT IN (SELECT g FROM hot)),
+m AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.pos - b.pos AS d, a.pos AS pos_a
+    FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT a_id, b_id, d,
+           pos_a - row_number() OVER (PARTITION BY a_id, b_id, d
+                                      ORDER BY pos_a) AS grp
+    FROM m
+),
+spans AS (
+    SELECT a_id, b_id, CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS span
+    FROM isl GROUP BY a_id, b_id, d, grp
+    HAVING count(*) + {SPAN_K - 1} >= {MIN_SPAN}
+)
+SELECT a_id, b_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(max(span) AS BIGINT) AS max_span,
+       CAST(sum(span) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id
+"""
+
+
+@_query(
+    "docs_exact_span_dups",
+    _SPAN_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_exact_span_dups(spark, sf_dir):
+    """Span-level (ExactSubstr) duplicate report over the documents
+    table: every pair sharing a verbatim ≥ 20-token span from sub-cut
+    8-grams, with span count, longest span, and duplicated-token mass —
+    checked row-for-row against the oracle's replay of the identical
+    diagonal gaps-and-islands construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_span_pairs(docs)

@@ -47,6 +47,9 @@ ARROW_ALLOWED = {
     "docs_corpus_report",                    # same kernel as its base
     "docs_decontamination",                  # gram-rows kernel replaces
     #   the lead-window token shuffle on both semi-join sides
+    "docs_repetition_flags_vectorized",      # promoted r8: shuffle-free
+    #   per-batch gram counting (139.1 → 12.1 s cold at sf10 vs the
+    #   zip_with/concat HOF + two gram-row groupBy shuffles)
     # NOT listed although it signs with the same Arrow kernel (r7):
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
@@ -327,9 +330,9 @@ def test_pack_prefix_sum_is_bucketed(spark):
     window allowed is the ≤256-row bucket-totals prefix (global by
     design, bounded by the hex alphabet forever); the corpus-sized
     cumsum must partition by the hash bucket."""
-    from ballcone_spark.queries import EXTRA_QUERIES
+    from ballcone_spark.queries import QUERIES
 
-    df = EXTRA_QUERIES["docs_pack_sequences"].fn(spark, SF)
+    df = QUERIES["docs_pack_sequences"].fn(spark, SF)  # promoted r8
     p = plan_str(df)
     assert p.count("Exchange SinglePartition") == 1
     # the corpus cumsum window carries the bucket in its partition spec
@@ -634,3 +637,51 @@ def test_widen_reaches_default_parallelism(spark):
     # and the un-widened scan really is narrower (the premise)
     narrow = docs.mapInPandas(count_parts, "rows long").count()
     assert narrow < parts
+
+
+def test_iterative_loops_read_checkpointed_input(spark):
+    """The driver-loop trainers (BPE, k-means) are contractually
+    iterative with bounded per-round collects — fine — but each round's
+    job must read the CHECKPOINTED input, not re-run the caller's
+    upstream lineage (the r4 CollapseProject lesson: one refactor away
+    from iters× pipeline re-runs and broadcast rebuilds). Gate both
+    loops (VERDICT r7 #6)."""
+    import ballcone_spark.operators.kmeans as km
+    from ballcone_spark.operators.bpe import train_bpe, word_freqs
+
+    # --- BPE: the returned encoded frame IS the last round's state;
+    # its plan must be rooted at the checkpoint RDD with the upstream
+    # lineage (parquet scan + words_of explode/groupBy) gone
+    docs = load_table(spark, SF, "documents")
+    words = word_freqs(docs)
+    _, encoded = train_bpe(words, n_merges=2)
+    p = plan_str(encoded)
+    assert "ExistingRDD" in p or "LogicalRDD" in p
+    assert "parquet" not in p.lower()  # raw corpus lineage severed
+    assert "HashAggregate" not in p  # word_freqs' groupBy not re-inlined
+
+    # --- k-means: capture what each Lloyd round actually reads by
+    # wrapping assign_cells; hand the trainer marker lineage (a filter
+    # over parquet) and require rounds ≥ 2 to read the checkpoint RDD,
+    # not the marker pipeline
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .filter("vec_id >= 0")  # marker upstream lineage
+    )
+    captured = []
+    orig = km.assign_cells
+
+    def spy(e, centroids, vec_col="embedding"):
+        captured.append(plan_str(e))
+        return orig(e, centroids, vec_col)
+
+    km.assign_cells = spy
+    try:
+        km.train_ivf_codebook(spark, emb, k=4, iters=3)
+    finally:
+        km.assign_cells = orig
+    assert len(captured) == 3
+    for plan in captured[1:]:  # round 1 may still show the lazy plan
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+        assert "parquet" not in plan.lower(), plan
