@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.lm_quality import _gram_rows
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["exact_span_pairs"]
+__all__ = ["exact_span_pairs", "dup_span_coverage"]
 
 #: k-gram width: wide enough that random token collisions are
 #: negligible, narrow enough that spans only slightly longer than the
@@ -73,6 +73,26 @@ def exact_span_pairs(
     sub-cut k-grams. ``dup_tokens`` sums qualifying span lengths per
     pair (per-diagonal; overlapping diagonals each count — it is a
     duplication *mass* signal, not a coverage measure)."""
+    spans = _qualifying_spans(docs, k, min_span, max_df, text_col)
+    return (
+        spans.groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.max("span").alias("max_span"),
+            F.sum("span").alias("dup_tokens"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _qualifying_spans(
+    docs: DataFrame, k: int, min_span: int, max_df: int, text_col: str
+) -> DataFrame:
+    """(a_id, b_id, d, start_a, span): every maximal verbatim span of
+    ≥ ``min_span`` tokens between a doc pair — one row per (pair,
+    diagonal, island). ``start_a`` is the span's first token position
+    in doc a; in doc b it starts at ``start_a − d``. The shared back
+    half of :func:`exact_span_pairs` and :func:`dup_span_coverage`."""
     g = _gram_rows(docs, text_col, k)
     # 8-byte join keys when xxhash64 is injective on this corpus's
     # grams (the _rare_shingle_candidates license: a collision anywhere
@@ -80,19 +100,22 @@ def exact_span_pairs(
     inj = g.agg(
         (F.countDistinct("g") == F.countDistinct(F.xxhash64("g"))).alias("ok")
     ).first()["ok"]
+    # materialize the (hashed) gram rows ONCE: without the barrier the
+    # posexplode+lead assembly re-runs for the hot-gram build and once
+    # per self-join side (4 assemblies total). Measured cost-neutral at
+    # sf10 (the pair self-join dominates — BASELINE §6j), kept because
+    # it deletes three corpus-wide window shuffles from the plan, the
+    # term that grows with document length
     gi = (
         g.select("doc_id", "pos", F.xxhash64("g").alias("g")) if inj else g
-    )
+    ).localCheckpoint(eager=False)
     hot = (
         gi.groupBy("g")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > max_df)
         .select("g")
     )
-    rare = gi.join(F.broadcast(hot), "g", "left_anti").localCheckpoint(
-        eager=False
-    )  # both join sides below reference this one frame — barrier keeps
-    # the gram assembly + cut from running twice (the containment lesson)
+    rare = gi.join(F.broadcast(hot), "g", "left_anti")
     a = rare.select(
         F.col("doc_id").alias("a_id"), F.col("pos").alias("pos_a"), "g"
     )
@@ -112,20 +135,88 @@ def exact_span_pairs(
     # gaps-and-islands: on one diagonal pos_a values are unique, so
     # (pos_a − row_number) is constant exactly along consecutive runs
     w = Window.partitionBy("a_id", "b_id", "d").orderBy("pos_a")
-    spans = (
+    return (
         m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
         .groupBy("a_id", "b_id", "d", "_grp")
-        .agg((F.count("*") + (k - 1)).alias("span"))
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.count("*") + (k - 1)).alias("span"),
+        )
         .where(F.col("span") >= min_span)
+        .drop("_grp")
+    )
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_span: int = MIN_SPAN,
+    max_df: int = SPAN_MAX_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, covered_tokens, covered_frac) — per document,
+    how many of its tokens sit inside ≥ 1 qualifying cross-document
+    verbatim span (either side of any pair). This is the *deletion*
+    signal of Lee et al. 2021: their pipeline removes one occurrence of
+    every duplicated span; ``covered_frac`` is the per-doc duplication
+    exposure a curator thresholds on.
+
+    Interval union is relational gaps-and-islands again — sort a doc's
+    span intervals by start, clamp each to start after the running max
+    end of its predecessors, sum the clamped widths. No per-token
+    explode: the window partitions by doc_id (bounded by one doc's span
+    count) and everything stays in codegen."""
+    spans = _qualifying_spans(docs, k, min_span, max_df, text_col)
+    iv = spans.select(
+        F.col("a_id").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span") - 1).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("b_id").alias("doc_id"),
+            (F.col("start_a") - F.col("d")).alias("s"),
+            (F.col("start_a") - F.col("d") + F.col("span") - 1).alias("e"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        iv.withColumn("_pmax", F.max("e").over(w))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("_pmax") + 1, F.col("s")))
+                + 1,
+            ).alias("_w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_w").alias("covered_tokens"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
     return (
-        spans.groupBy("a_id", "b_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.max("span").alias("max_span"),
-            F.sum("span").alias("dup_tokens"),
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            # plain double round is cross-engine safe here: a 4-dp tie
+            # (.xxxx5 exactly) requires n_tokens divisible by 2⁵·5⁴ —
+            # impossible below 20 000-token docs (see oracle comment)
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) * 1.0
+                / F.col("n_tokens"),
+                4,
+            ).alias("covered_frac"),
         )
-        .orderBy("a_id", "b_id")
+        .orderBy("doc_id")
     )
 
 
@@ -133,8 +224,11 @@ def _gram_concat(k: int) -> str:
     return " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
 
 
-_SPAN_ORACLE = f"""
-WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+#: shared CTE chain up to the qualifying spans (with their start
+#: position and diagonal — the exact relational replay of
+#: `_qualifying_spans`)
+_SPAN_CTE = f"""
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 gk AS (
     SELECT doc_id,
            unnest(generate_series(1, len(w) - {SPAN_K - 1})) - 1 AS pos,
@@ -150,21 +244,62 @@ m AS (
     FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
 ),
 isl AS (
-    SELECT a_id, b_id, d,
+    SELECT a_id, b_id, d, pos_a,
            pos_a - row_number() OVER (PARTITION BY a_id, b_id, d
                                       ORDER BY pos_a) AS grp
     FROM m
 ),
 spans AS (
-    SELECT a_id, b_id, CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS span
+    SELECT a_id, b_id, d,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(count(*) + {SPAN_K - 1} AS BIGINT) AS span
     FROM isl GROUP BY a_id, b_id, d, grp
     HAVING count(*) + {SPAN_K - 1} >= {MIN_SPAN}
 )
+"""
+
+_SPAN_ORACLE = f"""
+WITH {_SPAN_CTE}
 SELECT a_id, b_id,
        CAST(count(*) AS BIGINT) AS n_spans,
        CAST(max(span) AS BIGINT) AS max_span,
        CAST(sum(span) AS BIGINT) AS dup_tokens
 FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id
+"""
+
+_COVERAGE_ORACLE = f"""
+WITH {_SPAN_CTE},
+iv AS (
+    SELECT a_id AS doc_id, start_a AS s, start_a + span - 1 AS e
+    FROM spans
+    UNION ALL
+    SELECT b_id, start_a - d, start_a - d + span - 1 FROM spans
+),
+u AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax
+    FROM iv
+),
+cov AS (
+    SELECT doc_id,
+           CAST(sum(greatest(0, e - greatest(s, COALESCE(pmax + 1, s)) + 1))
+                AS BIGINT) AS covered_tokens
+    FROM u GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       COALESCE(covered_tokens, 0) AS covered_tokens,
+       -- plain double round is tie-free here: an exact .xxxx5 ratio
+       -- needs n_tokens divisible by 2^5 * 5^4 = 20 000 (covered/n in
+       -- lowest terms must have a denominator dividing 2*10^4 with an
+       -- odd numerator); docs are far shorter, so both engines round
+       -- the same decimal
+       round(COALESCE(covered_tokens, 0) * 1.0 / len(w.w), 4)
+           AS covered_frac
+FROM ws w LEFT JOIN cov USING (doc_id)
+ORDER BY w.doc_id
 """
 
 
@@ -181,3 +316,19 @@ def docs_exact_span_dups(spark, sf_dir):
     diagonal gaps-and-islands construction."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_span_pairs(docs)
+
+
+@_query(
+    "docs_dup_span_coverage",
+    _COVERAGE_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_dup_span_coverage(spark, sf_dir):
+    """Per-document duplicated-span exposure: tokens inside ≥ 1
+    qualifying cross-doc verbatim span, as count and fraction — the
+    Lee et al. deletion signal a curator thresholds on. The interval
+    union is the same relational gaps-and-islands as the span finder;
+    checked row-for-row (every doc, zero-covered included) against the
+    oracle's identical replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs)

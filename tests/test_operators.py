@@ -79,6 +79,33 @@ def test_exact_span_pairs_planted(spark):
     assert not any(a >= 100 and b >= 100 for a, b in got)  # boiler cut
 
 
+def test_dup_span_coverage_interval_union(spark):
+    """Per-doc coverage must UNION overlapping spans (not sum them),
+    cover both sides of each pair, and report zero for untouched docs.
+    Doc 1 shares two OVERLAPPING qualifying spans with docs 2 and 3
+    (tokens 2..26 and 12..36 of doc 1 → union 2..36 = 35 tokens, vs 50
+    if double-counted)."""
+    from ballcone_spark.operators.span_dedup import dup_span_coverage
+
+    v = [f"v{i}" for i in range(40)]  # distinctive vocabulary
+    rows = [
+        (1, " ".join(["x1", "x2"] + v + ["y1", "y2"])),  # v at pos 2..41
+        (2, " ".join(v[0:25])),  # doc-1 tokens 2..26 (25 tokens)
+        (3, " ".join(v[10:35])),  # doc-1 tokens 12..36 (25 tokens)
+        (4, "plain unrelated text with no duplication at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["covered_frac"])
+        for r in dup_span_coverage(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # every doc reported
+    assert got[1] == (44, 35, round(35 / 44, 4))  # union, not 50
+    assert got[2] == (25, 25, 1.0)  # fully contained excerpt
+    assert got[3] == (25, 25, 1.0)
+    assert got[4] == (9, 0, 0.0)
+
+
 def test_jaccard_budget_binding_recall_gate(spark):
     """Regression gate on the selectivity-collapse branch (VERDICT r7
     #5, BASELINE §6i): when the candidate budget BINDS and the df-cut
