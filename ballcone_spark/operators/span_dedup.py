@@ -59,6 +59,10 @@ MIN_SPAN = 20
 #: corpus-frequency cut: gram instances above this are treated as
 #: boilerplate and never joined (fan-out bound, see module docstring)
 SPAN_MAX_DF = 64
+#: linear candidate budget (the jaccard family's constants): the
+#: adaptive cut lowers SPAN_MAX_DF until Σ C(df,2) fits this
+_SPAN_BUDGET_FLOOR = 2_000_000
+_SPAN_BUDGET_PER_DOC = 64
 
 
 def exact_span_pairs(
@@ -67,13 +71,14 @@ def exact_span_pairs(
     min_span: int = MIN_SPAN,
     max_df: int = SPAN_MAX_DF,
     text_col: str = "text",
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, n_spans, max_span, dup_tokens) for every doc pair
     sharing ≥ 1 verbatim token span of ≥ ``min_span`` tokens built from
     sub-cut k-grams. ``dup_tokens`` sums qualifying span lengths per
     pair (per-diagonal; overlapping diagonals each count — it is a
     duplication *mass* signal, not a coverage measure)."""
-    spans = _qualifying_spans(docs, k, min_span, max_df, text_col)
+    spans = _qualifying_spans(docs, k, min_span, max_df, text_col, pair_budget)
     return (
         spans.groupBy("a_id", "b_id")
         .agg(
@@ -86,13 +91,33 @@ def exact_span_pairs(
 
 
 def _qualifying_spans(
-    docs: DataFrame, k: int, min_span: int, max_df: int, text_col: str
+    docs: DataFrame,
+    k: int,
+    min_span: int,
+    max_df: int,
+    text_col: str,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, d, start_a, span): every maximal verbatim span of
     ≥ ``min_span`` tokens between a doc pair — one row per (pair,
     diagonal, island). ``start_a`` is the span's first token position
     in doc a; in doc b it starts at ``start_a − d``. The shared back
-    half of :func:`exact_span_pairs` and :func:`dup_span_coverage`."""
+    half of :func:`exact_span_pairs` and :func:`dup_span_coverage`.
+
+    ``pair_budget`` (default ``max(2 M, 64·n_docs)`` — the jaccard
+    family's linear budget) bounds the self-join fan-out on corpora
+    where even sub-``max_df`` grams are dense (worst case Σ C(df,2) ≈
+    32·gram instances at df ≡ 64): :func:`adaptive_df_cut` lowers the
+    cut until candidate rows fit. Unlike jaccard there is NO sketch
+    fallback — MinHash can propose a *pair* but locating its span
+    positions needs the positional gram join this budget is bounding —
+    so a binding budget narrows recall to spans containing at least
+    one sub-cut gram. The cut is data-derived by formula, and the
+    oracle replays the identical formula in SQL (histogram → running
+    pair sum → first overflowing df), so the oracle stays EXACT at any
+    scale, binding or not."""
+    if pair_budget is None:
+        pair_budget = max(_SPAN_BUDGET_FLOOR, _SPAN_BUDGET_PER_DOC * docs.count())
     g = _gram_rows(docs, text_col, k)
     # 8-byte join keys when xxhash64 is injective on this corpus's
     # grams (the _rare_shingle_candidates license: a collision anywhere
@@ -109,10 +134,15 @@ def _qualifying_spans(
     gi = (
         g.select("doc_id", "pos", F.xxhash64("g").alias("g")) if inj else g
     ).localCheckpoint(eager=False)
+    from ballcone_spark.operators.dedup import adaptive_df_cut
+
+    cut, _collapsed = adaptive_df_cut(
+        gi.select(F.col("g").alias("s")), max_df, pair_budget
+    )
     hot = (
         gi.groupBy("g")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") > max_df)
+        .where(F.col("df") > cut)
         .select("g")
     )
     rare = gi.join(F.broadcast(hot), "g", "left_anti")
@@ -224,10 +254,13 @@ def _gram_concat(k: int) -> str:
     return " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
 
 
-#: shared CTE chain up to the qualifying spans (with their start
-#: position and diagonal — the exact relational replay of
-#: `_qualifying_spans`)
-_SPAN_CTE = f"""
+def _span_cte(budget_expr: str) -> str:
+    """Shared CTE chain up to the qualifying spans (with their start
+    position and diagonal — the exact relational replay of
+    `_qualifying_spans`). ``budget_expr`` is the candidate-budget SQL
+    (the production formula below; tests inject a small literal to
+    exercise the binding branch against the Spark path)."""
+    return f"""
 ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 gk AS (
     SELECT doc_id,
@@ -236,7 +269,26 @@ gk AS (
                   i -> {_gram_concat(SPAN_K)})) AS g
     FROM ws
 ),
-hot AS (SELECT g FROM gk GROUP BY g HAVING count(*) > {SPAN_MAX_DF}),
+hist AS (
+    SELECT df, count(*) AS n FROM (
+        SELECT g, count(*) AS df FROM gk GROUP BY g)
+    WHERE df > 1 AND df <= {SPAN_MAX_DF} GROUP BY df
+),
+cum AS (
+    -- inclusive running candidate-pair count in df order — the exact
+    -- replay of adaptive_df_cut's histogram walk (integer //, as in
+    -- the Python n * df * (df - 1) // 2)
+    SELECT df, sum((n * df * (df - 1)) // 2) OVER (ORDER BY df) AS cumpairs
+    FROM hist
+),
+budget AS (SELECT {budget_expr} AS b FROM documents),
+cutv AS (
+    SELECT COALESCE((SELECT min(df) - 1 FROM cum
+                     WHERE cumpairs > (SELECT b FROM budget)),
+                    {SPAN_MAX_DF}) AS cut
+),
+hot AS (SELECT g FROM gk GROUP BY g
+        HAVING count(*) > (SELECT cut FROM cutv)),
 rare AS (SELECT * FROM gk WHERE g NOT IN (SELECT g FROM hot)),
 m AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -257,6 +309,11 @@ spans AS (
     HAVING count(*) + {SPAN_K - 1} >= {MIN_SPAN}
 )
 """
+
+
+_SPAN_CTE = _span_cte(
+    f"greatest({_SPAN_BUDGET_FLOOR}, {_SPAN_BUDGET_PER_DOC} * count(*))"
+)
 
 _SPAN_ORACLE = f"""
 WITH {_SPAN_CTE}
@@ -307,6 +364,9 @@ ORDER BY w.doc_id
     "docs_exact_span_dups",
     _SPAN_ORACLE,
     driver=False,  # registry at the 50 cap; oracle-checked locally
+    # the adaptive cut bakes count-derived literals at plan build —
+    # invalidate on data change (the docs_cross_source_dups lesson)
+    cacheable=("documents",),
 )
 def docs_exact_span_dups(spark, sf_dir):
     """Span-level (ExactSubstr) duplicate report over the documents
@@ -322,6 +382,7 @@ def docs_exact_span_dups(spark, sf_dir):
     "docs_dup_span_coverage",
     _COVERAGE_ORACLE,
     driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # same baked-literal invalidation rule
 )
 def docs_dup_span_coverage(spark, sf_dir):
     """Per-document duplicated-span exposure: tokens inside ≥ 1

@@ -79,6 +79,45 @@ def test_exact_span_pairs_planted(spark):
     assert not any(a >= 100 and b >= 100 for a, b in got)  # boiler cut
 
 
+def test_exact_span_budget_binding_matches_sql_replay(spark):
+    """When the candidate budget BINDS, the adaptive cut drops dense
+    gram families and keeps rare ones — and the oracle's SQL replay of
+    the cut (histogram → running pair sum → first overflowing df) must
+    produce EXACTLY the Spark result, because the cut formula is
+    data-derived in both engines. 30 docs share one 24-token span
+    (df = 30 grams → 435 pairs each, blowing a 50-pair budget); two
+    docs share another (df = 2 → within budget)."""
+    import duckdb
+
+    from ballcone_spark.operators.span_dedup import (
+        _span_cte,
+        exact_span_pairs,
+    )
+
+    s_dense = " ".join(f"p{i}" for i in range(24))
+    s_rare = " ".join(f"q{i}" for i in range(24))
+    rows = [(i, f"f{i}a f{i}b {s_dense} f{i}c") for i in range(30)]
+    rows += [(100, f"g1 {s_rare} g2"), (101, f"g3 g4 {s_rare}")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = [
+        tuple(r) for r in exact_span_pairs(docs, pair_budget=50).collect()
+    ]
+    assert got == [(100, 101, 1, 24, 24)]  # rare kept, dense family cut
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = f"""
+    WITH {_span_cte("50")}
+    SELECT a_id, b_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span) AS BIGINT) AS max_span,
+           CAST(sum(span) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY a_id, b_id ORDER BY a_id, b_id
+    """
+    assert [tuple(r) for r in con.execute(oracle).fetchall()] == got
+
+
 def test_dup_span_coverage_interval_union(spark):
     """Per-doc coverage must UNION overlapping spans (not sum them),
     cover both sides of each pair, and report zero for untouched docs.
