@@ -231,8 +231,15 @@ def dup_span_coverage(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
+    # SHUFFLE_HASH: cov sits behind two aggregates and a window, so its
+    # size estimate is bogus-small and the planner chose it as a
+    # BROADCAST build at sf10 — building it means executing the whole
+    # span pipeline inside the broadcast thread (driver OOM at 500 k
+    # docs; the §6g size-estimate-blindness class). Its true size is
+    # bounded by n_docs rows — a per-partition hash build is safe at
+    # any scale.
     return (
-        base.join(cov, "doc_id", "left")
+        base.join(cov.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

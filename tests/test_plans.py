@@ -685,3 +685,19 @@ def test_iterative_loops_read_checkpointed_input(spark):
     for plan in captured[1:]:  # round 1 may still show the lazy plan
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
         assert "parquet" not in plan.lower(), plan
+
+
+def test_span_coverage_final_join_not_broadcast(spark):
+    """The coverage query's per-doc left join must build per-partition
+    (ShuffledHashJoin), never broadcast the aggregate-topped coverage
+    frame — its size estimate is bogus-small behind two aggregates and
+    a window, and at sf10 the broadcast build executed the whole span
+    pipeline inside the broadcast thread (driver OOM; BASELINE §6j)."""
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["docs_dup_span_coverage"].fn(spark, SF)
+    p = plan_str(df)
+    # the hint pins the final join shape at EVERY scale; other joins in
+    # the pipeline may legitimately broadcast at oracle SFs where their
+    # honestly-estimated sides are tiny
+    assert "ShuffledHashJoin" in p
