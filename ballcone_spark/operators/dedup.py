@@ -1498,3 +1498,165 @@ def docs_decontamination(spark, sf_dir):
         flagged.join(corpus.select("doc_id", "source"), "doc_id")
         .orderBy("doc_id")
     )
+
+
+#: fuzzy-decontamination Jaccard threshold — a SCREEN, deliberately
+#: looser than the 0.8 dedup threshold: a benchmark item 40%-overlapped
+#: with a training doc is already a leak worth quarantining
+_FUZZY_TAU = 0.4
+
+
+def fuzzy_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = _NGRAM,
+    tau: float = _FUZZY_TAU,
+    max_df: int = _MAX_DF,
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) — corpus docs whose distinct-shingle
+    Jaccard against SOME benchmark doc is ≥ ``tau``, each with its
+    best-matching benchmark item (ties → lowest bench_id). The fuzzy
+    complement of :func:`decontamination_flags`: the exact pass needs
+    one verbatim 8-gram, so an eval item lightly edited every ≤ 7
+    tokens sails through it while remaining mostly the same text —
+    exactly what this screen catches (pinned by
+    ``test_fuzzy_decontamination_catches_edited_leaks``).
+
+    Two-phase, like every pair operator here. A dense formulation
+    (join every corpus gram to every matching bench gram) measured
+    UNBOUNDED on the sf10 demo: per-gram fan-out is corpus_df×bench_df,
+    and a saturated trigram space with a non-tiny benchmark multiplies
+    43 M corpus gram rows by ~80 matching bench docs each. Instead:
+
+    1. candidates — (doc, bench) pairs sharing ≥ 1 gram whose COMBINED
+       (corpus+bench) df survives :func:`adaptive_df_cut` under the
+       linear budget ``max(2 M, 64·n_docs)`` — fan-out ≤ Σ C(df,2),
+       budget-bounded at any scale;
+    2. exact verify — the candidate pairs (alone) get their full
+       distinct-set intersection counted, so reported Jaccard is exact
+       regardless of the cut.
+
+    Recall envelope (same documented class as the jaccard family): a
+    leaked pair is missed only if EVERY shared gram is above the cut —
+    i.e. the overlap is built entirely of corpus-hot boilerplate. The
+    cut is a data-derived formula and the oracle replays it in SQL, so
+    the oracle stays exact on both sides of the budget boundary."""
+    if pair_budget is None:
+        pair_budget = max(
+            _PAIR_BUDGET_FLOOR, _PAIR_BUDGET_PER_DOC * docs.count()
+        )
+    c = shingle_rows(docs, n=n)  # distinct (doc_id, s)
+    b = shingle_rows(benchmark, n=n).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    cut, _ = adaptive_df_cut(
+        c.select("s").unionAll(b.select("s")).select("s"), max_df, pair_budget
+    )
+    hot = (
+        c.select("s")
+        .unionAll(b.select("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > cut)
+        .select("s")
+    )
+    cand = (
+        c.join(F.broadcast(hot), "s", "left_anti")
+        .join(b.join(F.broadcast(hot), "s", "left_anti"), "s")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    # exact verify on candidates only: count the full-set intersection
+    # per pair (join keyed (bench_id, s) — rows = Σ candidate-doc gram
+    # counts, bounded by the budget × gram/doc)
+    na = c.groupBy("doc_id").agg(F.count("*").alias("_na"))
+    nb = b.groupBy("bench_id").agg(F.count("*").alias("_nb"))
+    shared = (
+        cand.join(c, "doc_id")
+        .join(b, ["bench_id", "s"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("_shared"))
+    )
+    jac = F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared"))
+    scored = (
+        shared.join(na, "doc_id")
+        .join(F.broadcast(nb), "bench_id")
+        .where(jac >= tau)
+        .select("doc_id", "bench_id", jac.alias("_jac"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_jac"), F.asc("bench_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "bench_id", F.round("_jac", 4).alias("jaccard"))
+        .orderBy("doc_id")
+    )
+
+
+@_query(
+    "docs_fuzzy_decontamination",
+    f"""
+    WITH c AS (SELECT DISTINCT doc_id, s
+               FROM ({_duck_decon_shingles("WHERE source != 'src0'", _NGRAM)})),
+    b AS (SELECT DISTINCT doc_id AS bench_id, s
+          FROM ({_duck_decon_shingles("WHERE source = 'src0'", _NGRAM)})),
+    -- adaptive candidate cut on the COMBINED (corpus+bench) gram df,
+    -- replaying adaptive_df_cut's histogram walk exactly (the span
+    -- family's pattern): histogram -> inclusive running pair sum ->
+    -- first overflowing df
+    u AS (SELECT s FROM c UNION ALL SELECT s FROM b),
+    hist AS (SELECT df, count(*) AS nsh FROM (
+                 SELECT s, count(*) AS df FROM u GROUP BY s)
+             WHERE df > 1 AND df <= {_MAX_DF} GROUP BY df),
+    cum AS (SELECT df, sum((nsh * df * (df - 1)) // 2)
+                       OVER (ORDER BY df) AS cumpairs
+            FROM hist),
+    budget AS (SELECT greatest({_PAIR_BUDGET_FLOOR},
+                               {_PAIR_BUDGET_PER_DOC} * count(*)) AS bdg
+               FROM documents WHERE source != 'src0'),
+    cutv AS (SELECT COALESCE((SELECT min(df) - 1 FROM cum
+                              WHERE cumpairs > (SELECT bdg FROM budget)),
+                             {_MAX_DF}) AS cut),
+    hot AS (SELECT s FROM u GROUP BY s
+            HAVING count(*) > (SELECT cut FROM cutv)),
+    cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+             FROM (SELECT * FROM c WHERE s NOT IN (SELECT s FROM hot)) c
+             JOIN (SELECT * FROM b WHERE s NOT IN (SELECT s FROM hot)) b
+             USING (s)),
+    na AS (SELECT doc_id, count(*) AS n FROM c GROUP BY doc_id),
+    nb AS (SELECT bench_id, count(*) AS n FROM b GROUP BY bench_id),
+    inter AS (SELECT k.doc_id, k.bench_id, count(*) AS shared
+              FROM cand k
+              JOIN c ON c.doc_id = k.doc_id
+              JOIN b ON b.bench_id = k.bench_id AND b.s = c.s
+              GROUP BY k.doc_id, k.bench_id),
+    j AS (SELECT i.doc_id, i.bench_id,
+                 i.shared * 1.0 / (na.n + nb.n - i.shared) AS jac
+          FROM inter i
+          JOIN na ON i.doc_id = na.doc_id
+          JOIN nb ON i.bench_id = nb.bench_id
+          WHERE i.shared * 1.0 / (na.n + nb.n - i.shared) >= {_FUZZY_TAU}),
+    best AS (SELECT doc_id, bench_id, jac,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY jac DESC, bench_id) AS rn
+             FROM j)
+    SELECT doc_id, bench_id, round(jac, 4) AS jaccard
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # the adaptive cut bakes count-derived literals at plan build
+    cacheable=("documents",),
+)
+def docs_fuzzy_decontamination(spark, sf_dir):
+    """Fuzzy-decontamination demo on the synthetic corpus (src0 as the
+    held-out benchmark, like the exact pass): every other doc whose
+    trigram-set Jaccard vs some src0 item is ≥ 0.4, with the best
+    match — the quarantine list for leaks the verbatim-8-gram pass
+    can't see."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return fuzzy_decontamination(corpus, bench)

@@ -35,6 +35,40 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh) / len(truth) >= 0.9  # 4x4 banding recall at jac>=0.8
 
 
+def test_fuzzy_decontamination_catches_edited_leaks(spark):
+    """A benchmark item lightly edited every 8th token has NO verbatim
+    8-gram left (the exact pass is blind to it) but keeps ~half its
+    trigram set — the fuzzy screen must flag it, with the exact pass's
+    miss asserted alongside so the operators' complementarity is
+    pinned, not assumed. An unrelated doc must stay unflagged."""
+    from ballcone_spark.operators.dedup import (
+        decontamination_flags,
+        fuzzy_decontamination,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    edited = [f"E{i}" if i % 8 == 7 else t for i, t in enumerate(base)]
+    bench = spark.createDataFrame(
+        [(1, " ".join(base))], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, " ".join(edited)),  # runs of 7 — no 8-gram survives
+            (11, "totally unrelated text about something else entirely x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in decontamination_flags(corpus, bench, n=8).collect()}
+    assert exact == set()  # the verbatim pass is blind to the edit
+
+    fuzzy = {
+        r["doc_id"]: (r["bench_id"], r["jaccard"])
+        for r in fuzzy_decontamination(corpus, bench).collect()
+    }
+    assert set(fuzzy) == {10} and fuzzy[10][0] == 1
+    assert fuzzy[10][1] >= 0.4  # the planted trigram overlap
+
+
 def test_exact_span_pairs_planted(spark):
     """Span-level dedup (Lee et al. ExactSubstr signal) on planted
     text: a 25-token verbatim span shared by two docs is reported with
