@@ -45,6 +45,7 @@ __all__ = [
     "pack_block_stats",
     "pack_assignments",
     "write_packed_shards",
+    "chunk_documents",
 ]
 
 _SALT = "pack-v1-"
@@ -352,3 +353,90 @@ def docs_pack_shard_manifest(spark, sf_dir):
         )
         .orderBy("shard_id")
     )
+
+
+# --------------------------------------------------------------------- #
+# Sliding-window chunking — the retrieval/RAG-side counterpart of       #
+# packing: SPLIT one document into fixed windows with overlap, rather   #
+# than CONCATENATE many documents into fixed blocks.                    #
+# --------------------------------------------------------------------- #
+
+#: chunker defaults: 128-token windows advancing 64 tokens — 50%
+#: overlap, the common embedding-pipeline setting
+CHUNK_WINDOW = 128
+CHUNK_STRIDE = 64
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, tok_start, n_tokens, chunk_fp) — every
+    ``window``-token sliding chunk of each document at ``stride``-token
+    steps (chunks start while tok_start < doc length; the tail chunk
+    may be short). ``chunk_fp`` is the portable md5 of the chunk text —
+    the identity an embedding/RAG pipeline keys its vectors on, and
+    what makes chunk-level dedup a plain groupBy downstream.
+
+    Pure per-row arithmetic + one explode: ``sequence(0, size−1,
+    stride)`` emits each doc's chunk starts (bounded by doc length —
+    linear, no corpus-keyed shuffle anywhere), ``slice`` cuts the
+    token window JVM-side. No window functions, no joins: the plan is
+    scan → generate → project, the shape that parallelizes by input
+    split at any corpus size."""
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        "doc_id", toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    d = d.select(
+        "doc_id",
+        "_t",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+            )
+        ).alias("tok_start"),
+    )
+    chunk = F.slice("_t", F.col("tok_start") + 1, window)
+    return d.select(
+        "doc_id",
+        (F.col("tok_start") / stride).cast("long").alias("chunk_id"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.least(F.lit(window), F.col("_n") - F.col("tok_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@_query(
+    "docs_chunk_windows",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    st AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE}))
+                   AS tok_start
+        FROM ws
+    )
+    SELECT doc_id,
+           CAST(tok_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(least({CHUNK_WINDOW}, len(w) - tok_start) AS BIGINT)
+               AS n_tokens,
+           md5(list_aggregate(w[tok_start + 1 : tok_start + {CHUNK_WINDOW}],
+                              'string_agg', ' ')) AS chunk_fp
+    FROM st ORDER BY doc_id, chunk_id
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_chunk_windows(spark, sf_dir):
+    """Sliding-window chunk manifest over the documents table (128-token
+    windows, 64-token stride): chunk ids, token ranges, and portable
+    md5 chunk fingerprints — checked row-for-row (fingerprints
+    byte-identical cross-engine) against the oracle's replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)

@@ -35,6 +35,39 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh) / len(truth) >= 0.9  # 4x4 banding recall at jac>=0.8
 
 
+def test_chunk_documents_windows_and_fingerprints(spark):
+    """The sliding-window chunker must emit exactly the windows its
+    contract promises: starts at every stride step below doc length,
+    window-capped token counts, 50% overlap between neighbors, and an
+    md5 fingerprint equal to the hash of the exact token slice."""
+    import hashlib
+
+    from ballcone_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(150)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "short doc only")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, window=128, stride=64).collect()
+    }
+    # doc 1 (150 tokens): starts 0, 64, 128
+    assert {c for d, c in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)]["n_tokens"] == 128
+    assert rows[(1, 1)]["n_tokens"] == 86  # 150 - 64
+    assert rows[(1, 2)]["n_tokens"] == 22  # 150 - 128 (tail)
+    for cid, start, width in [(0, 0, 128), (1, 64, 86), (2, 128, 22)]:
+        want = hashlib.md5(
+            " ".join(toks[start : start + width]).encode()
+        ).hexdigest()
+        assert rows[(1, cid)]["chunk_fp"] == want
+    # doc 2 (3 tokens): one short chunk
+    assert {c for d, c in rows if d == 2} == {0}
+    assert rows[(2, 0)]["n_tokens"] == 3
+
+
 def test_fuzzy_decontamination_catches_edited_leaks(spark):
     """A benchmark item lightly edited every 8th token has NO verbatim
     8-gram left (the exact pass is blind to it) but keeps ~half its
