@@ -440,3 +440,60 @@ def docs_chunk_windows(spark, sf_dir):
     byte-identical cross-engine) against the oracle's replay."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs)
+
+
+@_query(
+    "docs_chunk_dedup_stats",
+    f"""
+    WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                FROM documents),
+    st AS (
+        SELECT doc_id, source, w,
+               unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE}))
+                   AS tok_start
+        FROM ws
+    ),
+    ch AS (
+        SELECT doc_id, source,
+               md5(list_aggregate(
+                   w[tok_start + 1 : tok_start + {CHUNK_WINDOW}],
+                   'string_agg', ' ')) AS chunk_fp
+        FROM st
+    ),
+    firsts AS (
+        SELECT chunk_fp, min(doc_id) AS first_doc FROM ch GROUP BY chunk_fp
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT c.chunk_fp) AS BIGINT) AS distinct_chunks,
+           CAST(sum(CASE WHEN c.doc_id != f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunk_instances
+    FROM ch c JOIN firsts f ON c.chunk_fp = f.chunk_fp
+    GROUP BY c.source ORDER BY c.source
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level dedup profile per source — what the chunk
+    fingerprints are FOR: chunks whose fp first appears in an earlier
+    doc are duplicate instances an embedding pipeline skips
+    re-embedding (near-dup docs share most of their chunks verbatim).
+    One fp-keyed aggregate + a broadcast-joinable first-occurrence
+    map; keep-first rule is min(doc_id), the engine-wide tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    firsts = ch.groupBy("chunk_fp").agg(F.min("doc_id").alias("_first"))
+    return (
+        ch.join(firsts, "chunk_fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_fp").alias("distinct_chunks"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("_first"), 1).otherwise(0)
+            ).alias("dup_chunk_instances"),
+        )
+        .orderBy("source")
+    )
