@@ -426,3 +426,72 @@ def docs_boilerplate_spans(spark, sf_dir):
     (on this corpus: the planted near-dup families), flag at > 30%."""
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_spans(docs).orderBy("doc_id")
+
+
+#: percentile-threshold curation: keep the best 60% of each source by
+#: LM perplexity — the CCNet/FineWeb practice of thresholding quality
+#: at a per-bucket PERCENTILE rather than a fixed cutoff (a fixed ppl
+#: bar calibrated on one source over- or under-filters every other)
+_KEEP_FRAC = 0.6
+
+
+def quality_percentile_filter(
+    docs: DataFrame, keep_frac: float = _KEEP_FRAC, text_col: str = "text"
+) -> DataFrame:
+    """(source, n_docs, n_kept, ppl_cutoff) — per source, how many docs
+    survive keeping the lowest-perplexity ``keep_frac`` quantile, and
+    the realized ppl cutoff (max kept ppl). percent_rank ties share a
+    rank in both engines, and ppl is the round(·,4) value both engines
+    compute identically, so the kept set is engine-exact — no
+    tie-break literal needed.
+
+    One corpus scan to score (the map-side LM kernel), one broadcast-
+    joinable doc→source map, one (source)-keyed window — partition size
+    bounded by the largest source, the same key the report aggregates
+    on anyway."""
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores_np(docs, text_col)
+    r = scores.join(docs.select("doc_id", "source"), "doc_id")
+    pr = F.percent_rank().over(Window.partitionBy("source").orderBy("ppl"))
+    kept = F.col("_pr") <= keep_frac
+    return (
+        r.withColumn("_pr", pr)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(F.max(F.when(kept, F.col("ppl"))), 4).alias("ppl_cutoff"),
+        )
+        .orderBy("source")
+    )
+
+
+@_query(
+    "docs_quality_percentile_filter",
+    f"""
+    WITH lm AS ({_LM_ORACLE}),
+    r AS (
+        SELECT d.source, l.ppl,
+               percent_rank() OVER (PARTITION BY d.source
+                                    ORDER BY l.ppl) AS pr
+        FROM lm l JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pr <= {_KEEP_FRAC} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(max(CASE WHEN pr <= {_KEEP_FRAC} THEN ppl END), 4)
+               AS ppl_cutoff
+    FROM r GROUP BY source ORDER BY source
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_quality_percentile_filter(spark, sf_dir):
+    """Percentile-threshold quality curation per source (keep the
+    lowest-ppl 60%): kept counts and the realized per-source ppl
+    cutoff — the CCNet-style calibration a fixed threshold can't give,
+    checked row-for-row against the oracle's replay over the identical
+    LM scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_percentile_filter(docs)

@@ -35,6 +35,38 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh) / len(truth) >= 0.9  # 4x4 banding recall at jac>=0.8
 
 
+def test_quality_percentile_filter_keep_rule(spark):
+    """The percentile filter must keep exactly the docs whose
+    percent_rank over ppl within their source is ≤ 0.6 — for 10
+    distinct-ppl docs that is rank ≤ 6 (pr = (rank−1)/9 ≤ 0.6), and
+    the reported cutoff must equal the 6th-lowest ppl."""
+    import itertools
+
+    from ballcone_spark.operators.lm_quality import (
+        bigram_lm_scores_np,
+        quality_percentile_filter,
+    )
+
+    # 10 docs of one source with graded repetition → distinct ppls
+    rows = []
+    for i in range(10):
+        body = " ".join(
+            itertools.islice(itertools.cycle([f"w{j}" for j in range(i + 2)]), 30)
+        )
+        rows.append((i, "srcA", body))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    ppls = sorted(
+        r["ppl"] for r in bigram_lm_scores_np(docs).collect()
+    )
+    assert len(set(ppls)) == 10  # the grading produced distinct ppls
+
+    out = {r["source"]: r for r in quality_percentile_filter(docs).collect()}
+    assert out["srcA"]["n_docs"] == 10
+    assert out["srcA"]["n_kept"] == 6
+    assert abs(out["srcA"]["ppl_cutoff"] - ppls[5]) < 1e-9
+
+
 def test_chunk_documents_windows_and_fingerprints(spark):
     """The sliding-window chunker must emit exactly the windows its
     contract promises: starts at every stride step below doc length,
