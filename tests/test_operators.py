@@ -178,6 +178,76 @@ def test_exact_span_pairs_planted(spark):
     assert not any(a >= 100 and b >= 100 for a, b in got)  # boiler cut
 
 
+def test_exact_span_pairs_fuzz_vs_bruteforce(spark):
+    """Property fuzz: on random small-vocab corpora (where long shared
+    spans arise naturally), exact_span_pairs with the cut and budget
+    disabled must equal an independent brute-force reference — per doc
+    pair and diagonal, token-equality runs of length ≥ min_span are
+    exactly the reported spans (run R tokens ⇔ R−k+1 consecutive
+    k-gram matches). Seeded corpora, several shapes."""
+    import random
+
+    from ballcone_spark.operators.span_dedup import exact_span_pairs
+
+    k, min_span = 3, 6
+
+    def brute(docs_tok):
+        out = {}
+        ids = sorted(docs_tok)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                ta, tb = docs_tok[a], docs_tok[b]
+                spans = []
+                # diagonals d = i - j over token positions
+                for d in range(-(len(tb) - 1), len(ta)):
+                    run = 0
+                    for j in range(len(tb)):
+                        i = j + d
+                        if 0 <= i < len(ta) and ta[i] == tb[j]:
+                            run += 1
+                        else:
+                            if run >= min_span:
+                                spans.append(run)
+                            run = 0
+                    if run >= min_span:
+                        spans.append(run)
+                if spans:
+                    out[(a, b)] = (
+                        len(spans),
+                        max(spans),
+                        sum(spans),
+                    )
+        return out
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(rng.choice([2, 3, 4]))]
+        docs_tok = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(10, 50))]
+            for did in range(rng.randint(4, 7))
+        }
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_tok.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["a_id"], r["b_id"]): (
+                r["n_spans"],
+                r["max_span"],
+                r["dup_tokens"],
+            )
+            for r in exact_span_pairs(
+                docs,
+                k=k,
+                min_span=min_span,
+                max_df=10**9,
+                pair_budget=10**12,
+            ).collect()
+        }
+        assert got == brute(docs_tok), f"seed={seed}"
+
+
 def test_exact_span_budget_binding_matches_sql_replay(spark):
     """When the candidate budget BINDS, the adaptive cut drops dense
     gram families and keeps rare ones — and the oracle's SQL replay of
