@@ -183,6 +183,7 @@ def dup_span_coverage(
     min_span: int = MIN_SPAN,
     max_df: int = SPAN_MAX_DF,
     text_col: str = "text",
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, covered_tokens, covered_frac) — per document,
     how many of its tokens sit inside ≥ 1 qualifying cross-document
@@ -196,7 +197,7 @@ def dup_span_coverage(
     end of its predecessors, sum the clamped widths. No per-token
     explode: the window partitions by doc_id (bounded by one doc's span
     count) and everything stays in codegen."""
-    spans = _qualifying_spans(docs, k, min_span, max_df, text_col)
+    spans = _qualifying_spans(docs, k, min_span, max_df, text_col, pair_budget)
     iv = spans.select(
         F.col("a_id").alias("doc_id"),
         F.col("start_a").alias("s"),

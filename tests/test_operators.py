@@ -248,6 +248,127 @@ def test_exact_span_pairs_fuzz_vs_bruteforce(spark):
         assert got == brute(docs_tok), f"seed={seed}"
 
 
+def test_dup_span_coverage_fuzz_vs_bruteforce(spark):
+    """Property fuzz for the coverage side: per doc, the union of
+    tokens covered by ≥ 1 qualifying span must equal a brute-force
+    position-marking scan (mark both sides of every ≥ min_span
+    diagonal run directly — no intervals, no windows), on the same
+    seeded corpora as the pairs fuzz."""
+    import random
+
+    from ballcone_spark.operators.span_dedup import dup_span_coverage
+
+    k, min_span = 3, 6
+
+    def brute_cover(docs_tok):
+        covered = {d: set() for d in docs_tok}
+        ids = sorted(docs_tok)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                ta, tb = docs_tok[a], docs_tok[b]
+                for d in range(-(len(tb) - 1), len(ta)):
+                    run = 0
+                    for j in range(len(tb) + 1):
+                        i = j + d
+                        if (
+                            j < len(tb)
+                            and 0 <= i < len(ta)
+                            and ta[i] == tb[j]
+                        ):
+                            run += 1
+                        else:
+                            if run >= min_span:
+                                for jj in range(j - run, j):
+                                    covered[b].add(jj)
+                                    covered[a].add(jj + d)
+                            run = 0
+        return {d: len(s) for d, s in covered.items()}
+
+    for seed in (11, 12, 13):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(rng.choice([2, 3, 4]))]
+        docs_tok = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(10, 50))]
+            for did in range(rng.randint(4, 7))
+        }
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_tok.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+            for r in dup_span_coverage(
+                docs,
+                k=k,
+                min_span=min_span,
+                max_df=10**9,
+                pair_budget=10**12,
+            ).collect()
+        }
+        want = brute_cover(docs_tok)
+        assert {d: c for d, (_, c) in got.items()} == want, f"seed={seed}"
+        assert all(
+            got[d][0] == len(docs_tok[d]) for d in docs_tok
+        ), f"seed={seed}"
+
+
+def test_fuzzy_decontamination_fuzz_vs_bruteforce(spark):
+    """Property fuzz for fuzzy decon with the cut disabled: flags and
+    best-match Jaccard must equal a direct per-pair distinct-trigram
+    set computation (independent of the inverted-index construction)."""
+    import random
+
+    from ballcone_spark.operators.dedup import fuzzy_decontamination
+
+    def sh(t, n=3):
+        return {
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        }
+
+    for seed in (21, 22, 23):
+        rng = random.Random(seed)
+        vocab = [f"v{i}" for i in range(rng.choice([3, 4]))]
+        corpus_tok = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(8, 30))]
+            for did in range(5)
+        }
+        bench_tok = {
+            did: [rng.choice(vocab) for _ in range(rng.randint(8, 30))]
+            for did in range(100, 103)
+        }
+        corpus = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in corpus_tok.items()],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in bench_tok.items()],
+            "doc_id long, text string",
+        )
+        tau = 0.4
+        want = {}
+        for d, t in corpus_tok.items():
+            best = None
+            for bd, bt in bench_tok.items():
+                inter = len(sh(t) & sh(bt))
+                union = len(sh(t) | sh(bt))
+                if union == 0:
+                    continue
+                j = inter / union
+                if j >= tau and (best is None or j > best[1] or
+                                 (j == best[1] and bd < best[0])):
+                    best = (bd, j)
+            if best:
+                want[d] = (best[0], round(best[1], 4))
+        got = {
+            r["doc_id"]: (r["bench_id"], r["jaccard"])
+            for r in fuzzy_decontamination(
+                corpus, bench, tau=tau, max_df=10**9, pair_budget=10**12
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
 def test_exact_span_budget_binding_matches_sql_replay(spark):
     """When the candidate budget BINDS, the adaptive cut drops dense
     gram families and keeps rare ones — and the oracle's SQL replay of
