@@ -35,6 +35,42 @@ def test_minhash_lsh_recall(spark):
     assert len(lsh) / len(truth) >= 0.9  # 4x4 banding recall at jac>=0.8
 
 
+def test_chunk_documents_fuzz_vs_python(spark):
+    """Property fuzz: the chunker must equal a direct Python slicing
+    reference on random doc lengths straddling the window/stride
+    boundaries (including the 1-token and exactly-window cases)."""
+    import hashlib
+    import random
+
+    from ballcone_spark.operators.packing import chunk_documents
+
+    rng = random.Random(7)
+    lens = [1, 2, 63, 64, 65, 127, 128, 129, 200, rng.randint(1, 300)]
+    docs_tok = {i: [f"x{i}_{j}" for j in range(n)] for i, n in enumerate(lens)}
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs_tok.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["tok_start"],
+            r["n_tokens"],
+            r["chunk_fp"],
+        )
+        for r in chunk_documents(docs, window=128, stride=64).collect()
+    }
+    want = {}
+    for d, t in docs_tok.items():
+        for cid, start in enumerate(range(0, len(t), 64)):
+            piece = t[start : start + 128]
+            want[(d, cid)] = (
+                start,
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    assert got == want
+
+
 def test_quality_percentile_filter_keep_rule(spark):
     """The percentile filter must keep exactly the docs whose
     percent_rank over ppl within their source is ≤ 0.6 — for 10
