@@ -371,7 +371,10 @@ ORDER BY w.doc_id
 @_query(
     "docs_exact_span_dups",
     _SPAN_ORACLE,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted to driver r8: span-level (ExactSubstr) dedup — verified
+    # by oracle at sf0.01 + sf1, brute-force fuzz, a binding-budget SQL
+    # replay test, and an sf10 measurement; slot freed by demoting the
+    # tpch_q10 echo
     # the adaptive cut bakes count-derived literals at plan build —
     # invalidate on data change (the docs_cross_source_dups lesson)
     cacheable=("documents",),

@@ -616,7 +616,13 @@ _sql_query(
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
     """,
-    doc="TPC-H Q10 shape: who returned the most, top-20.",
+    doc="TPC-H Q10 shape: who returned the most, top-20. Demoted to "
+    "EXTRA (r8): its broadcast-join + agg + top-N shape is covered by "
+    "tpch_q3 (same join/TakeOrdered skeleton) and tpch_q5 (the "
+    "snowflake dims); the freed driver slot went to "
+    "docs_exact_span_dups, the round's span-level dedup operator. "
+    "Oracle parity stays machine-checked locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(
