@@ -1023,6 +1023,47 @@ _sql_query(
 )
 
 _sql_query(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS date, count(*) AS visits
+        FROM events GROUP BY date
+    ),
+    stats AS (
+        SELECT date, visits,
+               -- explicit avg/avg-of-squares instead of stddev_samp:
+               -- both engines then evaluate the IDENTICAL expression
+               -- over the same frame-ordered doubles (built-in stddev
+               -- implementations may differ in accumulation order and
+               -- split at a round(.,4) boundary)
+               avg(CAST(visits AS DOUBLE)) OVER (
+                   ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS mu,
+               avg(CAST(visits AS DOUBLE) * visits) OVER (
+                   ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS m2,
+               count(*) OVER (
+                   ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+               ) AS n_prior
+        FROM daily
+    )
+    SELECT date, visits,
+           round(mu, 4) AS trailing_mean,
+           round((visits - mu) / sqrt(m2 - mu * mu), 4) AS z_score,
+           (n_prior >= 7
+            AND abs((visits - mu) / sqrt(m2 - mu * mu)) > 2.0) AS is_anomaly
+    FROM stats
+    WHERE n_prior >= 3
+    ORDER BY date
+    """,
+    doc="Trailing-window z-score anomaly detection over daily visits "
+    "(7-day lookback, warmup days excluded, flag at |z| > 2) — the "
+    "ops-monitoring analytic a traffic dashboard alerts on. Windows "
+    "run over the pre-aggregated daily frame, never raw events.",
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+
+_sql_query(
     "events_retention_set_ops",
     """
     SELECT count(*) AS n_users, 'retained' AS cohort FROM (
