@@ -404,3 +404,52 @@ def docs_dup_span_coverage(spark, sf_dir):
     oracle's identical replay."""
     docs = load_table(spark, sf_dir, "documents")
     return dup_span_coverage(docs)
+
+
+_SPAN_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_SPAN_CTE},
+vp AS (SELECT DISTINCT a_id, b_id FROM spans),
+edges AS (SELECT a_id AS src, b_id AS dst FROM vp
+          UNION SELECT b_id, a_id FROM vp),
+reach(id, r) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS sz FROM labels
+          GROUP BY cluster_id)
+SELECT CAST(sz AS INTEGER) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_id) AS BIGINT) AS label_checksum
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+
+
+@_query(
+    "docs_span_dedup_clusters",
+    _SPAN_CLUSTERS_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # count-derived cut + iterative build
+)
+def docs_span_dedup_clusters(spark, sf_dir):
+    """Cluster resolution over the SPAN pair list — the span family
+    plugged into the generic connected-components machinery (min-label
+    propagation + pointer jumping), proving any pair source composes:
+    per-cluster-size histogram with a min-label checksum, against the
+    oracle's recursive-CTE closure over the identical span pairs. Docs
+    chained by overlapping spans (A~B, B~C without A~C) merge into one
+    keep-group here, which pairwise reports cannot express."""
+    from ballcone_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_span_pairs(docs).select("a_id", "b_id")
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("int").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_id").cast("bigint").alias("label_checksum"),
+        )
+        .orderBy("cluster_size")
+    )
