@@ -387,7 +387,11 @@ def chunk_documents(
     scan → generate → project, the shape that parallelizes by input
     split at any corpus size."""
     toks = F.split(F.col(text_col), " ")
-    d = docs.select(
+    # NULL text -> no rows (repo-wide convention, matching _gram_rows /
+    # the shingle kernels and the oracle's unnest-of-NULL behavior):
+    # without this, size(NULL)=NULL slips through greatest/least and
+    # emits one phantom (chunk_id=0, n_tokens=window, fp=md5('')) chunk.
+    d = docs.where(F.col(text_col).isNotNull()).select(
         "doc_id", toks.alias("_t"), F.size(toks).alias("_n")
     )
     d = d.select(

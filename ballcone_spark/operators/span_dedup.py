@@ -266,8 +266,9 @@ def _span_cte(budget_expr: str) -> str:
     """Shared CTE chain up to the qualifying spans (with their start
     position and diagonal — the exact relational replay of
     `_qualifying_spans`). ``budget_expr`` is the candidate-budget SQL
-    (the production formula below; tests inject a small literal to
-    exercise the binding branch against the Spark path)."""
+    evaluated over a single-row frame exposing ``n`` = corpus document
+    count (the production formula below uses it; tests inject a small
+    literal to exercise the binding branch against the Spark path)."""
     return f"""
 ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 gk AS (
@@ -289,7 +290,14 @@ cum AS (
     SELECT df, sum((n * df * (df - 1)) // 2) OVER (ORDER BY df) AS cumpairs
     FROM hist
 ),
-budget AS (SELECT {budget_expr} AS b FROM documents),
+-- single-row by construction: the aggregate subquery collapses
+-- documents to one row, so '(SELECT b FROM budget)' stays a scalar
+-- even when tests inject a plain literal budget_expr (a bare
+-- 'FROM documents' would yield one row per document — accepted by
+-- DuckDB 1.0.0 but rejected by versions that enforce single-row
+-- scalar subqueries)
+budget AS (SELECT {budget_expr} AS b
+           FROM (SELECT count(*) AS n FROM documents)),
 cutv AS (
     SELECT COALESCE((SELECT min(df) - 1 FROM cum
                      WHERE cumpairs > (SELECT b FROM budget)),
@@ -320,7 +328,7 @@ spans AS (
 
 
 _SPAN_CTE = _span_cte(
-    f"greatest({_SPAN_BUDGET_FLOOR}, {_SPAN_BUDGET_PER_DOC} * count(*))"
+    f"greatest({_SPAN_BUDGET_FLOOR}, {_SPAN_BUDGET_PER_DOC} * n)"
 )
 
 _SPAN_ORACLE = f"""

@@ -1049,9 +1049,18 @@ _sql_query(
     )
     SELECT date, visits,
            round(mu, 4) AS trailing_mean,
-           round((visits - mu) / sqrt(m2 - mu * mu), 4) AS z_score,
-           (n_prior >= 7
-            AND abs((visits - mu) / sqrt(m2 - mu * mu)) > 2.0) AS is_anomaly
+           -- zero-variance guard: when every prior-window count is equal
+           -- the variance is exactly 0 (integer sums are exact in
+           -- doubles) and x/0 diverges cross-engine (Spark non-ANSI
+           -- NULL vs DuckDB IEEE inf) — gate the division so both
+           -- engines emit NULL z and FALSE is_anomaly
+           round(CASE WHEN m2 - mu * mu > 0
+                      THEN (visits - mu) / sqrt(m2 - mu * mu) END, 4)
+               AS z_score,
+           COALESCE(n_prior >= 7
+            AND m2 - mu * mu > 0
+            AND abs((visits - mu) / sqrt(m2 - mu * mu)) > 2.0, FALSE)
+               AS is_anomaly
     FROM stats
     WHERE n_prior >= 3
     ORDER BY date

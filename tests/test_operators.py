@@ -2686,3 +2686,83 @@ def test_ivf_pq_ann_np_matches_jvm_composition(spark):
         tuple(r) for r in ivf_pq_ann_np(emb, q, cents, books, k=5).collect()
     ]
     assert arrow == jvm and len(arrow) > 0
+
+
+def test_chunk_documents_null_text_emits_no_rows(spark):
+    """NULL text must follow the repo-wide 'NULL text -> no rows'
+    convention (ADVICE r8): without the guard, size(NULL)=NULL slips
+    through greatest/least and emits a phantom (chunk_id=0,
+    n_tokens=128, fp=md5('')) chunk that the DuckDB oracle (unnest of
+    NULL -> nothing) never produces."""
+    from ballcone_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    got = chunk_documents(docs).collect()
+    assert [r["doc_id"] for r in got] == [2]
+    assert got[0]["n_tokens"] == 3
+
+
+def test_anomaly_zscore_zero_variance_cross_engine(spark):
+    """With a constant daily count the trailing variance is exactly 0
+    (integer sums are exact in doubles); an unguarded x/0 diverges
+    cross-engine (Spark non-ANSI NULL vs DuckDB IEEE NaN/inf). The
+    guarded query must emit NULL z_score and FALSE is_anomaly on BOTH
+    engines, identically (ADVICE r8)."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    sql = EXTRA_QUERIES["events_anomaly_zscore"].oracle
+    ts = [
+        datetime.datetime(2024, 3, 1 + d, 10, 0, 0)
+        for d in range(12)
+        for _ in range(3)  # constant 3 visits/day -> variance 0
+    ]
+    spark.createDataFrame(
+        [(t,) for t in ts], "ts timestamp"
+    ).createOrReplaceTempView("events")
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    spark.catalog.dropTempView("events")
+
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame({"ts": ts}))
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+
+    assert len(got) == 12 - 3  # n_prior >= 3 warmup excluded
+    # columns: date, visits, trailing_mean, z_score, is_anomaly
+    assert all(r[3] is None and r[4] is False for r in got)
+    assert got == want
+
+
+def test_span_budget_cte_single_row_with_literal(spark):
+    """The budget CTE must be single-row even when a plain literal is
+    injected (ADVICE r8): a bare 'FROM documents' makes
+    '(SELECT b FROM budget)' a one-row-per-document scalar subquery —
+    tolerated by DuckDB 1.0.0, rejected by versions enforcing
+    single-row scalar subqueries. Pin the shape relationally: the CTE
+    yields exactly one row for a multi-doc corpus."""
+    import duckdb
+    import pandas as pd
+
+    from ballcone_spark.operators.span_dedup import _span_cte
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "c d", "e f"]}),
+    )
+    cte = _span_cte("50")
+    n = con.execute(
+        f"WITH {cte} SELECT count(*) FROM budget"
+    ).fetchone()[0]
+    assert n == 1
+    # and the production formula's `n` binds to the corpus doc count
+    prod = _span_cte("100 * n")
+    assert con.execute(
+        f"WITH {prod} SELECT b FROM budget"
+    ).fetchone()[0] == 300
