@@ -436,27 +436,85 @@ _KEEP_FRAC = 0.6
 
 
 def quality_percentile_filter(
-    docs: DataFrame, keep_frac: float = _KEEP_FRAC, text_col: str = "text"
+    docs: DataFrame,
+    keep_frac: float = _KEEP_FRAC,
+    text_col: str = "text",
+    num_buckets: int = 32,
 ) -> DataFrame:
     """(source, n_docs, n_kept, ppl_cutoff) — per source, how many docs
     survive keeping the lowest-perplexity ``keep_frac`` quantile, and
-    the realized ppl cutoff (max kept ppl). percent_rank ties share a
+    the realized ppl cutoff (max kept ppl). rank()-with-ties shares a
     rank in both engines, and ppl is the round(·,4) value both engines
     compute identically, so the kept set is engine-exact — no
     tie-break literal needed.
 
-    One corpus scan to score (the map-side LM kernel), one broadcast-
-    joinable doc→source map, one (source)-keyed window — partition size
-    bounded by the largest source, the same key the report aggregates
-    on anyway."""
+    Skew-safe percent_rank (VERDICT r8 #1): a bare ``percent_rank()
+    OVER (PARTITION BY source ORDER BY ppl)`` sorts each source's
+    ENTIRE score set in one task — fatal when one source dominates the
+    corpus (real corpora are 80-95% one web crawl). Instead, the
+    bucketed exact-rank pattern from :mod:`..ranking`: global
+    approx-quantile boundaries split ppl into ``num_buckets``
+    value-ranges, a bounded per-(source,bucket) count pass yields exact
+    within-source offsets, and rank() runs over (source, bucket)
+    windows only — each ≈ N/num_buckets rows even for a dominant
+    source (global boundaries track the dominant source's distribution
+    by construction). Ties never straddle buckets (bucketing is by
+    value), so offset + in-bucket rank() IS the exact per-source
+    rank-with-ties, and pr = (rank−1)/(n−1) is the same single IEEE
+    division percent_rank performs in both engines.
+
+    Cost SLA (same as ranking._ranked_with_total): two driver-blocking
+    jobs at plan-build (quantile probe, bucket-count pass; the collect
+    is bounded by #sources × num_buckets rows) + the final execution.
+    The scored (source, ppl) projection is localCheckpoint()ed so the
+    Arrow LM kernel runs ONCE, not once per pass."""
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
     scores = bigram_lm_scores_np(docs, text_col)
-    r = scores.join(docs.select("doc_id", "source"), "doc_id")
-    pr = F.percent_rank().over(Window.partitionBy("source").orderBy("ppl"))
+    r = (
+        scores.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "ppl")
+        .localCheckpoint()
+    )
+
+    fracs = [i / num_buckets for i in range(1, num_buckets)]
+    brow = r.select(F.percentile_approx("ppl", fracs, 10_000).alias("b")).first()
+    bounds: list = []
+    for v in brow["b"] or []:
+        if v is not None and (not bounds or v > bounds[-1]):
+            bounds.append(float(v))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("ppl") > F.lit(b), 1).otherwise(0)
+    d = r.withColumn("_bucket", bucket.cast("int"))
+
+    per_source: dict = {}
+    for row in d.groupBy("source", "_bucket").agg(
+        F.count("*").alias("_c")
+    ).collect():
+        per_source.setdefault(row["source"], {})[row["_bucket"]] = row["_c"]
+    off_rows = []
+    for s, bks in per_source.items():
+        running = 0
+        total = sum(bks.values())
+        for bk in sorted(bks):
+            off_rows.append((s, bk, running, total))
+            running += bks[bk]
+    odf = spark.createDataFrame(
+        off_rows, "source string, _bucket int, _off long, _n long"
+    )
+
+    w = Window.partitionBy("source", "_bucket").orderBy("ppl")
+    rank_g = F.rank().over(w) + F.col("_off")
+    pr = F.when(
+        F.col("_n") > 1,
+        (rank_g - F.lit(1)).cast("double") / (F.col("_n") - F.lit(1)),
+    ).otherwise(F.lit(0.0))
     kept = F.col("_pr") <= keep_frac
     return (
-        r.withColumn("_pr", pr)
+        d.join(F.broadcast(odf), ["source", "_bucket"])
+        .withColumn("_pr", pr)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -486,6 +544,9 @@ def quality_percentile_filter(
     FROM r GROUP BY source ORDER BY source
     """,
     driver=False,  # registry at the 50 cap; oracle-checked locally
+    # the plan embeds data-derived literals (quantile boundaries, bucket
+    # offsets) — rebuild when the source table changes
+    cacheable=("documents",),
 )
 def docs_quality_percentile_filter(spark, sf_dir):
     """Percentile-threshold quality curation per source (keep the

@@ -701,3 +701,24 @@ def test_span_coverage_final_join_not_broadcast(spark):
     # the pipeline may legitimately broadcast at oracle SFs where their
     # honestly-estimated sides are tiny
     assert "ShuffledHashJoin" in p
+
+
+def test_percentile_filter_no_whole_source_window(spark):
+    """The percentile curation filter must never run a window
+    partitioned by source alone — that sorts the dominant source's
+    ENTIRE score set in one task at production skew (VERDICT r8 #1).
+    The bucketed rebuild ranks over (source, _bucket) windows with
+    exact offsets; gate the executed plan: a Window node exists, its
+    partition spec carries _bucket, and percent_rank (the whole-
+    partition construct) is gone."""
+    from ballcone_spark.operators.lm_quality import quality_percentile_filter
+
+    docs = load_table(spark, SF, "documents")
+    df = quality_percentile_filter(docs)
+    p = plan_str(df)
+    assert "percent_rank" not in p
+    # every Window node's partition spec must include the bucket key
+    win_lines = [ln for ln in p.splitlines() if "Window" in ln and "rank" in ln]
+    assert win_lines, p
+    for ln in win_lines:
+        assert "_bucket" in ln, ln
