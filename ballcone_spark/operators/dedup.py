@@ -1646,7 +1646,9 @@ def fuzzy_decontamination(
     SELECT doc_id, bench_id, round(jac, 4) AS jaccard
     FROM best WHERE rn = 1 ORDER BY doc_id
     """,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted to driver r9 (VERDICT r8 #2): the oracle replays the
+    # adaptive cut, so it stays exact on both sides of the budget
+    # boundary; slot freed by demoting the orders_priority_matrix echo
     # the adaptive cut bakes count-derived literals at plan build
     cacheable=("documents",),
 )

@@ -400,7 +400,9 @@ def docs_exact_span_dups(spark, sf_dir):
 @_query(
     "docs_dup_span_coverage",
     _COVERAGE_ORACLE,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted to driver r9 (VERDICT r8 #2): the Lee et al. deletion
+    # signal — the actionable per-doc output of the span family; slot
+    # freed by demoting the events_dashboard echo
     cacheable=("documents",),  # same baked-literal invalidation rule
 )
 def docs_dup_span_coverage(spark, sf_dir):

@@ -409,6 +409,9 @@ def events_type_counts(spark, sf_dir):
     SELECT event_type AS service, count(DISTINCT user_id) AS unique_users
     FROM events GROUP BY service ORDER BY unique_users DESC, service
     """,
+    driver=False,  # demoted r9: its groupBy+countDistinct shape is inside
+    # events_overview + events_grouping_sets_profile; slot freed for
+    # docs_dup_span_coverage (VERDICT r8 #2). Still oracle-checked locally.
 )
 def events_dashboard(spark, sf_dir):
     """A1 dashboard: uniques per service in one aggregate over the unified
@@ -1171,6 +1174,9 @@ _sql_query(
     """,
     doc="Pivot as conditional aggregation (dialect-portable; Spark's "
     ".pivot() compiles to the same Expand/aggregate).",
+    driver=False,  # demoted r9: conditional-agg pivot covered by the
+    # grouping-sets Expand; slot freed for docs_fuzzy_decontamination
+    # (VERDICT r8 #2). Still oracle-checked locally.
 )
 
 @_query(
