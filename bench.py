@@ -129,6 +129,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    load_q: dict[str, float] = {}
     for name in HEADLINE:
         # First run pays one-off Catalyst analysis + janino codegen
         # compilation for this query's plan (recorded as cold_*); the
@@ -144,6 +146,12 @@ def main() -> None:
             queries[name](spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # raw samples + a per-query 1-min loadavg snapshot (VERDICT r8
+        # #3): when a round-over-round drift shows up, the spread of the
+        # three samples and the load AT THAT QUERY'S moment adjudicate
+        # ambient-vs-real without a controlled re-run
+        samples[name] = [round(r, 3) for r in runs]
+        load_q[name] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     duck_total, duck_queries = duckdb_pass(sf_dir, HEADLINE)
@@ -161,6 +169,8 @@ def main() -> None:
         # averages at measurement time makes the next drift
         # self-adjudicating.
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "steady_samples": samples,
+        "loadavg_per_query": load_q,
     }
     if duck_total:
         # same-round apples-to-apples: DuckDB timed on the oracle SQL of
