@@ -372,6 +372,7 @@ def chunk_documents(
     window: int = CHUNK_WINDOW,
     stride: int = CHUNK_STRIDE,
     text_col: str = "text",
+    with_tokens: bool = False,
 ) -> DataFrame:
     """(doc_id, chunk_id, tok_start, n_tokens, chunk_fp) — every
     ``window``-token sliding chunk of each document at ``stride``-token
@@ -405,15 +406,21 @@ def chunk_documents(
         ).alias("tok_start"),
     )
     chunk = F.slice("_t", F.col("tok_start") + 1, window)
-    return d.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         (F.col("tok_start") / stride).cast("long").alias("chunk_id"),
         F.col("tok_start").cast("long").alias("tok_start"),
         F.least(F.lit(window), F.col("_n") - F.col("tok_start"))
         .cast("long")
         .alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_id")
+    ]
+    if with_tokens:
+        # the chunk's token array, for consumers that derive per-chunk
+        # features (the chunk embedder); fp determines the tokens
+        # (fp = md5 of the joined text), so distinct-by-fp keeps one
+        cols.append(chunk.alias("chunk_toks"))
+    return d.select(*cols).orderBy("doc_id", "chunk_id")
 
 
 @_query(
@@ -501,3 +508,234 @@ def docs_chunk_dedup_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+#: chunk-embedding dims (feature-hashed bag-of-words): each component is
+#: an EXACT integer sum of signed 16-bit md5 values, so vectors are
+#: bit-identical cross-engine (no float accumulation anywhere); cosine
+#: is then 3 deterministic IEEE ops on exact integers. 8 dims → 2^8
+#: sign buckets; raise for larger corpora (bucket count = 2^dim).
+CHUNK_EMB_DIM = 8
+#: chunk-level semantic near-dup threshold: random feature-hashed
+#: vectors at dim 8 concentrate |cos| well below 0.5; near-dup chunks
+#: (a few-token edit in a 128-token window) land ≥ 0.9
+CHUNK_COS_T = 0.9
+
+
+def chunk_embeddings(
+    docs: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = CHUNK_EMB_DIM,
+    text_col: str = "text",
+) -> DataFrame:
+    """(chunk_fp, v0..v{dim-1}) — one deterministic feature-hashed
+    bag-of-words embedding per DISTINCT chunk fingerprint. This is the
+    "skip re-embedding" contract made executable: duplicate chunk
+    instances (same ``chunk_fp``) are collapsed BEFORE the embedder
+    runs, so embedding cost is paid once per distinct chunk — exactly
+    the skipped work `docs_chunk_dedup_stats.dup_chunk_instances`
+    counts.
+
+    The embedder stands in for a model: component j of a chunk is
+    Σ_tokens (md5_16(token ⊕ j) − 32768) — a signed random projection
+    of the token bag, so chunks sharing most tokens have high cosine
+    (the property a real embedder provides) while being exactly
+    replayable in SQL. All sums are INTEGER (exact, order-independent,
+    cross-engine identical); nothing floats until cosine.
+
+    Scale shape: distinct-by-fp (one shuffle on fp), token explode
+    (linear), groupBy fp (one shuffle, map-side combined) — no
+    corpus-pair term anywhere."""
+    ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
+    distinct = ch.select("chunk_fp", "chunk_toks").distinct()
+    tok = distinct.select("chunk_fp", F.explode("chunk_toks").alias("t"))
+    comps = [
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("t"), F.lit(f"#{j}"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            - 32768
+        ).alias(f"v{j}")
+        for j in range(dim)
+    ]
+    return tok.groupBy("chunk_fp").agg(*comps)
+
+
+#: chunk-gram width for the candidate phase (rare shared runs; a
+#: few-token edit leaves many intact 5-gram runs, so near-dup chunks
+#: always share sub-cut grams)
+CHUNK_GRAM = 5
+#: chunk-gram corpus-frequency cut: grams in more distinct chunks are
+#: boilerplate and never joined — bounds candidate fan-out at
+#: C(df,2) ≤ 32·instances, the SPAN_MAX_DF argument
+CHUNK_GRAM_MAX_DF = 64
+
+
+def chunk_semantic_pairs(
+    docs: DataFrame,
+    tau: float = CHUNK_COS_T,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = CHUNK_EMB_DIM,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_fp, b_fp, cos) — chunk-level SemDeDup over the chunk
+    embeddings: distinct chunks that share a rare (sub-df-cut) token
+    5-gram AND have embedding cosine ≥ ``tau``. Closes the RAG loop the
+    chunker opened: chunk → embed once per fp → semantic near-dup
+    pairs, so a vector store can drop/alias near-duplicate chunks, not
+    just verbatim ones.
+
+    Candidate rule — the repo's two-phase pattern (content-overlap
+    candidates → exact verify), NOT sign-LSH: an integer random
+    projection's component signs flip too easily under small edits
+    (a 1-token edit moves a component by up to ±2^16 while components
+    of a 128-token chunk concentrate at σ ≈ 2.1·10^5 — per-component
+    flip odds ~0.12, all-dim agreement ~0.36, unusable recall). Shared
+    rare 5-grams are deterministic under small edits: an edit kills at
+    most 5 grams per token changed, the rest still match. df ≤
+    CHUNK_GRAM_MAX_DF bounds fan-out exactly like SPAN_MAX_DF.
+
+    Exactness: components are exact integer sums ≤ 128·32768, so dot
+    and norms² are exact in both int64 and double (< 2^53); cosine is
+    3 deterministic IEEE ops (mul, sqrt, div) with a pinned evaluation
+    order, bit-identical cross-engine — the result ships UNROUNDED (no
+    round(double,4) boundary risk)."""
+    emb = chunk_embeddings(docs, window, stride, dim, text_col)
+    ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
+    dch = ch.select("chunk_fp", "chunk_toks").distinct()
+    # distinct (chunk, gram): gram df counts chunks, not instances.
+    # Chunks shorter than the gram width emit no grams (and a bare
+    # sequence(1, 0) would count DOWN and emit _i=0) — filter first.
+    pos = dch.where(F.size("chunk_toks") >= CHUNK_GRAM).select(
+        "chunk_fp",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("chunk_toks") - (CHUNK_GRAM - 1)
+            )
+        ).alias("_i"),
+        F.col("chunk_toks"),
+    )
+    grams = pos.select(
+        "chunk_fp",
+        F.concat_ws(
+            " ", F.slice("chunk_toks", F.col("_i"), CHUNK_GRAM)
+        ).alias("g"),
+    ).distinct()
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .where((F.col("_df") > 1) & (F.col("_df") <= CHUNK_GRAM_MAX_DF))
+        .select("g")
+    )
+    gr = grams.join(rare, "g")
+    cand = (
+        gr.select(F.col("chunk_fp").alias("a_fp"), "g")
+        .join(gr.select(F.col("chunk_fp").alias("b_fp"), "g"), "g")
+        .where(F.col("a_fp") < F.col("b_fp"))
+        .select("a_fp", "b_fp")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("chunk_fp").alias("a_fp"),
+        *[F.col(f"v{j}").alias(f"a{j}") for j in range(dim)],
+    )
+    eb = emb.select(
+        F.col("chunk_fp").alias("b_fp"),
+        *[F.col(f"v{j}").alias(f"b{j}") for j in range(dim)],
+    )
+    dot = F.lit(0).cast("long")
+    na = F.lit(0).cast("long")
+    nb = F.lit(0).cast("long")
+    for j in range(dim):
+        dot = dot + F.col(f"a{j}") * F.col(f"b{j}")
+        na = na + F.col(f"a{j}") * F.col(f"a{j}")
+        nb = nb + F.col(f"b{j}") * F.col(f"b{j}")
+    cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    return (
+        cand.join(ea, "a_fp")
+        .join(eb, "b_fp")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= tau)
+        .select("a_fp", "b_fp", "cos")
+        .orderBy("a_fp", "b_fp")
+    )
+
+
+def _duck_chunk_emb(dim: int) -> str:
+    """Oracle CTE chain to the per-distinct-chunk embedding — the SQL
+    replay of :func:`chunk_embeddings` (same md5 projection, same
+    integer sums)."""
+    vs = ",\n        ".join(
+        f"sum(CAST(('0x' || substr(md5(t || '#{j}'), 1, 4)) AS BIGINT)"
+        f" - 32768) AS v{j}"
+        for j in range(dim)
+    )
+    return f"""
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       WHERE text IS NOT NULL),
+st AS (SELECT doc_id, w,
+              unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE}))
+                  AS tok_start
+       FROM ws),
+ch AS (SELECT w[tok_start + 1 : tok_start + {CHUNK_WINDOW}] AS toks,
+              md5(list_aggregate(
+                  w[tok_start + 1 : tok_start + {CHUNK_WINDOW}],
+                  'string_agg', ' ')) AS chunk_fp
+       FROM st),
+dch AS (SELECT DISTINCT chunk_fp, toks FROM ch),
+tok AS (SELECT chunk_fp, unnest(toks) AS t FROM dch),
+emb AS (SELECT chunk_fp, {vs} FROM tok GROUP BY chunk_fp)
+"""
+
+
+def _duck_chunk_pairs(dim: int, tau: float) -> str:
+    k = CHUNK_GRAM
+    gram_concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    dot = " + ".join(f"ea.v{j} * eb.v{j}" for j in range(dim))
+    na = " + ".join(f"ea.v{j} * ea.v{j}" for j in range(dim))
+    nb = " + ".join(f"eb.v{j} * eb.v{j}" for j in range(dim))
+    return f"""
+    WITH {_duck_chunk_emb(dim)},
+    gr AS (SELECT DISTINCT chunk_fp, g FROM (
+        SELECT chunk_fp,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - {k - 1}),
+                   i -> {gram_concat})) AS g
+        FROM dch)),
+    rare AS (SELECT g FROM gr GROUP BY g
+             HAVING count(*) > 1 AND count(*) <= {CHUNK_GRAM_MAX_DF}),
+    cand AS (SELECT DISTINCT a.chunk_fp AS a_fp, b.chunk_fp AS b_fp
+             FROM gr a JOIN rare USING (g) JOIN gr b USING (g)
+             WHERE a.chunk_fp < b.chunk_fp)
+    SELECT a_fp, b_fp, cos FROM (
+        SELECT a_fp, b_fp,
+               CAST({dot} AS DOUBLE)
+                   / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))
+                   AS cos
+        FROM cand
+        JOIN emb ea ON ea.chunk_fp = a_fp
+        JOIN emb eb ON eb.chunk_fp = b_fp
+    ) WHERE cos >= {tau} ORDER BY a_fp, b_fp
+    """
+
+
+@_query(
+    "docs_chunk_semantic_pairs",
+    _duck_chunk_pairs(CHUNK_EMB_DIM, CHUNK_COS_T),
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_chunk_semantic_pairs(spark, sf_dir):
+    """Chunk-level semantic near-dup pairs (the RAG-loop closure,
+    VERDICT r8 #5): sliding-window chunks, one feature-hashed embedding
+    per distinct chunk fingerprint (duplicate instances skip the
+    embedder — the dedup-stats contract), rare-shared-gram candidates,
+    cosine ≥ 0.9 verify. Every arithmetic step before the final 3 IEEE
+    ops is exact integer math, so the oracle replay is bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_semantic_pairs(docs)

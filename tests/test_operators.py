@@ -2837,3 +2837,53 @@ def test_exact_span_budget_binding_recall_gate(spark):
     }
     tiny_recall = len(found_tiny & set(planted)) / len(planted)
     assert tiny_recall <= 0.05, f"sub-df2 budget should collapse: {tiny_recall}"
+
+
+def test_chunk_semantic_pairs_properties(spark):
+    """The chunk-level SemDeDup closure must (a) pair chunks that
+    differ by a small edit (the near-dup a verbatim fp-groupBy can't
+    see), (b) not pair unrelated chunks, and (c) embed once per
+    DISTINCT fp — duplicate instances are collapsed before the
+    embedder, which is the 'skip re-embedding' contract."""
+    from ballcone_spark.operators.packing import (
+        chunk_embeddings,
+        chunk_semantic_pairs,
+    )
+
+    base = [f"tok{i}" for i in range(60)]
+    edited = list(base)
+    edited[7] = "EDIT"  # 1-token edit in a 60-token chunk
+    unrelated = [f"zzz{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(edited)),
+        (3, " ".join(unrelated)),
+        (4, " ".join(base)),  # verbatim dup of doc 1 -> same fp
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    emb = chunk_embeddings(docs).collect()
+    assert len(emb) == 3  # 4 chunk instances, 3 distinct fps
+
+    pairs = chunk_semantic_pairs(docs).collect()
+    assert len(pairs) == 1  # base~edited only; unrelated stays out
+    assert pairs[0]["cos"] >= 0.9
+
+
+def test_chunk_semantic_skipped_embeddings_cross_check(spark):
+    """dup_chunk_instances (docs_chunk_dedup_stats) must equal chunk
+    instances minus distinct embeddings — the two queries' contracts
+    meet at 'every duplicate instance is one skipped embedding'."""
+    from ballcone_spark.operators.packing import (
+        chunk_documents,
+        chunk_embeddings,
+    )
+    from ballcone_spark.queries import EXTRA_QUERIES, load_table
+
+    SF = "/root/testdata/sf0.01"
+    docs = load_table(spark, SF, "documents")
+    n_instances = chunk_documents(docs).count()
+    n_embedded = chunk_embeddings(docs).count()
+    stats = EXTRA_QUERIES["docs_chunk_dedup_stats"].fn(spark, SF).collect()
+    dup_instances = sum(r["dup_chunk_instances"] for r in stats)
+    assert n_instances - n_embedded == dup_instances
