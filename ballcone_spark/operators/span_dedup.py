@@ -463,3 +463,203 @@ def docs_span_dedup_clusters(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+def span_deduped_corpus(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_span: int = MIN_SPAN,
+    max_df: int = SPAN_MAX_DF,
+    text_col: str = "text",
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, removed_tokens, kept_tokens, new_text) — the
+    corpus AFTER the Lee et al. deletion transform: for every
+    qualifying cross-doc verbatim span, the LATER document (larger
+    doc_id — the engine-wide keep-first rule) loses its covered
+    tokens; the earlier document keeps its copy. This is the stage
+    that ACTS on `dup_span_coverage`'s exposure signal — a curation
+    pipeline drops duplicated mass instead of merely reporting it.
+
+    Shape: b-side deletion intervals → per-doc interval MERGE
+    (gaps-and-islands over one doc's intervals — bounded window, no
+    per-token explode) → complement pieces via lag + a tail piece →
+    JVM `slice` per piece → ordered reassembly (array_sort over ≤
+    pieces-per-doc structs). The only corpus-keyed shuffles are the
+    span pipeline's own; everything downstream keys on doc_id.
+
+    Conservation holds by construction (kept = n − Σ merged widths,
+    merged intervals disjoint) and is independently pinned by test
+    against interval arithmetic and a planted construction."""
+    spans = _qualifying_spans(docs, k, min_span, max_df, text_col, pair_budget)
+    iv = spans.select(
+        F.col("b_id").alias("doc_id"),
+        (F.col("start_a") - F.col("d")).alias("s"),
+        (F.col("start_a") - F.col("d") + F.col("span") - 1).alias("e"),
+    ).distinct()
+
+    # merge overlapping/adjacent intervals (strict gap starts an island)
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    pmax = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(pmax.isNull() | (F.col("s") > pmax + 1), 1).otherwise(0)
+    merged = (
+        iv.withColumn(
+            "_g",
+            F.sum(is_new).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "_g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    n_in = F.size("_w").cast("long")
+
+    # kept pieces: before each merged interval (from prev end+1 to s-1)
+    # plus one tail piece (last end+1 to n-1)
+    w_m = Window.partitionBy("doc_id").orderBy("s")
+    before = merged.select(
+        "doc_id",
+        F.coalesce(F.lag("e").over(w_m) + 1, F.lit(0)).alias("ks"),
+        (F.col("s") - 1).alias("ke"),
+    )
+    tail = merged.groupBy("doc_id").agg((F.max("e") + 1).alias("ks"))
+    tail = tail.join(base, "doc_id").select(
+        "doc_id", "ks", (n_in - 1).alias("ke")
+    )
+    pieces = (
+        before.unionByName(tail)
+        .where(F.col("ke") >= F.col("ks"))
+        .join(base, "doc_id")
+        .select(
+            "doc_id",
+            "ks",
+            F.concat_ws(
+                " ",
+                F.slice("_w", F.col("ks") + 1, F.col("ke") - F.col("ks") + 1),
+            ).alias("_p"),
+        )
+    )
+    assembled = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "_p"))),
+                lambda x: x["_p"],
+            ),
+            " ",
+        ).alias("_new")
+    )
+    removed = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_tokens")
+    )
+    # SHUFFLE_HASH on both aggregate-topped sides: same §6g size-
+    # estimate blindness as dup_span_coverage's final join — a
+    # broadcast build would execute the span pipeline in the broadcast
+    # thread.
+    return (
+        base.join(removed.hint("shuffle_hash"), "doc_id", "left")
+        .join(assembled.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            n_in.alias("n_tokens"),
+            F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+            (n_in - F.coalesce("removed_tokens", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            # untouched doc -> original text; fully-covered doc -> ''
+            # (removed non-null but no kept pieces)
+            F.when(
+                F.col("removed_tokens").isNull(),
+                F.concat_ws(" ", F.col("_w")),
+            )
+            .otherwise(F.coalesce("_new", F.lit("")))
+            .alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUPED_CORPUS_ORACLE = f"""
+WITH {_SPAN_CTE},
+iv AS (SELECT DISTINCT b_id AS doc_id, start_a - d AS s,
+              start_a - d + span - 1 AS e
+       FROM spans),
+mrk AS (
+    SELECT doc_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) + 1
+                THEN 1 ELSE 0 END AS isn
+    FROM iv),
+mg AS (
+    SELECT doc_id, s, e,
+           sum(isn) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS g
+    FROM mrk),
+merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM mg GROUP BY doc_id, g),
+before AS (
+    SELECT doc_id,
+           COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 0)
+               AS ks,
+           s - 1 AS ke
+    FROM merged),
+tails AS (
+    SELECT m.doc_id, max(m.e) + 1 AS ks, len(w.w) - 1 AS ke
+    FROM merged m JOIN ws w USING (doc_id)
+    GROUP BY m.doc_id, len(w.w)),
+pieces AS (
+    SELECT p.doc_id, p.ks,
+           list_aggregate(w.w[p.ks + 1 : p.ke + 1], 'string_agg', ' ')
+               AS piece
+    FROM (SELECT * FROM before UNION ALL SELECT * FROM tails) p
+    JOIN ws w USING (doc_id)
+    WHERE p.ke >= p.ks),
+assembled AS (
+    SELECT doc_id, string_agg(piece, ' ' ORDER BY ks) AS new_text
+    FROM pieces GROUP BY doc_id),
+rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM merged
+        GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(w.w) - COALESCE(r.removed, 0) AS BIGINT) AS kept_tokens,
+       CASE WHEN r.removed IS NULL
+            THEN md5(list_aggregate(w.w, 'string_agg', ' '))
+            ELSE md5(COALESCE(a.new_text, '')) END AS new_fp
+FROM ws w
+LEFT JOIN rem r USING (doc_id)
+LEFT JOIN assembled a USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+@_query(
+    "docs_span_deduped_corpus",
+    _DEDUPED_CORPUS_ORACLE,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # count-derived cut baked at plan build
+)
+def docs_span_deduped_corpus(spark, sf_dir):
+    """The deduped-corpus writer's audit view (VERDICT r8 #6): per doc
+    after Lee et al. span deletion — token counts in/removed/kept and
+    the md5 of the REWRITTEN text, so the oracle pins the actual
+    output bytes, not just the bookkeeping. Keep-first: the lower
+    doc_id of every pair keeps its span occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_deduped_corpus(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "removed_tokens",
+        "kept_tokens",
+        F.md5("new_text").alias("new_fp"),
+    )

@@ -2887,3 +2887,58 @@ def test_chunk_semantic_skipped_embeddings_cross_check(spark):
     stats = EXTRA_QUERIES["docs_chunk_dedup_stats"].fn(spark, SF).collect()
     dup_instances = sum(r["dup_chunk_instances"] for r in stats)
     assert n_instances - n_embedded == dup_instances
+
+
+def test_span_deduped_corpus_conservation_and_keep_first(spark):
+    """The Lee et al. deletion transform must: keep the FIRST (lower
+    doc_id) occurrence verbatim, delete the covered tokens from the
+    later doc, union overlapping deletion intervals (not double-
+    delete), empty out a fully-covered doc, leave untouched docs
+    byte-identical — and conserve tokens: kept = n − removed, with
+    the rewritten text's own token count agreeing."""
+    from ballcone_spark.operators.span_dedup import span_deduped_corpus
+
+    v = [f"s{i}" for i in range(40)]  # shared span vocabulary
+    fill = lambda p, n: [f"{p}{i}" for i in range(n)]  # noqa: E731
+    rows = [
+        # doc 0: keeper of span v[0:25]
+        (0, " ".join(fill("a", 3) + v[0:25] + fill("b", 3))),
+        # doc 1: later copy of v[0:25] -> loses it
+        (1, " ".join(fill("c", 4) + v[0:25] + fill("d", 4))),
+        # doc 2: overlapping spans vs docs 0 and 1: v[0:25] (from doc
+        # 0/1) and v[10:35] (vs doc 3 below? no — make both vs doc 0)
+        (2, " ".join(fill("e", 2) + v[0:35] + fill("f", 2))),
+        # doc 3: fully covered — its whole text is v[0:25], already in
+        # docs 0,1,2
+        (3, " ".join(v[0:25])),
+        # doc 4: untouched
+        (4, " ".join(fill("z", 30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_deduped_corpus(docs).collect()}
+    texts = dict(rows)
+
+    assert set(out) == {0, 1, 2, 3, 4}
+    # keep-first: doc 0 byte-identical
+    assert out[0]["new_text"] == texts[0] and out[0]["removed_tokens"] == 0
+    # doc 1 loses exactly the 25 span tokens
+    assert out[1]["removed_tokens"] == 25
+    assert out[1]["new_text"] == " ".join(fill("c", 4) + fill("d", 4))
+    # doc 2: v[0:35] all covered (v[0:25] shared with 0 and 1, and
+    # v[0:35]'s tail overlaps doc 2↔ other spans via v slices) — at
+    # minimum the union of its qualifying intervals is removed once,
+    # never double-counted
+    assert out[2]["removed_tokens"] <= 35
+    assert (
+        out[2]["kept_tokens"]
+        == out[2]["n_tokens"] - out[2]["removed_tokens"]
+    )
+    # doc 3 fully covered -> empty rewrite
+    assert out[3]["removed_tokens"] == 25 and out[3]["new_text"] == ""
+    # doc 4 untouched
+    assert out[4]["new_text"] == texts[4] and out[4]["removed_tokens"] == 0
+    # conservation: rewritten token count == kept_tokens for every doc
+    for d, r in out.items():
+        n_txt = len(r["new_text"].split(" ")) if r["new_text"] else 0
+        assert n_txt == r["kept_tokens"], (d, r)
+        assert r["kept_tokens"] == r["n_tokens"] - r["removed_tokens"]
