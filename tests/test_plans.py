@@ -693,9 +693,10 @@ def test_span_coverage_final_join_not_broadcast(spark):
     frame — its size estimate is bogus-small behind two aggregates and
     a window, and at sf10 the broadcast build executed the whole span
     pipeline inside the broadcast thread (driver OOM; BASELINE §6j)."""
-    from ballcone_spark.queries import EXTRA_QUERIES
+    from ballcone_spark.queries import QUERIES
 
-    df = EXTRA_QUERIES["docs_dup_span_coverage"].fn(spark, SF)
+    # promoted to the driver registry in r9
+    df = QUERIES["docs_dup_span_coverage"].fn(spark, SF)
     p = plan_str(df)
     # the hint pins the final join shape at EVERY scale; other joins in
     # the pipeline may legitimately broadcast at oracle SFs where their
