@@ -633,19 +633,34 @@ def chunk_semantic_pairs(
         .where((F.col("_df") > 1) & (F.col("_df") <= CHUNK_GRAM_MAX_DF))
         .select("g")
     )
-    gr = grams.join(rare, "g")
+    # MERGE (SortMergeJoin) on every corpus-scale side: rare, the
+    # gram self-join, and emb all sit atop aggregates, so their size
+    # estimates are bogus-small and an sf10 run chose them as
+    # broadcast BUILDs — materializing whole pipelines in the
+    # broadcast thread (the §6g size-estimate-blindness class, OOM at
+    # 500 k docs). SMJ rather than SHUFFLE_HASH because these sides
+    # genuinely scale with the corpus: a per-partition hash map OOMs
+    # where a merge join spills (measured: shuffle_hash died building
+    # the hash map at sf10 under local-mode memory).
+    gr = grams.join(rare.hint("merge"), "g")
     cand = (
         gr.select(F.col("chunk_fp").alias("a_fp"), "g")
-        .join(gr.select(F.col("chunk_fp").alias("b_fp"), "g"), "g")
+        .join(
+            # the self-join side is corpus-scale too (grams⋈rare under
+            # joins/filters → bogus-small estimate → broadcast BUILD of
+            # the whole gram pipeline at sf1; same §6g class)
+            gr.select(F.col("chunk_fp").alias("b_fp"), "g").hint("merge"),
+            "g",
+        )
         .where(F.col("a_fp") < F.col("b_fp"))
         .select("a_fp", "b_fp")
         .distinct()
     )
-    ea = emb.select(
+    ea = emb.hint("merge").select(
         F.col("chunk_fp").alias("a_fp"),
         *[F.col(f"v{j}").alias(f"a{j}") for j in range(dim)],
     )
-    eb = emb.select(
+    eb = emb.hint("merge").select(
         F.col("chunk_fp").alias("b_fp"),
         *[F.col(f"v{j}").alias(f"b{j}") for j in range(dim)],
     )

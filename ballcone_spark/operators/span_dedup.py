@@ -152,8 +152,16 @@ def _qualifying_spans(
     b = rare.select(
         F.col("doc_id").alias("b_id"), F.col("pos").alias("pos_b"), "g"
     )
+    # MERGE-pin the gram self-join: both sides are the corpus's rare
+    # gram rows, but their static estimate is bogus-small — `gi` is a
+    # checkpointed LogicalRDD that PROPAGATES the original window/
+    # generate-topped plan's estimate (the §6g class), so at sf10 the
+    # planner picked BuildRight and tried to build a hashed relation
+    # over ~43 M gram rows in the broadcast thread (8 GiB driver OOM
+    # once more than one such build ran concurrently in the deletion
+    # transform). SMJ spills gracefully at any corpus size.
     m = (
-        a.join(b, "g")
+        a.join(b.hint("merge"), "g")
         .where(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
@@ -511,6 +519,12 @@ def span_deduped_corpus(
         )
         .groupBy("doc_id", "_g")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        # materialize ONCE: merged feeds before/tail/removed/assembled —
+        # without the barrier the whole span pipeline (gram self-join +
+        # islands) re-executes once per derived join side (~3×; the
+        # iterative-loop checkpoint lesson). Size is bounded by the
+        # merged-interval count ≪ span pairs.
+        .localCheckpoint(eager=False)
     )
 
     base = docs.where(F.col(text_col).isNotNull()).select(
@@ -527,13 +541,18 @@ def span_deduped_corpus(
         F.coalesce(F.lag("e").over(w_m) + 1, F.lit(0)).alias("ks"),
         (F.col("s") - 1).alias("ke"),
     )
+    # SHUFFLE_HASH: tail and the piece union sit atop the span
+    # pipeline's aggregates/windows — bogus-small size estimates made
+    # the planner pick them as broadcast BUILDs at sf1+ (driver OOM,
+    # the §6g class); their true size is corpus-scale.
     tail = merged.groupBy("doc_id").agg((F.max("e") + 1).alias("ks"))
-    tail = tail.join(base, "doc_id").select(
+    tail = tail.hint("shuffle_hash").join(base, "doc_id").select(
         "doc_id", "ks", (n_in - 1).alias("ke")
     )
     pieces = (
         before.unionByName(tail)
         .where(F.col("ke") >= F.col("ks"))
+        .hint("shuffle_hash")
         .join(base, "doc_id")
         .select(
             "doc_id",

@@ -723,3 +723,55 @@ def test_percentile_filter_no_whole_source_window(spark):
     assert win_lines, p
     for ln in win_lines:
         assert "_bucket" in ln, ln
+
+def test_chunk_semantic_pairs_all_joins_merge(spark):
+    """Every join side in the chunk-semantic pipeline is corpus-scale
+    (gram bags, rare-gram df cut, per-chunk embeddings — each topped by
+    aggregates/distincts whose size estimates are bogus-small): an sf10
+    run picked them as broadcast BUILDs and executed whole pipelines
+    inside the broadcast thread (the §6g class). merge hints pin
+    SortMergeJoin — unlike a per-partition hash map, a merge join
+    spills gracefully when a partition outgrows memory."""
+    from ballcone_spark.operators.packing import chunk_semantic_pairs
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_str(chunk_semantic_pairs(docs))
+    assert "BroadcastHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p
+
+
+def test_span_deduped_corpus_no_broadcast(spark):
+    """The deletion transform's doc_id joins (tail, pieces, removed,
+    assembled) all sit atop the span pipeline's aggregates/windows —
+    the same bogus-small-estimate class that OOMed dup_span_coverage's
+    final join at sf10 (BASELINE §6j). shuffle_hash hints pin the shape
+    at every scale; their build sides are per-doc aggregates, bounded
+    by the doc count, never the pair fan-out."""
+    from ballcone_spark.operators.span_dedup import span_deduped_corpus
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_str(span_deduped_corpus(docs))
+    assert p.count("ShuffledHashJoin") >= 3, p
+    assert "BroadcastHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+def test_span_gram_self_join_not_broadcast(spark):
+    """The span family's gram self-join must never broadcast: both
+    sides are the corpus's rare gram rows behind a checkpointed
+    LogicalRDD that propagates a window/generate-topped (bogus-small)
+    estimate — at sf10 the planner built a hashed relation over ~43 M
+    gram rows in the broadcast thread (driver OOM once the deletion
+    transform ran several such builds concurrently). The merge hint
+    pins SortMergeJoin; the only legitimate broadcasts left are the
+    explicit hot-gram anti-joins (bounded key sets)."""
+    from ballcone_spark.operators.span_dedup import exact_span_pairs
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_str(exact_span_pairs(docs))
+    assert "SortMergeJoin" in p, p
+    # every remaining broadcast join must be a LeftAnti (the hot-gram
+    # cuts) — an Inner broadcast would be the corpus-scale self-join
+    for ln in p.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "LeftAnti" in ln, ln
