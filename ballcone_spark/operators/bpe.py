@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["word_freqs", "train_bpe", "bpe_corpus_stats"]
+__all__ = ["word_freqs", "train_bpe", "bpe_corpus_stats", "encode_docs"]
 
 #: merges trained by the registered query
 N_MERGES = 24
@@ -146,6 +146,79 @@ def bpe_corpus_stats(words: DataFrame, encoded: DataFrame) -> dict:
         .collect()[0]
     )
     return {"chars": row["chars"], "tokens": row["tokens"]}
+
+
+def encode_docs(
+    docs: DataFrame, encoded: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens, token_fp) — the corpus
+    re-encoded under a trained vocab, completing the tokenizer story
+    (train → APPLY). ``encoded`` is :func:`train_bpe`'s word table
+    (word, syms): because training keeps every distinct word's final
+    symbol sequence, applying the tokenizer to the corpus is a JOIN on
+    the word key, never a per-document re-run of the merge rules — the
+    pattern production word-level BPE pipelines use at scale.
+
+    ``token_fp`` is the md5 of the doc's full token stream (symbols
+    joined '+' within a word, words joined ' ' in document order), so a
+    test can pin the EXACT tokenization, not just counts.
+
+    Scale shape: one corpus-scale explode (doc → positioned words), one
+    word-keyed join — MERGE-pinned, because ``encoded`` is a
+    checkpointed LogicalRDD whose propagated estimate is bogus-small
+    (the §6g class) while its true size is the distinct-word table
+    (Zipf-bounded but far beyond broadcast at web scale) — and one
+    doc_id groupBy whose per-doc ordered reassembly is bounded by the
+    doc's own word count."""
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    joined = words.join(
+        encoded.select("word", "syms").hint("merge"), "word"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos"),
+                                    F.array_join("syms", "+").alias("w"),
+                                )
+                            )
+                        ),
+                        lambda x: x["w"],
+                    ),
+                    " ",
+                )
+            ).alias("token_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_query(
+    "docs_bpe_encoded_corpus",
+    None,  # the vocab is learned by iterative argmax training — not
+    # SQL-expressible; pytest pins the FULL per-doc tokenization (count
+    # + md5 of the token stream) against an independent pure-Python
+    # BPE train+apply on the same corpus
+    driver=False,
+    cacheable=False,  # training runs driver-side jobs at build time
+)
+def docs_bpe_encoded_corpus(spark, sf_dir):
+    """Corpus tokenized under the corpus-trained BPE vocab: per doc,
+    word count, token count, and the md5 of the exact token stream —
+    the apply half of `docs_bpe_train_merges`."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, encoded = train_bpe(word_freqs(docs), N_MERGES)
+    return encode_docs(docs, encoded)
 
 
 @_query(

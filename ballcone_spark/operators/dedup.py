@@ -1272,16 +1272,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def _clusters_oracle() -> str:
-    """DuckDB connected components via WITH RECURSIVE transitive
-    closure: reach(id, r) enumerates every node reachable from id over
-    the symmetrized near-dup edges (UNION, not UNION ALL — set
-    semantics terminate the recursion), and min(r) per id is exactly
-    the min-label-propagation fixpoint the Spark side converges to.
-    O(cluster_size²) per cluster is fine for an oracle; the Spark side
-    is the O(log diameter) scale path."""
-    return f"""
-    WITH RECURSIVE {_DUCK_SHINGLES}, {_duck_minhash_cte()},
+def _cluster_labels_cte() -> str:
+    """Recursive WITH-body ending in ``labels(id, cluster_id)`` —
+    DuckDB connected components via transitive closure: reach(id, r)
+    enumerates every node reachable from id over the symmetrized
+    near-dup edges (UNION, not UNION ALL — set semantics terminate the
+    recursion), and min(r) per id is exactly the min-label-propagation
+    fixpoint the Spark side converges to. O(cluster_size²) per cluster
+    is fine for an oracle; the Spark side is the O(log diameter) scale
+    path. Shared by every oracle that consumes the minhash-LSH cluster
+    labels."""
+    return f"""{_DUCK_SHINGLES}, {_duck_minhash_cte()},
     bands AS ({_band_exprs_duck()}),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
              FROM bands a JOIN bands b
@@ -1298,7 +1299,12 @@ def _clusters_oracle() -> str:
         SELECT DISTINCT src, src FROM edges
         UNION
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
     sizes AS (SELECT cluster_id, count(*) AS sz FROM labels
               GROUP BY cluster_id)
     SELECT CAST(sz AS INTEGER) AS cluster_size,
@@ -1342,6 +1348,97 @@ def docs_dedup_clusters(spark, sf_dir):
         )
         .orderBy("cluster_size")
     )
+
+
+def dedup_keep_best(
+    clusters: DataFrame, scores: DataFrame
+) -> DataFrame:
+    """(cluster_id, cluster_size, kept_doc_id, kept_score,
+    dropped_id_sum) — quality-aware cluster representative selection:
+    per near-dup cluster, KEEP the member with the highest ``score``
+    (tie → smallest doc_id), the FineWeb/CCNet curation rule that
+    replaces the engine-wide keep-first default when a quality signal
+    exists (keep-first discards a clean copy whenever a boilerplate-
+    padded copy happens to have the smaller id).
+
+    ``scores`` must carry (doc_id, score); score must be exactly
+    representable cross-engine (the registered query uses the distinct-
+    token count — an exact integer).
+
+    Scale shape: the argmax is a plain ``groupBy(cluster_id)`` over
+    ``max(struct(score, -doc_id))`` — lexicographic struct max with
+    map-side partial aggregation, NO cluster-keyed window, so a
+    degenerate giant cluster (web boilerplate collapsing millions of
+    docs into one component) costs a combiner tree, not a single-task
+    sort of the whole cluster (the percentile-filter lesson, VERDICT
+    r8 #1). The clusters⋈scores join is SMJ-pinned: both sides top
+    aggregates/checkpoints whose size estimates are bogus-small (the
+    §6g broadcast-OOM class)."""
+    joined = clusters.join(scores.hint("merge"), "doc_id")
+    best = joined.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("cluster_size"),
+        F.max(
+            F.struct(
+                F.col("score").alias("s"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("_b"),
+        F.sum("doc_id").cast("long").alias("_id_sum"),
+    )
+    kept_id = (-F.col("_b.neg_id")).cast("long")
+    return best.select(
+        "cluster_id",
+        "cluster_size",
+        kept_id.alias("kept_doc_id"),
+        F.col("_b.s").cast("long").alias("kept_score"),
+        (F.col("_id_sum") - kept_id).cast("long").alias("dropped_id_sum"),
+    ).orderBy("cluster_id")
+
+
+@_query(
+    "docs_dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
+    scored AS (
+        SELECT l.id AS doc_id, l.cluster_id,
+               len(list_distinct(string_split_regex(trim(d.text), '\\s+')))
+                   AS score
+        FROM labels l JOIN documents d ON d.doc_id = l.id),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored)
+    SELECT cluster_id,
+           CAST(count(*) AS INTEGER) AS cluster_size,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS kept_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN score END) AS BIGINT)
+               AS kept_score,
+           CAST(sum(CASE WHEN rn > 1 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS dropped_id_sum
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # iterative cluster build at plan time
+)
+def docs_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: MinHash-LSH pairs → connected components →
+    per-cluster argmax on the distinct-token count (exact integer, so
+    the oracle replay is value-identical), tie-broken to the smallest
+    doc_id. The oracle recomputes the clusters as a recursive-CTE
+    closure and the argmax as a SQL window, so WHICH doc each cluster
+    keeps — the row curation acts on — is verified end-to-end by an
+    independent engine."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, vectorized=True)
+    clusters = dedup_clusters(pairs)
+    scores = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "score"
+        ),
+    )
+    return dedup_keep_best(clusters, scores)
 
 
 # --------------------------------------------------------------------- #

@@ -2942,3 +2942,69 @@ def test_span_deduped_corpus_conservation_and_keep_first(spark):
         n_txt = len(r["new_text"].split(" ")) if r["new_text"] else 0
         assert n_txt == r["kept_tokens"], (d, r)
         assert r["kept_tokens"] == r["n_tokens"] - r["removed_tokens"]
+
+def test_dedup_keep_best_prefers_quality_over_first(spark):
+    """Quality-aware representative selection: in a cluster where the
+    SMALLEST id is the WORST copy, keep-best must pick the richest doc
+    (keep-first would discard it); exact ties fall back to the smallest
+    doc_id; dropped_id_sum accounts for every non-kept member."""
+    from ballcone_spark.operators.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        # cluster 1: ids 1,2,3 — scores 5, 9, 9 (tie between 2 and 3)
+        # cluster 10: ids 10,11 — score 7, 4 (first is also best)
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 7), (11, 4)],
+        "doc_id long, score long",
+    )
+    rows = {
+        r["cluster_id"]: r for r in dedup_keep_best(clusters, scores).collect()
+    }
+    c1, c10 = rows[1], rows[10]
+    assert c1["kept_doc_id"] == 2          # best score, tie -> min id
+    assert c1["kept_score"] == 9
+    assert c1["cluster_size"] == 3
+    assert c1["dropped_id_sum"] == 1 + 3
+    assert c10["kept_doc_id"] == 10        # keep-first agrees here
+    assert c10["dropped_id_sum"] == 11
+
+def test_bpe_encode_docs_matches_python_apply(spark):
+    """The corpus re-encode (the APPLY half: word-keyed join against
+    the trained word table) must reproduce, per document, the exact
+    token count AND the md5 of the exact token stream that a pure-
+    Python train+apply computes on the same corpus."""
+    import hashlib
+
+    from ballcone_spark.operators.bpe import (
+        encode_docs,
+        train_bpe,
+        word_freqs,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    wf = word_freqs(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    n = 12
+    _, encoded = train_bpe(wf, n)
+    _, ref_syms = _bpe_reference(freqs, n)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["token_fp"])
+        for r in encode_docs(docs, encoded).collect()
+    }
+    checked = 0
+    for row in docs.select("doc_id", "text").collect():
+        if row["text"] is None:
+            assert row["doc_id"] not in got
+            continue
+        words = [w for w in row["text"].split(" ") if w != ""]
+        stream = " ".join("+".join(ref_syms[w]) for w in words)
+        fp = hashlib.md5(stream.encode()).hexdigest()
+        n_toks = sum(len(ref_syms[w]) for w in words)
+        assert got[row["doc_id"]] == (len(words), n_toks, fp)
+        checked += 1
+    assert checked > 0 and len(got) == checked
