@@ -123,13 +123,20 @@ _JACCARD_THRESHOLD = 0.8
 
 # Shared DuckDB CTE fragments (kept in one place so every oracle uses the
 # identical tokenizer/shingler).
-_DUCK_SHINGLES = f"""
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+def _duck_shingles(src: str = "documents") -> str:
+    """toks/sh CTE pair over ``src`` (any relation with doc_id, text) —
+    parameterized so composition oracles (e.g. curation keep-best) can
+    shingle a FILTERED doc set with the identical tokenizer."""
+    return f"""
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM {src}),
 sh AS (SELECT doc_id,
               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                              FOR i IN range(1, len(t) - {_NGRAM - 2})]) AS shingles
        FROM toks WHERE len(t) >= {_NGRAM})
 """
+
+
+_DUCK_SHINGLES = _duck_shingles()
 
 _DUCK_PAIRS = f"""
 e AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh),
@@ -1272,7 +1279,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def _cluster_labels_cte() -> str:
+def _cluster_labels_cte(src: str = "documents") -> str:
     """Recursive WITH-body ending in ``labels(id, cluster_id)`` —
     DuckDB connected components via transitive closure: reach(id, r)
     enumerates every node reachable from id over the symmetrized
@@ -1281,8 +1288,9 @@ def _cluster_labels_cte() -> str:
     fixpoint the Spark side converges to. O(cluster_size²) per cluster
     is fine for an oracle; the Spark side is the O(log diameter) scale
     path. Shared by every oracle that consumes the minhash-LSH cluster
-    labels."""
-    return f"""{_DUCK_SHINGLES}, {_duck_minhash_cte()},
+    labels; ``src`` lets composition oracles cluster a filtered doc
+    set."""
+    return f"""{_duck_shingles(src)}, {_duck_minhash_cte()},
     bands AS ({_band_exprs_duck()}),
     cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
              FROM bands a JOIN bands b
@@ -1439,6 +1447,108 @@ def docs_dedup_keep_best(spark, sf_dir):
         ),
     )
     return dedup_keep_best(clusters, scores)
+
+
+def curation_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, kept_docs, dropped_dup_docs, kept_tokens) — the
+    production curation order END-TO-END: quality gate (the curation
+    pipeline's thresholds) → MinHash-LSH near-dup clusters over the
+    PASSING docs only → keep the highest-quality member per cluster
+    (:func:`dedup_keep_best`) → per-(source, lang) yield report. This
+    is the composition the individual operators exist for: filter
+    first (clustering the rejects is wasted work), then replace the
+    blanket keep-first rule with the quality argmax.
+
+    Scale shape: inherits each stage's bounds (df-cut + banding for
+    pairs, O(log diameter) propagation, windowless argmax); the two
+    composition joins — dropped-ids anti-join and the report's left
+    join — are merge-pinned because both sides top aggregates or
+    checkpointed RDDs (§6g/§6n estimate blindness)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    passing = docs.where(F.col(text_col).isNotNull()).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col(text_col).alias("text"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "n_chars",
+    ).where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_tok") >= 20)
+        & ((F.col("n_uniq") / F.col("n_tok")) >= 0.3)
+    )
+    pairs = minhash_lsh_pairs(
+        passing.select("doc_id", "text"), vectorized=True
+    ).select("a_id", "b_id")
+    clusters = dedup_clusters(pairs)
+    kb = dedup_keep_best(
+        clusters, passing.select("doc_id", F.col("n_uniq").alias("score"))
+    )
+    dropped = clusters.join(
+        kb.select(F.col("kept_doc_id").alias("doc_id")).hint("merge"),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id", F.lit(1).alias("_dropped"))
+    return (
+        passing.join(dropped.hint("merge"), "doc_id", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.sum(F.when(F.col("_dropped").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_docs"),
+            F.sum(F.coalesce("_dropped", F.lit(0)))
+            .cast("long")
+            .alias("dropped_dup_docs"),
+            F.sum(
+                F.when(F.col("_dropped").isNull(), F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@_query(
+    "docs_curation_keep_best",
+    f"""
+    WITH RECURSIVE
+    q0 AS (SELECT doc_id, source, lang, n_chars, text,
+                  string_split_regex(trim(text), '\\s+') AS t
+           FROM documents WHERE text IS NOT NULL),
+    q AS (SELECT doc_id, source, lang, text,
+                 len(t) AS n_tok, len(list_distinct(t)) AS n_uniq
+          FROM q0
+          WHERE n_chars >= 100 AND len(t) >= 20
+            AND len(list_distinct(t)) * 1.0 / len(t) >= 0.3),
+    {_cluster_labels_cte(src="q")},
+    ranked AS (
+        SELECT l.id, l.cluster_id,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY q.n_uniq DESC, l.id ASC) AS rn
+        FROM labels l JOIN q ON q.doc_id = l.id),
+    dropped AS (SELECT id AS doc_id FROM ranked WHERE rn > 1)
+    SELECT q.source, q.lang,
+           CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_docs,
+           CAST(sum(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS dropped_dup_docs,
+           CAST(sum(CASE WHEN d.doc_id IS NULL THEN q.n_tok ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM q LEFT JOIN dropped d USING (doc_id)
+    GROUP BY q.source, q.lang ORDER BY q.source, q.lang
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # iterative cluster build at plan time
+)
+def docs_curation_keep_best(spark, sf_dir):
+    """Filter → near-dup cluster → keep-BEST curation, composed and
+    verified end-to-end: the oracle replays the quality gate, shingles
+    the FILTERED doc set with the shared tokenizer, recomputes the
+    clusters as a recursive-CTE closure, ranks members by the same
+    quality score, and re-derives the per-(source, lang) yield."""
+    return curation_keep_best(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------- #

@@ -3008,3 +3008,38 @@ def test_bpe_encode_docs_matches_python_apply(spark):
         assert got[row["doc_id"]] == (len(words), n_toks, fp)
         checked += 1
     assert checked > 0 and len(got) == checked
+
+def test_curation_keep_best_composition(spark):
+    """Filter → cluster → keep-BEST, on a planted construction where
+    every stage's decision is visible in the report: a near-dup pair
+    whose HIGHER-quality copy has the LARGER id (keep-first would keep
+    the worse one), a below-gate duplicate that must be excluded by the
+    filter-first order (neither kept nor dropped), and an unrelated
+    passing doc."""
+    from ballcone_spark.operators.dedup import curation_keep_best
+
+    base_words = [f"tok{i:02d}" for i in range(30)]
+    base = " ".join(base_words)                    # 30 distinct tokens
+    better = base + " tok99"                       # near-dup, +1 distinct
+    other = " ".join(f"zzz{i:02d}" for i in range(25))
+    rows = [
+        # worse copy, smaller id — keep-first would keep THIS one
+        (5, "s", "en", base, len(base)),
+        # better copy (31 distinct tokens), larger id — keep-best keeps it
+        (9, "s", "en", better, len(better)),
+        # duplicate of base but FAILS the gate (n_chars < 100): the
+        # filter-first order must exclude it from clustering entirely
+        (7, "s", "en", base, 50),
+        (12, "s", "en", other, len(other)),        # unrelated, passing
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    rep = {
+        (r["source"], r["lang"]): r for r in curation_keep_best(docs).collect()
+    }
+    r = rep[("s", "en")]
+    # passing = {5, 9, 12}; cluster {5, 9} keeps 9 (score 31 > 30)
+    assert r["kept_docs"] == 2
+    assert r["dropped_dup_docs"] == 1
+    assert r["kept_tokens"] == 31 + 25
