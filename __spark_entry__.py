@@ -29,6 +29,7 @@ import ballcone_spark.operators.embedding_dedup  # noqa: E402,F401
 import ballcone_spark.operators.kmeans  # noqa: E402,F401
 import ballcone_spark.operators.lm_quality  # noqa: E402,F401
 import ballcone_spark.operators.packing  # noqa: E402,F401
+import ballcone_spark.operators.quality_classifier  # noqa: E402,F401
 import ballcone_spark.operators.quantization  # noqa: E402,F401
 import ballcone_spark.operators.range_join  # noqa: E402,F401
 import ballcone_spark.operators.repetition  # noqa: E402,F401

@@ -3043,3 +3043,74 @@ def test_curation_keep_best_composition(spark):
     assert r["kept_docs"] == 2
     assert r["dropped_dup_docs"] == 1
     assert r["kept_tokens"] == 31 + 25
+
+def test_quality_classifier_matches_numpy_gd(spark):
+    """The distributed trainer must produce the same weights as an
+    identical full-batch GD replayed in numpy from the collected
+    (X, y) — summation order is the only difference, so the match is
+    float-tolerance, not approximate-behavior."""
+    import numpy as np
+
+    from ballcone_spark.operators.quality_classifier import (
+        FEATURES,
+        LR,
+        N_ITERS,
+        quality_features,
+        train_quality_classifier,
+    )
+    from ballcone_spark.queries import load_table
+
+    feats = quality_features(load_table(spark, SF, "documents"))
+    rows = feats.select("label", *FEATURES).collect()
+    y = np.array([r["label"] for r in rows])
+    X = np.hstack(
+        [
+            np.ones((len(rows), 1)),
+            np.array([[r[c] for c in FEATURES] for r in rows]),
+        ]
+    )
+    assert 0 < y.sum() < len(y)  # both classes present on the corpus
+
+    w_np = np.zeros(X.shape[1])
+    for _ in range(N_ITERS):
+        p = 1.0 / (1.0 + np.exp(-X @ w_np))
+        w_np = w_np - LR * X.T @ (p - y) / len(y)
+
+    w = np.array(train_quality_classifier(feats))
+    assert np.allclose(w, w_np, rtol=1e-6, atol=1e-8), (w, w_np)
+
+    # the distillation separates: ordering by score ranks every
+    # gate-pass above chance, and loss decreased from the w=0 start
+    p0 = np.full(len(y), 0.5)
+    loss0 = -np.mean(y * np.log(p0) + (1 - y) * np.log(1 - p0))
+    p1 = 1.0 / (1.0 + np.exp(-X @ w))
+    loss1 = -np.mean(
+        y * np.log(np.clip(p1, 1e-12, 1))
+        + (1 - y) * np.log(np.clip(1 - p1, 1e-12, 1))
+    )
+    assert loss1 < loss0
+    assert p1[y == 1].mean() > p1[y == 0].mean() + 0.05
+
+
+def test_quality_classifier_report_calibrates(spark):
+    """The decile report must place gate-pass mass above gate-fail
+    mass (weighted mean decile strictly higher) and conserve both
+    totals against the feature frame."""
+    from ballcone_spark.operators.quality_classifier import (
+        quality_classifier_report,
+        quality_features,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rep = quality_classifier_report(docs).collect()
+    feats = quality_features(docs)
+    n_total = feats.count()
+    n_pass = feats.where("label = 1.0").count()
+    assert sum(r["n_docs"] for r in rep) == n_total
+    assert sum(r["n_gate_pass"] for r in rep) == n_pass
+    pass_mean = sum(r["score_decile"] * r["n_gate_pass"] for r in rep) / n_pass
+    fail_mean = sum(
+        r["score_decile"] * (r["n_docs"] - r["n_gate_pass"]) for r in rep
+    ) / (n_total - n_pass)
+    assert pass_mean > fail_mean
