@@ -1629,6 +1629,96 @@ def docs_leakage_safe_split(spark, sf_dir):
     )
 
 
+def _duck_split_case(key_sql: str) -> str:
+    """The split_by_key bucket as SQL over ``key_sql`` (same md5
+    primitive as the Spark side's hash32)."""
+    b = f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    return (
+        f"CASE WHEN {b} < {_TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {_TRAIN_PCT + _VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def split_leakage_audit(docs: DataFrame) -> DataFrame:
+    """(total_pairs, atomic_cross_split_pairs, naive_cross_split_pairs)
+    — the leakage-safety GUARANTEE as a measured number: over every
+    verified near-dup pair, count pairs whose members land in different
+    splits under (a) the cluster-atomic assignment (split hashed from
+    the connected-component label — MUST be zero: both members share a
+    cluster, hence a key, hence a bucket) and (b) the naive per-doc
+    hash split (the classic contamination bug — nonzero on any corpus
+    with near-dups). The audit a pipeline runs before shipping a split.
+
+    Scale shape: the pair list and cluster labels are the measured
+    minhash pipeline's; the audit adds two pair-keyed joins against a
+    per-doc assignment projection (merge-pinned — clusters top a
+    checkpointed RDD) and one global 3-counter aggregate."""
+    pairs = minhash_lsh_pairs(docs, vectorized=True).select("a_id", "b_id")
+    clusters = dedup_clusters(pairs)
+    asg = (
+        split_by_key(clusters, F.col("cluster_id"))
+        .withColumnRenamed("split", "atomic_split")
+    )
+    asg = split_by_key(asg, F.col("doc_id")).withColumnRenamed(
+        "split", "naive_split"
+    )
+    a = asg.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("atomic_split").alias("a_at"),
+        F.col("naive_split").alias("a_nv"),
+    )
+    b = asg.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("atomic_split").alias("b_at"),
+        F.col("naive_split").alias("b_nv"),
+    )
+    return (
+        pairs.join(a.hint("merge"), "a_id")
+        .join(b.hint("merge"), "b_id")
+        .agg(
+            F.count("*").cast("long").alias("total_pairs"),
+            F.sum((F.col("a_at") != F.col("b_at")).cast("int"))
+            .cast("long")
+            .alias("atomic_cross_split_pairs"),
+            F.sum((F.col("a_nv") != F.col("b_nv")).cast("int"))
+            .cast("long")
+            .alias("naive_cross_split_pairs"),
+        )
+    )
+
+
+@_query(
+    "docs_split_leakage_audit",
+    f"""
+    WITH RECURSIVE {_cluster_labels_cte()},
+    asg AS (SELECT id AS doc_id,
+                   {_duck_split_case("cluster_id")} AS atomic_split,
+                   {_duck_split_case("id")} AS naive_split
+            FROM labels)
+    SELECT CAST(count(*) AS BIGINT) AS total_pairs,
+           CAST(sum(CASE WHEN a.atomic_split <> b.atomic_split
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS atomic_cross_split_pairs,
+           CAST(sum(CASE WHEN a.naive_split <> b.naive_split
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_cross_split_pairs
+    FROM vp JOIN asg a ON a.doc_id = vp.a_id
+            JOIN asg b ON b.doc_id = vp.b_id
+    """,
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # iterative cluster build at plan time
+)
+def docs_split_leakage_audit(spark, sf_dir):
+    """Split-safety audit, independently verified: the oracle recomputes
+    the pair list, the recursive-CTE closure, and both split
+    assignments from the same md5 primitive — so the zero in
+    atomic_cross_split_pairs is a cross-engine-checked guarantee, and
+    naive_cross_split_pairs measures what the classic per-doc hash
+    split would have leaked on this corpus."""
+    return split_leakage_audit(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------- #
 # Benchmark decontamination                                             #
 # --------------------------------------------------------------------- #

@@ -3114,3 +3114,16 @@ def test_quality_classifier_report_calibrates(spark):
         r["score_decile"] * (r["n_docs"] - r["n_gate_pass"]) for r in rep
     ) / (n_total - n_pass)
     assert pass_mean > fail_mean
+
+def test_split_leakage_audit_guarantee(spark):
+    """On the real corpus the audit must report a NON-vacuous pair set,
+    exactly zero cluster-atomic cross-split pairs (the guarantee), and
+    a strictly positive count for the naive per-doc hash split (the bug
+    the guarantee exists to prevent)."""
+    from ballcone_spark.operators.dedup import split_leakage_audit
+    from ballcone_spark.queries import load_table
+
+    row = split_leakage_audit(load_table(spark, SF, "documents")).first()
+    assert row["total_pairs"] > 0
+    assert row["atomic_cross_split_pairs"] == 0
+    assert row["naive_cross_split_pairs"] > 0
