@@ -3127,3 +3127,34 @@ def test_split_leakage_audit_guarantee(spark):
     assert row["total_pairs"] > 0
     assert row["atomic_cross_split_pairs"] == 0
     assert row["naive_cross_split_pairs"] > 0
+
+def test_corpus_diff_classes_and_token_accounting(spark):
+    """Snapshot diff on a planted pair of versions: every change class
+    present, token mass accounted per class, whitespace-only edits are
+    'unchanged' (fingerprint normalization), NULL text out of scope."""
+    from ballcone_spark.operators.corpus_diff import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # unchanged (modulo spacing)
+            (2, "one two three"),           # rewritten in v2
+            (3, "gone after v1"),           # removed
+            (4, None),                      # NULL text: out of scope
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "  alpha   beta  gamma "),  # whitespace-only edit
+            (2, "one two three four"),
+            (5, "brand new doc"),           # added
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["change"]: r for r in corpus_diff(old, new).collect()}
+    assert set(got) == {"added", "removed", "rewritten", "unchanged"}
+    assert (got["unchanged"]["n_docs"], got["unchanged"]["tokens_old"],
+            got["unchanged"]["tokens_new"]) == (1, 3, 3)
+    assert (got["rewritten"]["tokens_old"], got["rewritten"]["tokens_new"]) == (3, 4)
+    assert (got["removed"]["n_docs"], got["removed"]["tokens_new"]) == (1, 0)
+    assert (got["added"]["n_docs"], got["added"]["tokens_old"]) == (1, 0)
