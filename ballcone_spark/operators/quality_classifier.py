@@ -91,6 +91,13 @@ def _z(w: list[float]):
     return z
 
 
+def _round_input(d: DataFrame) -> DataFrame:
+    """Seam for the iterative-loop plan gate (the kmeans spy pattern):
+    tests patch this to assert each GD round reads the CHECKPOINTED
+    feature frame, never the caller's upstream lineage."""
+    return d
+
+
 def train_quality_classifier(
     feats: DataFrame, iters: int = N_ITERS, lr: float = LR
 ) -> list[float]:
@@ -107,7 +114,7 @@ def train_quality_classifier(
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
         err = p - F.col("label")
-        row = d.agg(
+        row = _round_input(d).agg(
             F.sum(err).alias("g0"),
             *[
                 F.sum(err * F.col(c)).alias(f"g{j + 1}")

@@ -796,3 +796,35 @@ def test_keep_best_argmax_has_no_window(spark):
     p = plan_str(dedup_keep_best(clusters, scores))
     assert "Window" not in p, p
     assert "HashAggregate" in p or "SortAggregate" in p
+
+def test_classifier_gd_reads_checkpointed_input(spark):
+    """Every GD round of the quality-classifier trainer must aggregate
+    over the CHECKPOINTED feature frame, never re-run the caller's
+    upstream lineage (the r7 #6 iterative-loop class — 200 rounds ×
+    a re-inlined corpus projection would be 200 parquet scans of the
+    documents table instead of 200 scans of a 4-column RDD)."""
+    import ballcone_spark.operators.quality_classifier as qc
+    from ballcone_spark.operators.quality_classifier import (
+        quality_features,
+        train_quality_classifier,
+    )
+
+    feats = quality_features(
+        load_table(spark, SF, "documents").filter("doc_id >= 0")  # marker
+    )
+    captured = []
+    orig = qc._round_input
+
+    def spy(d):
+        captured.append(plan_str(d))
+        return orig(d)
+
+    qc._round_input = spy
+    try:
+        train_quality_classifier(feats, iters=3)
+    finally:
+        qc._round_input = orig
+    assert len(captured) == 3
+    for p in captured:
+        assert "ExistingRDD" in p or "LogicalRDD" in p, p
+        assert "parquet" not in p.lower(), p
