@@ -1426,7 +1426,10 @@ def dedup_keep_best(
                AS dropped_id_sum
     FROM ranked GROUP BY cluster_id ORDER BY cluster_id
     """,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted late r9 after its verification matured (oracle green at
+    # sf0.01/0.1, sf1 row-identity vs the recursive closure, sf10
+    # measured, planted keep-rule test, windowless-argmax plan gate);
+    # demoted tpch_q6_forecast_revenue, a covered scan-agg echo
     cacheable=("documents",),  # iterative cluster build at plan time
 )
 def docs_dedup_keep_best(spark, sf_dir):

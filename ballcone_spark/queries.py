@@ -599,7 +599,13 @@ _sql_query(
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
-    doc="TPC-H Q6: pure scan+filter+global agg — pushdown showcase.",
+    doc="TPC-H Q6: pure scan+filter+global agg. Demoted to EXTRA (r9): "
+    "the scan-agg skeleton is inside tpch_q1 and the filter-pushdown "
+    "showcase is plan-gated on events_scan_window; the freed driver "
+    "slot went to docs_dedup_keep_best, the quality-aware dedup "
+    "representative selector. Oracle parity stays machine-checked "
+    "locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(
