@@ -3158,3 +3158,125 @@ def test_corpus_diff_classes_and_token_accounting(spark):
     assert (got["rewritten"]["tokens_old"], got["rewritten"]["tokens_new"]) == (3, 4)
     assert (got["removed"]["n_docs"], got["removed"]["tokens_new"]) == (1, 0)
     assert (got["added"]["n_docs"], got["added"]["tokens_old"]) == (1, 0)
+
+def test_dedup_keep_best_fuzz_vs_bruteforce(spark):
+    """Property fuzz: on random cluster assignments and scores
+    (including ties and negative-free long ids), the argmax aggregate
+    must match an independent per-cluster Python argmax with the
+    (score desc, doc_id asc) rule, plus the id-sum accounting."""
+    import random
+
+    from ballcone_spark.operators.dedup import dedup_keep_best
+
+    rng = random.Random(907)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        cluster_of = {i: rng.randrange(1, 8) for i in range(n)}
+        # labels must be min-member ids to mimic dedup_clusters output,
+        # but keep_best only needs consistency — use raw labels
+        score_of = {i: rng.randrange(0, 6) for i in range(n)}
+        clusters = spark.createDataFrame(
+            [(i, cluster_of[i]) for i in range(n)],
+            "doc_id long, cluster_id long",
+        )
+        scores = spark.createDataFrame(
+            [(i, score_of[i]) for i in range(n)],
+            "doc_id long, score long",
+        )
+        got = {
+            r["cluster_id"]: (
+                r["cluster_size"],
+                r["kept_doc_id"],
+                r["kept_score"],
+                r["dropped_id_sum"],
+            )
+            for r in dedup_keep_best(clusters, scores).collect()
+        }
+        want = {}
+        for c in set(cluster_of.values()):
+            members = [i for i in range(n) if cluster_of[i] == c]
+            kept = min(members, key=lambda i: (-score_of[i], i))
+            want[c] = (
+                len(members),
+                kept,
+                score_of[kept],
+                sum(members) - kept,
+            )
+        assert got == want, trial
+
+
+def test_corpus_diff_fuzz_vs_bruteforce(spark):
+    """Property fuzz: random paired snapshots (random drops, adds,
+    token edits, whitespace-only edits, NULLs) must match a direct
+    Python diff classification and token accounting."""
+    import random
+
+    from ballcone_spark.operators.corpus_diff import corpus_diff
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n = rng.randint(8, 30)
+        old, new = {}, {}
+        for i in range(n):
+            words = [f"w{rng.randrange(5)}" for _ in range(rng.randint(1, 6))]
+            t = " ".join(words)
+            if rng.random() < 0.1:
+                old[i] = None
+            else:
+                old[i] = t
+            r = rng.random()
+            if r < 0.2:
+                pass                                  # removed
+            elif r < 0.4:
+                new[i] = (old[i] or "x") + " extra"   # rewritten
+            elif r < 0.5 and old[i]:
+                new[i] = "  " + old[i].replace(" ", "   ") + " "  # ws-only
+            elif old[i] is not None:
+                new[i] = old[i]                       # unchanged
+        for i in range(n, n + rng.randint(0, 5)):
+            new[i] = "brand new " + str(i)            # added
+
+        def norm_fp(t):
+            import hashlib
+            import re as _re
+
+            return hashlib.md5(
+                _re.sub(r"\s+", " ", t.strip().lower()).encode()
+            ).hexdigest()
+
+        def toks(t):
+            return len([w for w in _split(t)])
+
+        def _split(t):
+            import re as _re
+
+            return _re.split(r"\s+", t.strip()) if t.strip() else [""]
+
+        want = {}
+        o = {i: t for i, t in old.items() if t is not None}
+        nn = {i: t for i, t in new.items() if t is not None}
+        for i in set(o) | set(nn):
+            if i not in o:
+                ch = "added"
+            elif i not in nn:
+                ch = "removed"
+            elif norm_fp(o[i]) != norm_fp(nn[i]):
+                ch = "rewritten"
+            else:
+                ch = "unchanged"
+            d = want.setdefault(ch, [0, 0, 0])
+            d[0] += 1
+            d[1] += toks(o[i]) if i in o else 0
+            d[2] += toks(nn[i]) if i in nn else 0
+
+        old_df = spark.createDataFrame(
+            list(old.items()), "doc_id long, text string"
+        )
+        new_df = spark.createDataFrame(
+            list(new.items()), "doc_id long, text string"
+        )
+        got = {
+            r["change"]: [r["n_docs"], r["tokens_old"], r["tokens_new"]]
+            for r in corpus_diff(old_df, new_df).collect()
+        }
+        assert got == want, (trial, got, want)
