@@ -71,8 +71,18 @@ def fingerprint(text: Column) -> Column:
 def hash32(token: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex digits of md5, as a long.
     Spark: conv(substr(md5(t),1,8),16,10); DuckDB: ('0x'||substr(md5(t),1,8))::BIGINT.
-    Used as the base hash for SimHash bits and MinHash permutations."""
+    Used as the base hash for SimHash bits and MinHash permutations.
+    SQL twin: :func:`duck_hash32`."""
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def duck_hash32(expr: str) -> str:
+    """The DuckDB twin of :func:`hash32`, as a SQL fragment over
+    ``expr`` — kept HERE, next to the Spark side, so oracle builders
+    compose one shared primitive instead of re-inlining the literal
+    (five copies had accumulated; a drift in any one would silently
+    break cross-engine bucket agreement)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
 
 def shingles_of(toks: Column, n: int = 3) -> Column:

@@ -149,7 +149,10 @@ def bpe_corpus_stats(words: DataFrame, encoded: DataFrame) -> dict:
 
 
 def encode_docs(
-    docs: DataFrame, encoded: DataFrame, text_col: str = "text"
+    docs: DataFrame,
+    encoded: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, n_words, n_bpe_tokens, token_fp) — the corpus
     re-encoded under a trained vocab, completing the tokenizer story
@@ -158,6 +161,14 @@ def encode_docs(
     symbol sequence, applying the tokenizer to the corpus is a JOIN on
     the word key, never a per-document re-run of the merge rules — the
     pattern production word-level BPE pipelines use at scale.
+
+    Out-of-vocabulary words (the point of an apply API: encoding a
+    corpus the vocab was NOT trained on) take the exact BPE apply rule
+    in-line: char-split + the ordered greedy merge fold (the same
+    codegen :func:`_merge_fold` training uses), via a LEFT join +
+    coalesce — never a silent drop. For in-vocab words the fold result
+    equals the table entry by construction, so the join is purely the
+    fast path.
 
     ``token_fp`` is the md5 of the doc's full token stream (symbols
     joined '+' within a word, words joined ' ' in document order), so a
@@ -174,9 +185,12 @@ def encode_docs(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     ).where(F.col("word") != "")
+    fallback = _chars(F.col("word"))
+    for _, a, b, ab, _ in merges:
+        fallback = _merge_fold(fallback, a, b, ab)
     joined = words.join(
-        encoded.select("word", "syms").hint("merge"), "word"
-    )
+        encoded.select("word", "syms").hint("merge"), "word", "left"
+    ).withColumn("syms", F.coalesce("syms", fallback))
     return (
         joined.groupBy("doc_id")
         .agg(
@@ -217,8 +231,8 @@ def docs_bpe_encoded_corpus(spark, sf_dir):
     word count, token count, and the md5 of the exact token stream —
     the apply half of `docs_bpe_train_merges`."""
     docs = load_table(spark, sf_dir, "documents")
-    _, encoded = train_bpe(word_freqs(docs), N_MERGES)
-    return encode_docs(docs, encoded)
+    merges, encoded = train_bpe(word_freqs(docs), N_MERGES)
+    return encode_docs(docs, encoded, merges)
 
 
 @_query(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ballcone_spark.functions.text import fingerprint, hash32
+from ballcone_spark.functions.text import duck_hash32, fingerprint, hash32
 from ballcone_spark.queries import _query, load_table
 
 __all__ = ["corpus_diff"]
@@ -62,8 +62,8 @@ def corpus_diff(
 
 
 #: deterministic doc_id bucket shared with the oracle (the
-#: deterministic-sample primitive)
-_B = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+#: deterministic-sample primitive; duck_hash32 is hash32's SQL twin)
+_B = f"{duck_hash32('CAST(doc_id AS VARCHAR)')} % 100"
 
 
 @_query(
@@ -109,7 +109,11 @@ def docs_corpus_diff(spark, sf_dir):
     any two real snapshots."""
     docs = load_table(spark, sf_dir, "documents")
     b = hash32(F.col("doc_id").cast("string")) % 100
-    max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    # coalesce: an empty (or all-NULL-id) table must degrade to an
+    # empty diff, not a driver TypeError on None + 1
+    max_id = (
+        docs.agg(F.coalesce(F.max("doc_id"), F.lit(-1))).first()[0] + 1
+    )
     kept = docs.where(b >= 5).select(
         "doc_id",
         F.when((b >= 5) & (b < 10), F.concat("text", F.lit(" v2")))

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ballcone_spark.functions.text import (
+    duck_hash32,
     fingerprint,
     hash32,
     shingle_rows,
@@ -1635,7 +1636,7 @@ def docs_leakage_safe_split(spark, sf_dir):
 def _duck_split_case(key_sql: str) -> str:
     """The split_by_key bucket as SQL over ``key_sql`` (same md5
     primitive as the Spark side's hash32)."""
-    b = f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    b = f"{duck_hash32(f'CAST({key_sql} AS VARCHAR)')} % 100"
     return (
         f"CASE WHEN {b} < {_TRAIN_PCT} THEN 'train' "
         f"WHEN {b} < {_TRAIN_PCT + _VAL_PCT} THEN 'val' "
@@ -1656,8 +1657,17 @@ def split_leakage_audit(docs: DataFrame) -> DataFrame:
     Scale shape: the pair list and cluster labels are the measured
     minhash pipeline's; the audit adds two pair-keyed joins against a
     per-doc assignment projection (merge-pinned — clusters top a
-    checkpointed RDD) and one global 3-counter aggregate."""
-    pairs = minhash_lsh_pairs(docs, vectorized=True).select("a_id", "b_id")
+    checkpointed RDD) and one global 3-counter aggregate. The pair
+    list is eagerly checkpointed (it is pair-sized — tiny next to the
+    corpus): the audit references it AGAIN after dedup_clusters
+    consumed it, and un-checkpointed that re-ran the whole
+    shingle/signature/band/verify pipeline a second time at action
+    time (a review pass caught the double execution)."""
+    pairs = (
+        minhash_lsh_pairs(docs, vectorized=True)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
     clusters = dedup_clusters(pairs)
     asg = (
         split_by_key(clusters, F.col("cluster_id"))

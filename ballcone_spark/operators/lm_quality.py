@@ -512,8 +512,23 @@ def quality_percentile_filter(
         (rank_g - F.lit(1)).cast("double") / (F.col("_n") - F.lit(1)),
     ).otherwise(F.lit(0.0))
     kept = F.col("_pr") <= keep_frac
+    # eqNullSafe on source: a NULL-source group must survive the offset
+    # join (a bare ["source", ...] equi-join drops it — NULL keys never
+    # match — while the oracle's percent_rank keeps NULL as a partition)
+    dd, oo = d.alias("d"), odf.alias("o")
+    joined = dd.join(
+        F.broadcast(oo),
+        F.col("d.source").eqNullSafe(F.col("o.source"))
+        & (F.col("d._bucket") == F.col("o._bucket")),
+    ).select(
+        F.col("d.source").alias("source"),
+        F.col("d.ppl").alias("ppl"),
+        F.col("d._bucket").alias("_bucket"),
+        F.col("o._off").alias("_off"),
+        F.col("o._n").alias("_n"),
+    )
     return (
-        d.join(F.broadcast(odf), ["source", "_bucket"])
+        joined
         .withColumn("_pr", pr)
         .groupBy("source")
         .agg(
@@ -541,7 +556,7 @@ def quality_percentile_filter(
                 AS BIGINT) AS n_kept,
            round(max(CASE WHEN pr <= {_KEEP_FRAC} THEN ppl END), 4)
                AS ppl_cutoff
-    FROM r GROUP BY source ORDER BY source
+    FROM r GROUP BY source ORDER BY source NULLS FIRST
     """,
     driver=False,  # registry at the 50 cap; oracle-checked locally
     # the plan embeds data-derived literals (quantile boundaries, bucket

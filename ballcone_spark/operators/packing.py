@@ -528,6 +528,7 @@ def chunk_embeddings(
     stride: int = CHUNK_STRIDE,
     dim: int = CHUNK_EMB_DIM,
     text_col: str = "text",
+    distinct_chunks: DataFrame | None = None,
 ) -> DataFrame:
     """(chunk_fp, v0..v{dim-1}) — one deterministic feature-hashed
     bag-of-words embedding per DISTINCT chunk fingerprint. This is the
@@ -546,9 +547,15 @@ def chunk_embeddings(
 
     Scale shape: distinct-by-fp (one shuffle on fp), token explode
     (linear), groupBy fp (one shuffle, map-side combined) — no
-    corpus-pair term anywhere."""
-    ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
-    distinct = ch.select("chunk_fp", "chunk_toks").distinct()
+    corpus-pair term anywhere. ``distinct_chunks`` (chunk_fp,
+    chunk_toks — already distinct) lets a caller that computed the
+    frame anyway (chunk_semantic_pairs shares it with the gram phase)
+    feed it in instead of re-running the chunker."""
+    if distinct_chunks is not None:
+        distinct = distinct_chunks
+    else:
+        ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
+        distinct = ch.select("chunk_fp", "chunk_toks").distinct()
     tok = distinct.select("chunk_fp", F.explode("chunk_toks").alias("t"))
     comps = [
         F.sum(
@@ -605,10 +612,26 @@ def chunk_semantic_pairs(
     and norms² are exact in both int64 and double (< 2^53); cosine is
     3 deterministic IEEE ops (mul, sqrt, div) with a pinned evaluation
     order, bit-identical cross-engine — the result ships UNROUNDED (no
-    round(double,4) boundary risk)."""
-    emb = chunk_embeddings(docs, window, stride, dim, text_col)
+    round(double,4) boundary risk).
+
+    Materialization barriers (the §6n/iterative-loop lesson, applied
+    after a review pass caught the recompute): without them the
+    chunker+distinct pipeline executes ~6× — once inside each
+    embedding join side, once per gram self-join side, once in the
+    df-cut — because Spark never dedupes common subplans across
+    DataFrame branches. `dch` (shared by the gram and embedding
+    phases), `emb`, and `gr` are each lazily checkpointed ONCE; the
+    merge hints below stay mandatory because the checkpoint RDDs
+    propagate the same bogus-small estimates they always did."""
     ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
-    dch = ch.select("chunk_fp", "chunk_toks").distinct()
+    dch = (
+        ch.select("chunk_fp", "chunk_toks")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    emb = chunk_embeddings(
+        docs, window, stride, dim, text_col, distinct_chunks=dch
+    ).localCheckpoint(eager=False)
     # distinct (chunk, gram): gram df counts chunks, not instances.
     # Chunks shorter than the gram width emit no grams (and a bare
     # sequence(1, 0) would count DOWN and emit _i=0) — filter first.
@@ -642,7 +665,7 @@ def chunk_semantic_pairs(
     # genuinely scale with the corpus: a per-partition hash map OOMs
     # where a merge join spills (measured: shuffle_hash died building
     # the hash map at sf10 under local-mode memory).
-    gr = grams.join(rare.hint("merge"), "g")
+    gr = grams.join(rare.hint("merge"), "g").localCheckpoint(eager=False)
     cand = (
         gr.select(F.col("chunk_fp").alias("a_fp"), "g")
         .join(

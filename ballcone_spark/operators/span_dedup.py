@@ -236,7 +236,11 @@ def dup_span_coverage(
         .groupBy("doc_id")
         .agg(F.sum("_w").alias("covered_tokens"))
     )
-    base = docs.select(
+    # NULL text -> no row (the engine-wide convention; un-filtered,
+    # Spark's size(split(NULL)) is -1 while the oracle's len(NULL) is a
+    # NULL row — a two-sided divergence latent until a corpus ships a
+    # NULL-text doc)
+    base = docs.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
@@ -278,7 +282,8 @@ def _span_cte(budget_expr: str) -> str:
     count (the production formula below uses it; tests inject a small
     literal to exercise the binding branch against the Spark path)."""
     return f"""
-ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       WHERE text IS NOT NULL),
 gk AS (
     SELECT doc_id,
            unnest(generate_series(1, len(w) - {SPAN_K - 1})) - 1 AS pos,

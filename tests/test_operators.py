@@ -2989,12 +2989,12 @@ def test_bpe_encode_docs_matches_python_apply(spark):
     wf = word_freqs(docs)
     freqs = {r["word"]: r["freq"] for r in wf.collect()}
     n = 12
-    _, encoded = train_bpe(wf, n)
+    merges, encoded = train_bpe(wf, n)
     _, ref_syms = _bpe_reference(freqs, n)
 
     got = {
         r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["token_fp"])
-        for r in encode_docs(docs, encoded).collect()
+        for r in encode_docs(docs, encoded, merges).collect()
     }
     checked = 0
     for row in docs.select("doc_id", "text").collect():
@@ -3008,6 +3008,33 @@ def test_bpe_encode_docs_matches_python_apply(spark):
         assert got[row["doc_id"]] == (len(words), n_toks, fp)
         checked += 1
     assert checked > 0 and len(got) == checked
+
+    # OOV path: encode a corpus the vocab was NOT trained on — unseen
+    # words must take the exact char-split + ordered-greedy-fold apply
+    # rule (never a silent drop), seen words the table fast path
+    def apply_merges(word):
+        s = list(word)
+        for _, a, b, _ab, _c in merges:
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            s = out
+        return s
+
+    seen = next(iter(ref_syms))
+    new_docs = spark.createDataFrame(
+        [(100, f"{seen} zzzunseen {seen} qqq")], "doc_id long, text string"
+    )
+    row = encode_docs(new_docs, encoded, merges).first()
+    ws = [seen, "zzzunseen", seen, "qqq"]
+    syms_of = lambda w: ref_syms[w] if w in ref_syms else apply_merges(w)  # noqa: E731
+    stream = " ".join("+".join(syms_of(w)) for w in ws)
+    assert row["n_words"] == 4
+    assert row["n_bpe_tokens"] == sum(len(syms_of(w)) for w in ws)
+    assert row["token_fp"] == hashlib.md5(stream.encode()).hexdigest()
 
 def test_curation_keep_best_composition(spark):
     """Filter → cluster → keep-BEST, on a planted construction where
@@ -3280,3 +3307,92 @@ def test_corpus_diff_fuzz_vs_bruteforce(spark):
             for r in corpus_diff(old_df, new_df).collect()
         }
         assert got == want, (trial, got, want)
+
+def test_span_family_null_text_convention(spark):
+    """NULL-text docs must produce NO per-doc rows from either span
+    consumer, on BOTH engines (review finding: the oracle's ws CTE
+    scanned all of documents — a NULL-text doc yielded an oracle row
+    the Spark side dropped; and coverage's un-filtered Spark base
+    emitted size(split(NULL)) = -1). Cross-engine replay on a planted
+    corpus WITH a NULL-text doc pins the fix."""
+    import duckdb
+
+    from ballcone_spark.operators.span_dedup import (
+        _COVERAGE_ORACLE,
+        _DEDUPED_CORPUS_ORACLE,
+        dup_span_coverage,
+        span_deduped_corpus,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3"),
+            (2, f"b1 {shared} b2 b3"),
+            (3, "plain unrelated text here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    cov = dup_span_coverage(docs).collect()
+    assert [r["doc_id"] for r in cov] == [1, 2, 3]
+    assert all(r["n_tokens"] > 0 for r in cov)
+    ded = span_deduped_corpus(docs).collect()
+    assert [r["doc_id"] for r in ded] == [1, 2, 3]
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    o_cov = [
+        tuple(r) for r in con.execute(_COVERAGE_ORACLE).fetchall()
+    ]
+    got_cov = [
+        tuple(r)
+        for r in spark.createDataFrame(cov).orderBy("doc_id").collect()
+    ]
+    assert got_cov == o_cov
+    o_ded = [tuple(r) for r in con.execute(_DEDUPED_CORPUS_ORACLE).fetchall()]
+    from pyspark.sql import functions as _F
+
+    got_ded = [
+        (r["doc_id"], r["n_tokens"], r["removed_tokens"], r["kept_tokens"], fp)
+        for r, fp in zip(
+            ded,
+            [
+                x["f"]
+                for x in spark.createDataFrame(ded)
+                .orderBy("doc_id")
+                .select(_F.md5("new_text").alias("f"))
+                .collect()
+            ],
+        )
+    ]
+    assert got_ded == o_ded
+
+def test_percentile_filter_keeps_null_source_group(spark):
+    """A NULL-source group must survive the bucketed-rank rewrite
+    (review finding: the plain ["source", "_bucket"] equi-join dropped
+    NULL keys while the oracle's percent_rank kept NULL as a
+    partition). Cross-engine replay on a planted corpus with NULL
+    sources pins the eqNullSafe fix and the NULLS FIRST ordering."""
+    import duckdb
+
+    from ballcone_spark.operators.lm_quality import (
+        quality_percentile_filter,
+    )
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    rows = []
+    for i in range(12):
+        src = None if i % 3 == 0 else f"s{i % 2}"
+        rows.append((i, f"w{i} " * (i + 3) + "common words here", src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = [tuple(r) for r in quality_percentile_filter(docs).collect()]
+    assert got[0][0] is None          # NULL group present, ordered first
+    assert sum(r[1] for r in got) == 12
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracle = EXTRA_QUERIES["docs_quality_percentile_filter"].oracle
+    want = [tuple(r) for r in con.execute(oracle).fetchall()]
+    assert got == want
