@@ -767,6 +767,10 @@ def _duck_chunk_pairs(dim: int, tau: float) -> str:
     "docs_chunk_semantic_pairs",
     _duck_chunk_pairs(CHUNK_EMB_DIM, CHUNK_COS_T),
     driver=False,  # registry at the 50 cap; oracle-checked locally
+    # the plan anchors lazily-checkpointed RDDs (dch/emb/gr) — rebuild
+    # when the source parquet changes, or a stale checkpoint would
+    # serve the OLD corpus
+    cacheable=("documents",),
 )
 def docs_chunk_semantic_pairs(spark, sf_dir):
     """Chunk-level semantic near-dup pairs (the RAG-loop closure,
