@@ -1220,7 +1220,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     collected; a driver-side change probe stops early at fixpoint.
 
     Iterative and data-dependent — rows-only class, like the k-means
-    trainer. Semantics pinned by tests on known graph shapes."""
+    trainer. Semantics pinned by tests on known graph shapes.
+
+    NOTE (measured, do not "fix"): the symmetrizing union's two
+    branches do NOT re-run the pair pipeline — they share one shuffle
+    subtree via ReusedExchange, so a pre-union checkpoint of ``pairs``
+    buys nothing within this plan and its eager materialization at
+    sf10 pushed a §6g-class static broadcast build past the driver's
+    memory margin (keep-best OOMed). Cross-ACTION reuse is different:
+    a caller that references ``pairs`` again after this function (the
+    split audit) must checkpoint it itself — exchange reuse does not
+    span actions."""
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(

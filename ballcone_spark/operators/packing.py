@@ -614,15 +614,18 @@ def chunk_semantic_pairs(
     order, bit-identical cross-engine — the result ships UNROUNDED (no
     round(double,4) boundary risk).
 
-    Materialization barriers (the §6n/iterative-loop lesson, applied
-    after a review pass caught the recompute): without them the
-    chunker+distinct pipeline executes ~6× — once inside each
-    embedding join side, once per gram self-join side, once in the
-    df-cut — because Spark never dedupes common subplans across
-    DataFrame branches. `dch` (shared by the gram and embedding
-    phases), `emb`, and `gr` are each lazily checkpointed ONCE; the
-    merge hints below stay mandatory because the checkpoint RDDs
-    propagate the same bogus-small estimates they always did."""
+    Materialization barriers: within ONE action the repeated branches
+    (ea/eb, the gram self-join sides) already share their shuffle
+    subtrees via ReusedExchange, so the checkpoints on `dch`/`emb`/
+    `gr` leave the cold run flat (116.5 vs 109.0 s at sf10, ambient
+    band) — their measured win is CROSS-ACTION: repeated executions
+    reuse the materialized RDDs instead of re-running the chunker
+    (steady 98.4 → 47.1 s, 2.1×). Safe here because every join in
+    this pipeline is merge-pinned — there is no §6g broadcast margin
+    for an eager materialization to blow (the reason the same trick
+    was REVERTED in dup_span_coverage/dedup_clusters). The merge hints
+    stay mandatory: checkpoint RDDs propagate the same bogus-small
+    estimates the aggregates always had."""
     ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
     dch = (
         ch.select("chunk_fp", "chunk_toks")

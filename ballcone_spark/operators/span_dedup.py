@@ -204,7 +204,14 @@ def dup_span_coverage(
     span intervals by start, clamp each to start after the running max
     end of its predecessors, sum the clamped widths. No per-token
     explode: the window partitions by doc_id (bounded by one doc's span
-    count) and everything stays in codegen."""
+    count) and everything stays in codegen.
+
+    NOTE (measured, do not "fix"): the a-side/b-side interval union
+    does NOT re-run the span pipeline — the two branches share its
+    shuffles via ReusedExchange, and a pre-union ``spans`` checkpoint
+    measured 2× SLOWER at sf10 (76.9 → 155.4 s: it forces a full
+    materialization the reused-exchange plan never pays, and blocks
+    downstream stage pipelining)."""
     spans = _qualifying_spans(docs, k, min_span, max_df, text_col, pair_budget)
     iv = spans.select(
         F.col("a_id").alias("doc_id"),
