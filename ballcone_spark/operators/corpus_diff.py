@@ -105,8 +105,10 @@ def docs_corpus_diff(spark, sf_dir):
     """Snapshot diff demonstrated against a deterministic v2 derived
     from the corpus itself (so the oracle can replay it exactly):
     doc_id-bucket < 5 removed, buckets 5-9 rewritten (' v2' appended),
-    buckets 10-11 re-added under fresh ids. The operator itself takes
-    any two real snapshots."""
+    buckets 10-11 DUPLICATED under fresh ids (the originals stay, so
+    those docs count once as unchanged and once as added — the diff
+    keys on doc_id, the dedup family keys on content). The operator
+    itself takes any two real snapshots."""
     docs = load_table(spark, sf_dir, "documents")
     b = hash32(F.col("doc_id").cast("string")) % 100
     # coalesce: an empty (or all-NULL-id) table must degrade to an

@@ -1392,13 +1392,30 @@ def dedup_keep_best(
     sort of the whole cluster (the percentile-filter lesson, VERDICT
     r8 #1). The clusters⋈scores join is SMJ-pinned: both sides top
     aggregates/checkpoints whose size estimates are bogus-small (the
-    §6g broadcast-OOM class)."""
-    joined = clusters.join(scores.hint("merge"), "doc_id")
+    §6g broadcast-OOM class).
+
+    Contract enforcement (ADVICE r9): the join is a LEFT join with a
+    raise-on-NULL guard, so a cluster member missing from ``scores``
+    (or carrying a NULL score) fails the job loudly instead of
+    silently shrinking cluster_size and dropped_id_sum. The guard is a
+    lazy CASE branch inside the aggregate's input — zero cost on the
+    happy path, no extra action."""
+    joined = clusters.join(scores.hint("merge"), "doc_id", "left")
+    score = F.when(
+        F.col("score").isNull(),
+        F.raise_error(
+            F.lit(
+                "dedup_keep_best: cluster member missing from scores "
+                "(or NULL score) — every clusters.doc_id must have a "
+                "non-NULL score"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("score"))
     best = joined.groupBy("cluster_id").agg(
         F.count("*").cast("int").alias("cluster_size"),
         F.max(
             F.struct(
-                F.col("score").alias("s"),
+                score.alias("s"),
                 (-F.col("doc_id")).alias("neg_id"),
             )
         ).alias("_b"),

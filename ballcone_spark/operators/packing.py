@@ -682,6 +682,15 @@ def chunk_semantic_pairs(
         .select("a_fp", "b_fp")
         .distinct()
     )
+    return _verify_chunk_pairs(cand, emb, dim, tau)
+
+
+def _verify_chunk_pairs(
+    cand: DataFrame, emb: DataFrame, dim: int, tau: float
+) -> DataFrame:
+    """Exact-cosine verify stage over candidate fp pairs: join both
+    embedding sides, integer dot/norms, `cos >= tau` cut. Factored out
+    so the zero-norm guard is unit-testable with planted embeddings."""
     ea = emb.hint("merge").select(
         F.col("chunk_fp").alias("a_fp"),
         *[F.col(f"v{j}").alias(f"a{j}") for j in range(dim)],
@@ -698,9 +707,16 @@ def chunk_semantic_pairs(
         na = na + F.col(f"a{j}") * F.col(f"a{j}")
         nb = nb + F.col(f"b{j}") * F.col(f"b{j}")
     cos = dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    # zero-norm guard (ADVICE r9): a chunk whose signed sums all cancel
+    # has ||v|| = 0, cos = x/sqrt(0) = NaN/Inf, and BOTH engines sort
+    # NaN above every number — the degenerate pair would pass
+    # `cos >= tau` with a non-finite value. Such chunks carry no
+    # direction, so they can never emit a pair; the oracle replays the
+    # same na*nb > 0 cut.
     return (
         cand.join(ea, "a_fp")
         .join(eb, "b_fp")
+        .where((na > F.lit(0)) & (nb > F.lit(0)))
         .withColumn("cos", cos)
         .where(F.col("cos") >= tau)
         .select("a_fp", "b_fp", "cos")
@@ -758,11 +774,12 @@ def _duck_chunk_pairs(dim: int, tau: float) -> str:
         SELECT a_fp, b_fp,
                CAST({dot} AS DOUBLE)
                    / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))
-                   AS cos
+                   AS cos,
+               ({na}) * ({nb}) AS nn
         FROM cand
         JOIN emb ea ON ea.chunk_fp = a_fp
         JOIN emb eb ON eb.chunk_fp = b_fp
-    ) WHERE cos >= {tau} ORDER BY a_fp, b_fp
+    ) WHERE nn > 0 AND cos >= {tau} ORDER BY a_fp, b_fp
     """
 
 

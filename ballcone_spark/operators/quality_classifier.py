@@ -60,12 +60,20 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     label) — JVM-expression features plus the weak label being
     distilled: 1 iff the doc passes the curation pipeline's quality
     gate (n_chars ≥ 100, n_tokens ≥ 20, uniq_ratio ≥ 0.3). One scan,
-    no shuffle."""
+    no shuffle.
+
+    NULL convention (ADVICE r9): rows with NULL ``n_chars`` are
+    filtered alongside NULL text — otherwise f_log_chars is NULL,
+    ``F.sum`` silently skips the row in every GD gradient while
+    ``n = d.count()`` still includes it (scaling bias), and the NULL
+    score lands in a NULL decile group in the report."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     uniq_ratio = n_uniq / n_tok
-    return docs.where(F.col(text_col).isNotNull()).select(
+    return docs.where(
+        F.col(text_col).isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         "doc_id",
         "source",
         "lang",

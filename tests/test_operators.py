@@ -3396,3 +3396,89 @@ def test_percentile_filter_keeps_null_source_group(spark):
     oracle = EXTRA_QUERIES["docs_quality_percentile_filter"].oracle
     want = [tuple(r) for r in con.execute(oracle).fetchall()]
     assert got == want
+
+
+def test_dedup_keep_best_missing_score_raises(spark):
+    """Contract enforcement (ADVICE r9): a cluster member absent from
+    the scores frame (or carrying a NULL score) must FAIL the job, not
+    silently shrink cluster_size/dropped_id_sum through the old inner
+    join; the happy path (every member scored) stays green through the
+    same left-join + raise guard."""
+    import pytest as _pytest
+
+    from ballcone_spark.operators.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    # doc 3 missing entirely
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9)], "doc_id long, score long"
+    )
+    with _pytest.raises(Exception, match="missing from scores"):
+        dedup_keep_best(clusters, scores).collect()
+
+    # NULL score raises too
+    scores_null = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, None)], "doc_id long, score long"
+    )
+    with _pytest.raises(Exception, match="missing from scores"):
+        dedup_keep_best(clusters, scores_null).collect()
+
+    # complete scores: unchanged semantics
+    ok = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9)], "doc_id long, score long"
+    )
+    row = dedup_keep_best(clusters, ok).collect()[0]
+    assert row["kept_doc_id"] == 2 and row["cluster_size"] == 3
+    assert row["dropped_id_sum"] == 1 + 3
+
+
+def test_quality_features_null_nchars_filtered(spark):
+    """NULL-convention fix (ADVICE r9): a row with NULL n_chars must be
+    excluded from the feature frame entirely — before the fix it
+    trained with a NULL f_log_chars (silently skipped by every F.sum
+    gradient while still counted in n) and landed in a NULL decile."""
+    from ballcone_spark.operators.quality_classifier import (
+        FEATURES,
+        quality_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " * 20, "s", "en", 300),
+            (2, "delta " * 50, "s", "en", None),     # NULL n_chars
+            (3, None, "s", "en", 120),               # NULL text
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    )
+    feats = quality_features(docs)
+    rows = feats.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    for c in FEATURES + ["label"]:
+        assert rows[0][c] is not None
+
+
+def test_chunk_verify_zero_norm_never_pairs(spark):
+    """Zero-norm guard (ADVICE r9): a degenerate chunk embedding with
+    ||v|| = 0 makes cos = x/sqrt(0) = NaN, which BOTH engines sort
+    above every number — without the norm guard the pair passes
+    `cos >= tau` with a non-finite value. Planted verify-stage run:
+    the zero-vector chunk emits nothing; the healthy identical pair
+    still emits cos = 1.0."""
+    from ballcone_spark.operators.packing import _verify_chunk_pairs
+
+    dim = 2
+    emb = spark.createDataFrame(
+        [("a", 3, 4), ("b", 3, 4), ("z", 0, 0)],
+        "chunk_fp string, v0 long, v1 long",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "z"), ("b", "z")], "a_fp string, b_fp string"
+    )
+    got = {
+        (r["a_fp"], r["b_fp"]): r["cos"]
+        for r in _verify_chunk_pairs(cand, emb, dim, tau=0.9).collect()
+    }
+    assert set(got) == {("a", "b")}
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
