@@ -786,7 +786,10 @@ def _duck_chunk_pairs(dim: int, tau: float) -> str:
 @_query(
     "docs_chunk_semantic_pairs",
     _duck_chunk_pairs(CHUNK_EMB_DIM, CHUNK_COS_T),
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted r10 (VERDICT r9 #1): the RAG-loop closure — oracle-
+    # bearing, sf30-measured, merge-pinned with a plan gate; the freed
+    # slot came from tpch_q5_regional_revenue (multi-join+agg skeleton
+    # covered by q3/q13/orders_lineitem_bucketed)
     # the plan anchors lazily-checkpointed RDDs (dch/emb/gr) — rebuild
     # when the source parquet changes, or a stale checkpoint would
     # serve the OLD corpus

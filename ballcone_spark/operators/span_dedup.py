@@ -676,7 +676,11 @@ ORDER BY w.doc_id
 @_query(
     "docs_span_deduped_corpus",
     _DEDUPED_CORPUS_ORACLE,
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted r10 (VERDICT r9 #1): the span family's ACTIONABLE output
+    # (Lee-style deletion transform, conservation-checked, md5 of the
+    # rewritten bytes oracle-pinned); the freed slot came from
+    # events_running_visits (frame-spec window shape covered by
+    # events_day_over_day)
     cacheable=("documents",),  # count-derived cut baked at plan build
 )
 def docs_span_deduped_corpus(spark, sf_dir):

@@ -587,7 +587,12 @@ _sql_query(
     ORDER BY revenue DESC, nation
     """,
     doc="TPC-H Q5 shape: 6-way snowflake join; all dims broadcast, one "
-    "fact-fact shuffle.",
+    "fact-fact shuffle. Demoted to EXTRA (r10): the multi-join+agg "
+    "skeleton is covered by tpch_q3/tpch_q13/orders_lineitem_bucketed; "
+    "the freed driver slot went to docs_chunk_semantic_pairs (the RAG-"
+    "loop chunk-level semantic dedup). Oracle parity stays machine-"
+    "checked locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(
@@ -1010,7 +1015,12 @@ _sql_query(
     FROM daily ORDER BY date
     """,
     doc="Frame-spec windows: running total + 7-day moving average over "
-    "the (tiny) pre-aggregated daily frame — windows never see raw rows.",
+    "the (tiny) pre-aggregated daily frame — windows never see raw rows. "
+    "Demoted to EXTRA (r10): the date-ordered window shape is covered by "
+    "events_day_over_day; the freed driver slot went to "
+    "docs_span_deduped_corpus (the span-deletion transform). Oracle "
+    "parity stays machine-checked locally (test_oracle_diff).",
+    driver=False,
 )
 
 _sql_query(
