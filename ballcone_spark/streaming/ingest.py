@@ -92,8 +92,18 @@ def start_file_ingest(
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # repartition BY THE PARTITION COLUMNS, not coalesce(1): coalesce
+        # has no shuffle boundary, so it collapsed the entire upstream
+        # parse+enrich into ONE task — the whole micro-batch ran
+        # single-threaded (measured r10: 12.5k rows/s at 500k rows; the
+        # repartition form parallelizes the scan/parse/enrich across the
+        # cluster and the shuffle routes each (service, date) to exactly
+        # one task, preserving the one-file-per-partition-per-batch
+        # property the small-file budget depends on). A hot partition
+        # still funnels through one writer task — that's the price of
+        # the 1-file invariant; compact_warehouse handles the rest.
         (
-            batch_df.coalesce(1)
+            batch_df.repartition("service", "date")
             .write.mode("append")
             .partitionBy("service", "date")
             .parquet(warehouse_data_dir)
