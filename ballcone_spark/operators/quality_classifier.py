@@ -42,6 +42,7 @@ __all__ = [
     "quality_features",
     "train_quality_classifier",
     "score_quality",
+    "learned_budget_sample",
 ]
 
 #: GD rounds × learning rate — picked empirically on the real corpus
@@ -56,8 +57,8 @@ FEATURES = ["f_log_tok", "f_uniq_ratio", "f_log_chars"]
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, source, lang, f_log_tok, f_uniq_ratio, f_log_chars,
-    label) — JVM-expression features plus the weak label being
+    """(doc_id, source, lang, n_tokens, f_log_tok, f_uniq_ratio,
+    f_log_chars, label) — JVM-expression features plus the weak label being
     distilled: 1 iff the doc passes the curation pipeline's quality
     gate (n_chars ≥ 100, n_tokens ≥ 20, uniq_ratio ≥ 0.3). One scan,
     no shuffle.
@@ -77,6 +78,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         "source",
         "lang",
+        n_tok.alias("n_tokens"),
         F.log1p(n_tok.cast("double")).alias("f_log_tok"),
         uniq_ratio.alias("f_uniq_ratio"),
         F.log1p(F.col("n_chars").cast("double")).alias("f_log_chars"),
@@ -204,3 +206,109 @@ def docs_quality_classifier_report(spark, sf_dir):
     into a logistic scorer (aggregate-based GD, one bounded collect per
     round) and report per-decile calibration against the gate label."""
     return quality_classifier_report(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ #
+# Budgeted selection by learned score (VERDICT r9 #5)                #
+# ------------------------------------------------------------------ #
+
+#: One real train run's weights (train_quality_classifier on the
+#: sf0.01 corpus, 200 rounds × lr 0.2), FROZEN as literals — the
+#: data-derived-literal pattern: the oracle replays the identical
+#: linear score from the same constants, so selection is deterministic
+#: and cross-engine checkable without re-running GD in SQL.
+FROZEN_W = [-0.501825, 0.770918, -0.947434, 0.077805]
+
+#: per-source token allowance for the registered demo query
+_LEARNED_BUDGET = 800
+
+
+def learned_budget_sample(
+    docs: DataFrame, w: list[float], budget: int, text_col: str = "text"
+) -> DataFrame:
+    """(source, doc_id, n_tokens, score_key) — the classifier's stated
+    purpose (a): fill each source's token budget HIGHEST-LEARNED-SCORE
+    first, replacing the blanket hash-order greedy fill
+    (:func:`ballcone_spark.operators.sampling.token_budget_sample`)
+    with quality-ranked selection.
+
+    Ranking key: sigmoid is strictly monotone in z = w·x, so ranking
+    on z gives the identical order without exp — ``score_key`` is
+    round(z, 4) (the repo's cross-engine transcendental convention,
+    proven on the bigram-LM family) with doc_id as the deterministic
+    tie-break.
+
+    Scale shape (the token_budget_sample lesson): n_tokens ≥ 1 for
+    every surviving row, so the cumulative sum at rank r is ≥ r and a
+    rank-> budget row can never fit — the row_number pre-prune bounds
+    the exact-cumsum window to ≤ budget rows per source and is
+    WindowGroupLimit-eligible; no whole-source sort materializes more
+    than the budget frontier."""
+    from pyspark.sql import Window
+
+    feats = quality_features(docs, text_col)
+    win = Window.partitionBy("source").orderBy(
+        F.desc("score_key"), "doc_id"
+    )
+    pruned = (
+        feats.withColumn("score_key", F.round(_z(w), 4))
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= budget)
+    )
+    cum = F.sum("n_tokens").over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pruned.withColumn("_cum", cum)
+        .where(F.col("_cum") <= budget)
+        .select("source", "doc_id", "n_tokens", "score_key")
+    )
+
+
+def _learned_budget_oracle(w: list[float], budget: int) -> str:
+    """SQL replay: identical features (same NULL convention), identical
+    left-associated linear score, identical round(·,4) key, identical
+    greedy window. The rank<=budget pre-prune is omitted — DuckDB does
+    not need it, and its losslessness is the n_tokens>=1 argument in
+    :func:`learned_budget_sample`'s docstring."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source, n_chars,
+               string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), f AS (
+        SELECT doc_id, source, len(toks) AS n_tokens,
+               round({w[0]}
+                     + {w[1]} * ln(1 + len(toks))
+                     + {w[2]} * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / len(toks))
+                     + {w[3]} * ln(1 + n_chars), 4) AS score_key
+        FROM t
+    ), r AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY source
+            ORDER BY score_key DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f
+    )
+    SELECT source, doc_id, n_tokens, score_key
+    FROM r WHERE cum <= {budget}
+    ORDER BY source, doc_id
+    """
+
+
+@_query(
+    "docs_learned_budget_mix",
+    _learned_budget_oracle(FROZEN_W, _LEARNED_BUDGET),
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+)
+def docs_learned_budget_mix(spark, sf_dir):
+    """Budgeted selection by learned quality score (VERDICT r9 #5):
+    each source's 800-token allowance fills highest-score-first under
+    the frozen classifier weights, so WHICH docs ship — not just how
+    many — is verified by the independent engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return learned_budget_sample(
+        docs, FROZEN_W, _LEARNED_BUDGET
+    ).orderBy("source", "doc_id")

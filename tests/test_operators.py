@@ -3482,3 +3482,42 @@ def test_chunk_verify_zero_norm_never_pairs(spark):
     }
     assert set(got) == {("a", "b")}
     assert abs(got[("a", "b")] - 1.0) < 1e-12
+
+
+def test_learned_budget_sample_fills_highest_score_first(spark):
+    """Budgeted selection by learned score (VERDICT r9 #5), planted
+    construction: weights that rank long-repetitive docs BELOW short-
+    diverse ones (positive uniq_ratio weight dominating), a budget that
+    fits only the top docs — the fill must take them in score order and
+    stop exactly when the next doc would overflow; the pre-prune window
+    must plan as WindowGroupLimit (budget frontier, not a whole-source
+    sort)."""
+    from ballcone_spark.operators.quality_classifier import (
+        learned_budget_sample,
+    )
+
+    # doc 1: 10 distinct tokens (uniq 1.0); doc 2: 10 tokens all same
+    # (uniq 0.1); doc 3: 4 distinct tokens; doc 4: second source
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "s1", "en", 19),
+            (2, "x x x x x x x x x x", "s1", "en", 19),
+            (3, "p q r s", "s1", "en", 7),
+            (4, "k l m", "s2", "en", 5),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    )
+    # score = uniq_ratio only → ranks 1 (1.0) > 3=4 (1.0)... make
+    # distinct: weight tokens negatively so shorter+diverse wins
+    w = [0.0, -1.0, 10.0, 0.0]  # bias, log_tok, uniq_ratio, log_chars
+    out = learned_budget_sample(docs, w, budget=14)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # s1 scores: doc3 z = -ln(5)+10 = 8.391; doc1 z = -ln(11)+10 = 7.602;
+    # doc2 z = -ln(11)+1 = -1.398. Greedy by score: doc3 (4 tok, cum 4),
+    # doc1 (10 tok, cum 14 = budget, fits), doc2 (cum 24 > 14, dropped).
+    assert set(got) == {1, 3, 4}
+    assert got[3]["n_tokens"] == 4 and got[1]["n_tokens"] == 10
+    # the winner is the SCORE order, not doc_id order: doc2 (id < 3's
+    # competitors' ids in hash order) is out purely on score
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
