@@ -49,7 +49,15 @@ DIM = 64
 N_LABELS = 10
 
 
-def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+def gen_documents(
+    n: int, rng: np.random.Generator, skew: float | None = None
+) -> pa.Table:
+    """``skew``: if set (e.g. 0.92), that fraction of docs lands in the
+    single dominant source ``src0`` and the rest spread uniformly over
+    the other 19 — the first-class skew fixture (VERDICT r9 #6) so
+    every per-source operator (rank, quota sample, temperature mix,
+    percentile filter) gets measured on a dominant-source mix by
+    default instead of only when a verdict asks."""
     lengths = rng.integers(10, 101, size=n)
     texts: list[str] = []
     for i in range(n):
@@ -71,14 +79,20 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
             texts.append(" ".join(base + ["dup", "dup"]))
             continue
         texts.append(" ".join(words))
+    if skew is None:
+        sources = [f"src{i % N_SOURCES}" for i in range(n)]
+    else:
+        dom = rng.random(n) < skew
+        rest = rng.integers(1, N_SOURCES, size=n)
+        sources = [
+            "src0" if dom[i] else f"src{rest[i]}" for i in range(n)
+        ]
     return pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(["en"] * n, pa.string()),
-            "source": pa.array(
-                [f"src{i % N_SOURCES}" for i in range(n)], pa.string()
-            ),
+            "source": pa.array(sources, pa.string()),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
@@ -149,15 +163,17 @@ def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def generate(sf: float, out_root: str) -> str:
-    out = os.path.join(out_root, f"sf{sf:g}")
+def generate(sf: float, out_root: str, skew: float | None = None) -> str:
+    suffix = f"_skew{int(skew * 100)}" if skew is not None else ""
+    out = os.path.join(out_root, f"sf{sf:g}{suffix}")
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(np.random.PCG64(42 + int(sf * 1000)))
     n_docs = int(50_000 * sf)
     n_vecs = int(20_000 * sf)
     n_events = int(1_000_000 * sf)
     pq.write_table(
-        gen_documents(n_docs, rng), os.path.join(out, "documents.parquet")
+        gen_documents(n_docs, rng, skew=skew),
+        os.path.join(out, "documents.parquet"),
     )
     pq.write_table(
         gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet")
@@ -177,5 +193,11 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale_data",
     )
-    for arg in sys.argv[1:] or ["1"]:
-        generate(float(arg), root)
+    args = sys.argv[1:]
+    skew: float | None = None
+    if "--skew" in args:
+        i = args.index("--skew")
+        skew = float(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    for arg in args or ["1"]:
+        generate(float(arg), root, skew=skew)
