@@ -82,13 +82,27 @@ def start_file_ingest(
     geoip_ranges: DataFrame | None = None,
     trigger_seconds: int = 5,
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the micro-batch ingest from a spool directory of datagram
     text files (written by the UDP bridge or any log shipper).
 
     Returns the StreamingQuery. ``available_now=True`` drains whatever
-    is in the spool and stops — the test/backfill mode."""
-    raw = spark.readStream.format("text").load(spool_dir)
+    is in the spool and stops — the test/backfill mode.
+
+    ``max_files_per_trigger`` is the backpressure knob: after a stall
+    (restart, long GC, compaction pause) the file source would
+    otherwise take EVERY accumulated spool file into one catch-up
+    micro-batch, spiking batchDuration far past the trigger and
+    holding the warehouse append open for the whole backlog; bounding
+    files-per-trigger drains the backlog in trigger-sized bites so
+    per-batch latency stays flat while throughput catches up.
+    (availableNow respects the same bound — its drain becomes several
+    bounded batches instead of one monster.)"""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(spool_dir)
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -847,3 +847,33 @@ def test_compact_crash_recovery_exhaustive(spark, tmp_path, monkeypatch):
         leftovers = [e for e in os.listdir(svc_dir) if e.startswith(".date=")]
         assert leftovers == [], f"crash at fs-op {crash_at}: {leftovers}"
         shutil.rmtree(work)
+
+
+def test_backlog_drains_in_bounded_batches(spark, tmp_path):
+    """Backpressure knob (r10): with max_files_per_trigger=1 a spool
+    backlog of 4 files must drain as multiple bounded micro-batches —
+    the catch-up path after a stall — with every row landing exactly
+    once in the warehouse."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for seq in range(4):
+        lines = [
+            _dgram(dict(GOOD, path=f"/f{seq}/{i}")) for i in range(5)
+        ]
+        (spool / f"backlog-{seq:06d}.log").write_text(
+            "\n".join(lines) + "\n"
+        )
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+    q = start_file_ingest(
+        spark, str(spool), wh, ck,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 4, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
+    assert all(p["numInputRows"] == 5 for p in batches)
+    got = spark.read.parquet(wh)
+    assert got.count() == 20
+    assert got.select("path").distinct().count() == 20
