@@ -83,8 +83,19 @@ MINHASH_A, MINHASH_B = _minhash_ab(N_HASHES)
 
 #: corpus size at-or-under which the band geometry stays at the floor
 #: 4 bands × 4 rows — covers every driver-oracled SF (≤50 k docs at
-#: sf1) so the static oracle SQL replays the EXACT pipeline there
-_BAND_SCALE_N = 100_000
+#: sf1) so the static oracle SQL replays the EXACT pipeline there.
+#: 50 000, not 100 000 (r10): the sf30 sweep caught candidate mass
+#: growing 8.9× for 3× docs (2.29 M → 20.4 M) because 500 k and 1.5 M
+#: docs landed on the SAME rows=8 plateau of the step function —
+#: quadratic bucket occupancy reopens between steps on a saturated
+#: shingle space. With the scale anchor at 50 k the step to rows=10
+#: fires at >800 k docs: measured at sf30, candidates 20.4 M → 11.7 M
+#: (1.7×), verify 169 s → 101 s, with losses CONCENTRATED at the
+#: threshold boundary (J=1.0 pairs: 4 059/4 059 kept; J ≥ 0.95:
+#: 99.7 %; J ∈ [0.80, 0.85): 78 %) — the bands-vs-rows trade landing
+#: exactly where the docstring promises. sf10 keeps rows=8 (unchanged
+#: measurements); every oracle-checked SF keeps the floor.
+_BAND_SCALE_N = 50_000
 
 #: bands used by the jaccard/containment selectivity-collapse fallback
 #: (r7B: twice the default — squares the per-pair band-miss envelope)

@@ -1162,6 +1162,13 @@ def test_adaptive_band_rows_floor_and_growth():
     assert adaptive_band_rows(4 * _BAND_SCALE_N) == floor + 2
     assert adaptive_band_rows(16 * _BAND_SCALE_N) == floor + 4
     assert adaptive_band_rows(500_000) == floor + 4  # the measured sf10
+    # r10: sf30 (1.5 M docs) must STEP to rows=10 — with the old 100 k
+    # anchor, 500 k and 1.5 M shared the rows=8 plateau and candidate
+    # mass grew 8.9× for 3× docs (BASELINE §6s); the 50 k anchor fires
+    # the step at >800 k docs (measured: 1.7× candidate cut, J=1.0
+    # recall 100 %, J≥0.95 recall 99.7 %)
+    assert adaptive_band_rows(1_500_000) == floor + 6
+    assert adaptive_band_rows(800_000) == floor + 4  # last of the plateau
 
 
 def test_minhash_vectorized_pairs_match_jvm_at_oracle_sf(spark):
