@@ -181,7 +181,11 @@ def test_column_pruning_token_stats(spark):
 
 
 def test_dimension_joins_broadcast(spark):
-    df = entry_mod.queries()["tpch_q5_regional_revenue"](spark, SF)
+    # q5 demoted to EXTRA r10 (slot went to docs_chunk_semantic_pairs);
+    # its plan gate stays — the snowflake shape is the broadcast witness
+    from ballcone_spark.queries import EXTRA_QUERIES
+
+    df = EXTRA_QUERIES["tpch_q5_regional_revenue"].fn(spark, SF)
     assert broadcast_join_count(df) >= 4  # nation/region/supplier/customer
     # with all dims broadcast the only shuffle join keys are fact-fact
 
