@@ -133,6 +133,12 @@ def main() -> None:
         help="live mode: spool files appended per second",
     )
     ap.add_argument("--trigger-seconds", type=int, default=5)
+    ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="backpressure bound passed to start_file_ingest",
+    )
     ap.add_argument("--keep", action="store_true", help="keep work dir")
     args = ap.parse_args()
 
@@ -176,6 +182,7 @@ def main() -> None:
         q = start_file_ingest(
             spark, spool, warehouse, ckpt,
             trigger_seconds=args.trigger_seconds,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
         th = threading.Thread(target=feeder, daemon=True)
         t0 = time.perf_counter()
@@ -221,7 +228,8 @@ def main() -> None:
         gen_sec = time.perf_counter() - t_gen0
         t0 = time.perf_counter()
         q = start_file_ingest(
-            spark, spool, warehouse, ckpt, available_now=True
+            spark, spool, warehouse, ckpt, available_now=True,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
