@@ -751,14 +751,17 @@ emb AS (SELECT chunk_fp, {vs} FROM tok GROUP BY chunk_fp)
 """
 
 
-def _duck_chunk_pairs(dim: int, tau: float) -> str:
+def _duck_chunk_vp_ctes(dim: int, tau: float) -> str:
+    """Shared WITH-body ending in ``vp(a_fp, b_fp, cos)`` — the
+    verified chunk near-dup pairs. One definition feeds both the pair
+    report and the alias-map oracle (the r9 review's no-duplicated-SQL
+    rule)."""
     k = CHUNK_GRAM
     gram_concat = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
     dot = " + ".join(f"ea.v{j} * eb.v{j}" for j in range(dim))
     na = " + ".join(f"ea.v{j} * ea.v{j}" for j in range(dim))
     nb = " + ".join(f"eb.v{j} * eb.v{j}" for j in range(dim))
-    return f"""
-    WITH {_duck_chunk_emb(dim)},
+    return f"""{_duck_chunk_emb(dim)},
     gr AS (SELECT DISTINCT chunk_fp, g FROM (
         SELECT chunk_fp,
                unnest(list_transform(
@@ -769,8 +772,8 @@ def _duck_chunk_pairs(dim: int, tau: float) -> str:
              HAVING count(*) > 1 AND count(*) <= {CHUNK_GRAM_MAX_DF}),
     cand AS (SELECT DISTINCT a.chunk_fp AS a_fp, b.chunk_fp AS b_fp
              FROM gr a JOIN rare USING (g) JOIN gr b USING (g)
-             WHERE a.chunk_fp < b.chunk_fp)
-    SELECT a_fp, b_fp, cos FROM (
+             WHERE a.chunk_fp < b.chunk_fp),
+    vp AS (SELECT a_fp, b_fp, cos FROM (
         SELECT a_fp, b_fp,
                CAST({dot} AS DOUBLE)
                    / sqrt(CAST({na} AS DOUBLE) * CAST({nb} AS DOUBLE))
@@ -779,7 +782,13 @@ def _duck_chunk_pairs(dim: int, tau: float) -> str:
         FROM cand
         JOIN emb ea ON ea.chunk_fp = a_fp
         JOIN emb eb ON eb.chunk_fp = b_fp
-    ) WHERE nn > 0 AND cos >= {tau} ORDER BY a_fp, b_fp
+    ) WHERE nn > 0 AND cos >= {tau})"""
+
+
+def _duck_chunk_pairs(dim: int, tau: float) -> str:
+    return f"""
+    WITH {_duck_chunk_vp_ctes(dim, tau)}
+    SELECT a_fp, b_fp, cos FROM vp ORDER BY a_fp, b_fp
     """
 
 
@@ -804,3 +813,75 @@ def docs_chunk_semantic_pairs(spark, sf_dir):
     ops is exact integer math, so the oracle replay is bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_semantic_pairs(docs)
+
+
+def chunk_alias_map(
+    docs: DataFrame,
+    tau: float = CHUNK_COS_T,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    dim: int = CHUNK_EMB_DIM,
+    text_col: str = "text",
+) -> DataFrame:
+    """(chunk_fp, canonical_fp, is_canonical) — the chunk-pair signal
+    ACTING (the span family's r9 lesson applied to the RAG loop): fold
+    semantic near-dup pairs into connected components and elect the
+    lexicographically-smallest fingerprint as each cluster's canonical
+    chunk. A vector store ingests ONLY canonical chunks and keeps the
+    alias rows as a redirect table, so near-duplicate chunks stop
+    costing index space and retrieval slots.
+
+    Components reuse :func:`ballcone_spark.operators.dedup.
+    dedup_clusters` — min-label pointer jumping is type-generic (least/
+    min compare md5 strings lexicographically exactly like the oracle's
+    min(r)); only chunks that appear in at least one pair are emitted
+    (singletons need no alias row — by construction they are their own
+    canonical)."""
+    from ballcone_spark.operators.dedup import dedup_clusters
+
+    pairs = chunk_semantic_pairs(docs, tau, window, stride, dim, text_col)
+    clusters = dedup_clusters(
+        pairs.select(
+            F.col("a_fp").alias("a_id"), F.col("b_fp").alias("b_id")
+        )
+    )
+    return clusters.select(
+        F.col("doc_id").alias("chunk_fp"),
+        F.col("cluster_id").alias("canonical_fp"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("chunk_fp")
+
+
+def _duck_chunk_alias(dim: int, tau: float) -> str:
+    """Oracle: the shared vp CTE + the repo's recursive-closure
+    components pattern (dedup.py:_cluster_labels_cte) over chunk
+    fingerprints — min reachable fp per node is exactly the min-label
+    fixpoint the Spark side converges to."""
+    return f"""
+    WITH RECURSIVE {_duck_chunk_vp_ctes(dim, tau)},
+    edges AS (SELECT a_fp AS src, b_fp AS dst FROM vp
+              UNION SELECT b_fp, a_fp FROM vp),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+    labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+    SELECT id AS chunk_fp, canonical AS canonical_fp,
+           id = canonical AS is_canonical
+    FROM labels ORDER BY chunk_fp
+    """
+
+
+@_query(
+    "docs_chunk_alias_map",
+    _duck_chunk_alias(CHUNK_EMB_DIM, CHUNK_COS_T),
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # checkpointed chunk pipeline under it
+)
+def docs_chunk_alias_map(spark, sf_dir):
+    """Vector-store alias map (r10): WHICH chunk each semantic near-dup
+    group keeps — canonical election verified end-to-end by the
+    independent engine's recursive closure, the same guarantee level
+    the doc-dedup keep rules carry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_alias_map(docs)

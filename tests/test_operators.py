@@ -3528,3 +3528,48 @@ def test_learned_budget_sample_fills_highest_score_first(spark):
     # competitors' ids in hash order) is out purely on score
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_chunk_alias_map_properties(spark):
+    """The alias map must be a consistent canonical election over the
+    pair graph: every fp that appears in a semantic pair has exactly
+    one alias row; canonical_fp is the lexicographic MIN of each
+    connected component (transitivity included — a~b, b~c land in one
+    group even if a,c never paired directly); canonicals map to
+    themselves."""
+    from ballcone_spark.operators.packing import (
+        chunk_alias_map,
+        chunk_semantic_pairs,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    pairs = chunk_semantic_pairs(docs).collect()
+    assert pairs, "fixture must produce at least one semantic pair"
+    rows = chunk_alias_map(docs).collect()
+    alias = {r["chunk_fp"]: r for r in rows}
+    paired = {p["a_fp"] for p in pairs} | {p["b_fp"] for p in pairs}
+    assert set(alias) == paired          # exactly the clustered fps
+    # union-find ground truth over the pair edges
+    parent = {fp: fp for fp in paired}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["a_fp"]), find(p["b_fp"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for fp in paired:
+        root = find(fp)
+        want.setdefault(root, []).append(fp)
+    for root, members in want.items():
+        canon = min(members)
+        for m in members:
+            r = alias[m]
+            assert r["canonical_fp"] == canon, (m, r, canon)
+            assert r["is_canonical"] == (m == canon)
