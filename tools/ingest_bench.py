@@ -61,6 +61,9 @@ UAS = [
     "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
     "curl/8.5.0",
 ]
+#: overridable via --services N (the writer stage parallelizes by
+#: (service, date) key count — N probes whether the throughput ceiling
+#: is writer-partition-bound)
 SERVICES = ["example", "blog", "api", "shop"]
 PATHS = ["/", "/index.html", "/api/v1/items", "/posts/42", "/robots.txt"]
 
@@ -140,7 +143,15 @@ def main() -> None:
         help="backpressure bound passed to start_file_ingest",
     )
     ap.add_argument("--keep", action="store_true", help="keep work dir")
+    ap.add_argument(
+        "--services",
+        type=int,
+        default=len(SERVICES),
+        help="number of distinct services in the synthetic stream",
+    )
     args = ap.parse_args()
+    if args.services != len(SERVICES):
+        SERVICES[:] = [f"svc{i:03d}" for i in range(args.services)]
 
     work = tempfile.mkdtemp(prefix="ingest_bench_")
     spool = os.path.join(work, "spool")
