@@ -3573,3 +3573,58 @@ def test_chunk_alias_map_properties(spark):
             r = alias[m]
             assert r["canonical_fp"] == canon, (m, r, canon)
             assert r["is_canonical"] == (m == canon)
+
+
+def test_learned_budget_fuzz_vs_bruteforce(spark):
+    """Seeded fuzz (the keep-best fuzz pattern): 60 random docs across
+    4 sources, the Spark fill must equal a pure-Python replica that
+    recomputes the identical features, rank key (round(w·x, 4) desc,
+    doc_id asc) and greedy cumsum — membership AND the reported
+    n_tokens/score_key, not just counts."""
+    import math
+    import random
+
+    from ballcone_spark.operators.quality_classifier import (
+        FROZEN_W,
+        learned_budget_sample,
+    )
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        text = " ".join(words)
+        rows.append((i, text, f"s{i % 4}", "en", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    )
+    budget = 120
+    got = sorted(
+        (r["source"], r["doc_id"], r["n_tokens"], r["score_key"])
+        for r in learned_budget_sample(docs, FROZEN_W, budget).collect()
+    )
+
+    # brute-force replica
+    per_source: dict = {}
+    for i, text, src, _lang, n_chars in rows:
+        toks = text.strip().split()
+        n_tok = len(toks)
+        uniq = len(set(toks)) / n_tok
+        z = (
+            FROZEN_W[0]
+            + FROZEN_W[1] * math.log1p(n_tok)
+            + FROZEN_W[2] * uniq
+            + FROZEN_W[3] * math.log1p(n_chars)
+        )
+        per_source.setdefault(src, []).append((round(z, 4), i, n_tok))
+    want = []
+    for src, items in per_source.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        cum = 0
+        for key, i, n_tok in items:
+            cum += n_tok
+            if cum <= budget:
+                want.append((src, i, n_tok, key))
+    assert got == sorted(want)
