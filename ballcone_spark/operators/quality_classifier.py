@@ -43,6 +43,7 @@ __all__ = [
     "train_quality_classifier",
     "score_quality",
     "learned_budget_sample",
+    "curation_budget_mix",
 ]
 
 #: GD rounds × learning rate — picked empirically on the real corpus
@@ -312,3 +313,129 @@ def docs_learned_budget_mix(spark, sf_dir):
     return learned_budget_sample(
         docs, FROZEN_W, _LEARNED_BUDGET
     ).orderBy("source", "doc_id")
+
+
+# ------------------------------------------------------------------ #
+# The production composition: gate → dedup keep-best → budget fill   #
+# ------------------------------------------------------------------ #
+
+def curation_budget_mix(
+    docs: DataFrame, w: list[float], budget: int, text_col: str = "text"
+) -> DataFrame:
+    """(source, doc_id, n_tokens, score_key) — the full production
+    curation order in ONE verified pipeline: quality gate → MinHash-LSH
+    near-dup clusters over the passing docs → keep the highest-quality
+    member per cluster → fill each source's token budget with the
+    SURVIVORS, highest learned score first. Extends
+    :func:`ballcone_spark.operators.dedup.curation_keep_best` (which
+    stops at the yield report) with the selection stage the corpus
+    actually ships through.
+
+    Scale shape: inherits every stage's bounds (df-cut + banding,
+    O(log diameter) propagation, windowless argmax, WindowGroupLimit
+    budget frontier); the dropped-ids anti-join is merge-pinned —
+    its build side tops checkpointed cluster RDDs whose size estimates
+    are bogus-small (§6g/§6n class), same pin as curation_keep_best."""
+    from ballcone_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    passing = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col(text_col).alias("text"),
+            "n_chars",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+        )
+        .where(
+            (F.col("n_chars") >= 100)
+            & (F.col("n_tok") >= 20)
+            & ((F.col("n_uniq") / F.col("n_tok")) >= 0.3)
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        passing.select("doc_id", "text"), vectorized=True
+    ).select("a_id", "b_id")
+    clusters = dedup_clusters(pairs)
+    kb = dedup_keep_best(
+        clusters, passing.select("doc_id", F.col("n_uniq").alias("score"))
+    )
+    dropped = clusters.join(
+        kb.select(F.col("kept_doc_id").alias("doc_id")).hint("merge"),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+    kept = passing.join(dropped.hint("merge"), "doc_id", "left_anti")
+    return learned_budget_sample(
+        kept.select("doc_id", "source", "lang", "text", "n_chars"),
+        w,
+        budget,
+        text_col="text",
+    )
+
+
+def _curation_budget_oracle(w: list[float], budget: int) -> str:
+    # dedup has no import back into this module, so the closure CTE
+    # builder is safe to import at registration time
+    from ballcone_spark.operators.dedup import _cluster_labels_cte
+
+    return f"""
+    WITH RECURSIVE
+    q0 AS (SELECT doc_id, source, lang, n_chars, text,
+                  string_split_regex(trim(text), '\\s+') AS t
+           FROM documents WHERE text IS NOT NULL),
+    q AS (SELECT doc_id, source, lang, text, n_chars,
+                 len(t) AS n_tok, len(list_distinct(t)) AS n_uniq
+          FROM q0
+          WHERE n_chars >= 100 AND len(t) >= 20
+            AND len(list_distinct(t)) * 1.0 / len(t) >= 0.3),
+    {_cluster_labels_cte(src="q")},
+    ranked AS (
+        SELECT l.id, l.cluster_id,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY q.n_uniq DESC, l.id ASC) AS rn
+        FROM labels l JOIN q ON q.doc_id = l.id),
+    dropped AS (SELECT id AS doc_id FROM ranked WHERE rn > 1),
+    kept AS (SELECT q.* FROM q LEFT JOIN dropped d USING (doc_id)
+             WHERE d.doc_id IS NULL),
+    f AS (
+        SELECT doc_id, source, n_tok AS n_tokens,
+               round({w[0]}
+                     + {w[1]} * ln(1 + n_tok)
+                     + {w[2]} * (CAST(n_uniq AS DOUBLE) / n_tok)
+                     + {w[3]} * ln(1 + n_chars), 4) AS score_key
+        FROM kept),
+    r AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY source
+            ORDER BY score_key DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f)
+    SELECT source, doc_id, n_tokens, score_key
+    FROM r WHERE cum <= {budget}
+    ORDER BY source, doc_id
+    """
+
+
+@_query(
+    "docs_curation_budget_mix",
+    _curation_budget_oracle(FROZEN_W, _LEARNED_BUDGET),
+    driver=False,  # registry at the 50 cap; oracle-checked locally
+    cacheable=("documents",),  # iterative cluster build at plan time
+)
+def docs_curation_budget_mix(spark, sf_dir):
+    """The production pipeline END-TO-END: gate → near-dup cluster →
+    keep-best → learned-score budget fill, one oracle replaying every
+    stage (gate thresholds, recursive-closure clusters, quality argmax,
+    frozen-weight ranking, greedy cumsum) so WHICH docs ship through
+    the whole composition is verified by the independent engine."""
+    return curation_budget_mix(
+        load_table(spark, sf_dir, "documents"), FROZEN_W, _LEARNED_BUDGET
+    )

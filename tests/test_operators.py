@@ -3628,3 +3628,49 @@ def test_learned_budget_fuzz_vs_bruteforce(spark):
             if cum <= budget:
                 want.append((src, i, n_tok, key))
     assert got == sorted(want)
+
+
+def test_curation_budget_mix_no_cluster_twins(spark):
+    """Composition invariant: the budget fill runs AFTER keep-best, so
+    no near-dup cluster may contribute two docs to the shipped set, and
+    every shipped doc passes the gate. Checked on the real corpus
+    against independently recomputed clusters."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from ballcone_spark.operators.quality_classifier import (
+        FROZEN_W,
+        curation_budget_mix,
+    )
+    from ballcone_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = curation_budget_mix(docs, FROZEN_W, budget=800).collect()
+    assert out, "fixture must ship at least one doc"
+    shipped = {r["doc_id"] for r in out}
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    passing = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", "text",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "n_chars",
+    ).where(
+        (F.col("n_chars") >= 100) & (F.col("n_tok") >= 20)
+        & ((F.col("n_uniq") / F.col("n_tok")) >= 0.3)
+    )
+    passing_ids = {r["doc_id"] for r in passing.select("doc_id").collect()}
+    assert shipped <= passing_ids
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(passing.select("doc_id", "text"), vectorized=True)
+        .select("a_id", "b_id")
+    ).collect()
+    assert clusters, "fixture must contain at least one near-dup cluster"
+    by_cluster: dict = {}
+    for r in clusters:
+        if r["doc_id"] in shipped:
+            by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
