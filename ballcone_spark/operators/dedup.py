@@ -47,6 +47,7 @@ from ballcone_spark.functions.text import (
     shingles_of,
     tokens,
 )
+from ballcone_spark.plans.barriers import checkpoint_fresh_stats
 from ballcone_spark.queries import _query, load_table
 
 __all__ = [
@@ -1213,92 +1214,151 @@ def dedup_simhash_hamming(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected components over a near-dup pair list: (doc_id, cluster_id)
     where cluster_id is the MIN doc_id reachable through the pair graph —
     the step that turns pairwise near-dup evidence (Jaccard / MinHash /
-    SimHash / embedding pairs all emit (a_id, b_id)) into keep-one-per-
-    cluster dedup groups.
+    SimHash / embedding / chunk pairs all emit (a_id, b_id)) into
+    keep-one-per-cluster dedup groups. Type-generic: min/least compare
+    longs and md5 strings alike (the chunk alias map clusters
+    fingerprints).
 
-    Algorithm: min-label propagation with **pointer jumping**. Each round
-    (a) every node adopts the smallest label among itself and its
-    neighbors, then (b) compresses paths by adopting its label's label
-    (``l(id) ← min(l(id), l(l(id)))``) — the doubling step that turns
-    O(diameter) rounds into O(log diameter) (a bare propagation loop
-    measurably fails to converge on a 30-node chain within 20 rounds;
-    with jumping it closes in 6). Each round is two hash-partitioned
-    joins + one aggregate — no single-point state, labels never
-    collected; a driver-side change probe stops early at fixpoint.
+    Algorithm (r10 rewrite): **alternating large-star / small-star**
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — each phase is one neighbor-min aggregate plus one join,
+    rewriting the edge set toward a forest of stars rooted at each
+    component's minimum; alternation converges in O(log² n) phases on
+    ARBITRARY graphs. The previous engine (min-label propagation with
+    pointer jumping) was O(diameter) rounds on path-shaped graphs with
+    value-random ids — measured: a 200-node random-id chain took 60
+    rounds, linear in length, and the chunk alias map's sliding-window
+    chains are exactly that shape at corpus scale. Same planted chain
+    under star alternation: a handful of phases (regression-gated in
+    ``test_dedup_clusters_path_graphs_converge_fast``).
+
+      large-star: every edge (u, v) with v > u is rewritten to
+                  (v, m(u)) where m(u) = min(Γ(u) ∪ {u}) — strictly
+                  larger neighbors re-attach to the local minimum;
+      small-star: every edge (u, v) with v < u is rewritten to
+                  (v, m(u)), plus (u, m(u)) — the rest collapse onto it.
+
+    Edges stay canonical (lo < hi) and distinct, so the working set
+    never exceeds the symmetrized input edge count. The driver-side
+    fixpoint probe (new edge set ≡ old, one limit-1 count over an
+    anti-diff) stops the loop; exhausting ``max_iters`` without the
+    fixpoint RAISES — an unconverged edge set is silently-wrong cluster
+    membership (the keep-best guard philosophy).
+
+    Every phase output passes through ``checkpoint_fresh_stats``
+    (plans/barriers.py), NOT plain localCheckpoint: the checkpoint
+    snapshots the phase plan's size estimate and the next phase
+    multiplies it into its own — compounding doubly-exponentially until
+    Catalyst's BigInt stats arithmetic pins the driver core (measured:
+    digits 20 → 3 604 over seven self-join rounds; the sf1 chunk graph
+    sat 30+ min inside SizeInBytesOnlyStatsPlanVisitor before any task
+    ran).
 
     Iterative and data-dependent — rows-only class, like the k-means
-    trainer. Semantics pinned by tests on known graph shapes.
-
-    NOTE (measured, do not "fix"): the symmetrizing union's two
-    branches do NOT re-run the pair pipeline — they share one shuffle
-    subtree via ReusedExchange, so a pre-union checkpoint of ``pairs``
-    buys nothing within this plan and its eager materialization at
-    sf10 pushed a §6g-class static broadcast build past the driver's
-    memory margin (keep-best OOMed). Cross-ACTION reuse is different:
-    a caller that references ``pairs`` again after this function (the
-    split audit) must checkpoint it itself — exchange reuse does not
-    span actions."""
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    trainer. Semantics pinned by tests on known graph shapes and by the
+    recursive-closure oracles of every consuming query."""
+    canon = (
+        pairs.select(
+            F.least(F.col("a_id"), F.col("b_id")).alias("lo"),
+            F.greatest(F.col("a_id"), F.col("b_id")).alias("hi"),
         )
+        .where(F.col("lo") != F.col("hi"))
         .distinct()
-        # materialize ONCE before iterating (r7 sf10 fix): `edges` is the
-        # whole upstream pair pipeline — signatures, band join, exact
-        # verify — and every propagation round references it twice.
-        # Un-checkpointed, each round re-ran that pipeline and re-built
-        # its AQE broadcasts; at 500 k docs the concurrent rebuilds
-        # exhausted the driver's broadcast memory (SparkException: "Not
-        # enough memory to build and broadcast"). Edge lists are
-        # pair-sized (tiny next to the corpus), so the barrier is cheap
-        # at any scale.
-        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
+    # materialize ONCE before iterating (r7 sf10 fix): `canon` is the
+    # whole upstream pair pipeline — signatures, band join, exact
+    # verify — and the loop references it repeatedly. Fresh stats: the
+    # pair pipeline's estimate would otherwise seed the compounding.
+    edges = checkpoint_fresh_stats(canon)
+    nodes = checkpoint_fresh_stats(
+        edges.select(F.col("lo").alias("id"))
+        .unionByName(edges.select(F.col("hi").alias("id")))
+        .distinct()
     )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
-        step = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.min(F.least(F.col("u"), F.col("v"))).alias("m")
+        )
+
+    def _canonize(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least(F.col("x"), F.col("y")).alias("lo"),
+                F.greatest(F.col("x"), F.col("y")).alias("hi"),
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        # large-star: (u, v>u) → (v, m(u))
+        sym = _sym(edges).localCheckpoint(eager=False)
+        large = _canonize(
+            sym.where(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+        )
+        edges_l = checkpoint_fresh_stats(large)
+        # small-star: (u, v<u) → (v, m(u)), plus (u, m(u))
+        sym2 = _sym(edges_l).localCheckpoint(eager=False)
+        mins2 = _mins(sym2).localCheckpoint(eager=False)
+        small = _canonize(
+            sym2.where(F.col("v") < F.col("u"))
+            .join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(
+                mins2.select(F.col("u").alias("x"), F.col("m").alias("y"))
             )
         )
-        # pointer jumping: follow label→label one hop (labels are node
-        # ids, so every label has a row)
-        x, y = step.alias("x"), step.alias("y")
-        jumped = x.join(y, F.col("x.label") == F.col("y.id"), "left").select(
-            F.col("x.id").alias("id"),
-            F.least(
-                F.col("x.label"),
-                F.coalesce(F.col("y.label"), F.col("x.label")),
-            ).alias("label"),
+        new_edges = checkpoint_fresh_stats(small)
+        # fixpoint probe: the edge sets are equal iff neither side has
+        # a row the other lacks (two bounded anti-joins, limit-1 each)
+        diff_a = (
+            new_edges.join(edges, ["lo", "hi"], "left_anti").limit(1).count()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # checkpoint the lineage: each round otherwise doubles plan depth
-        labels = jumped.localCheckpoint(eager=True)
-        if changed == 0:
+        diff_b = 0
+        if diff_a == 0:
+            diff_b = (
+                edges.join(new_edges, ["lo", "hi"], "left_anti")
+                .limit(1)
+                .count()
+            )
+        edges = new_edges
+        if diff_a == 0 and diff_b == 0:
             break
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    else:
+        # fail LOUDLY (the keep-best guard philosophy): an unconverged
+        # edge set is silently-wrong cluster membership — every
+        # downstream keep/drop/split decision would act on it
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} phases; "
+            "raise max_iters (each phase after the fixpoint is free — "
+            "the early-stop probe ends the loop)"
+        )
+    # at the fixpoint the edge set is a star forest rooted at each
+    # component's minimum: every non-root appears exactly once as `hi`
+    labels = edges.select(
+        F.col("hi").alias("id"), F.col("lo").alias("label")
+    )
+    return (
+        nodes.join(labels, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+        )
+    )
 
 
 def _cluster_labels_cte(src: str = "documents") -> str:

@@ -3674,3 +3674,29 @@ def test_curation_budget_mix_no_cluster_twins(spark):
         if r["doc_id"] in shipped:
             by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
     assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
+
+
+def test_dedup_clusters_path_graphs_converge_fast(spark):
+    """The r10 engine rewrite's contract: star alternation must close
+    a value-random path graph in O(log n) phases (the old min-label +
+    pointer-jumping engine was O(diameter): 60 rounds for n=200 —
+    linear — which silently exceeded max_iters on the chunk alias
+    map's chain-shaped graphs), and the labels must equal union-find
+    ground truth."""
+    import random
+
+    from ballcone_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(7)
+    n = 2000
+    ids = list(range(n))
+    rng.shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "a_id long, b_id long",
+    )
+    # must converge within a log-scale phase budget, far under the
+    # default 50 (measured: 10 phases at n=2000, 12 at n=20000)
+    got = dedup_clusters(pairs, max_iters=16).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == n
