@@ -1059,6 +1059,9 @@ sims AS (SELECT doc_id, {val} AS simhash FROM bits)
 @_query(
     "docs_simhash",
     f"WITH {_duck_simhash_cte()} SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    driver=False,  # demoted r11: signature stage whose downstream
+    # clusters/keep-best are independently oracled; slot freed for
+    # docs_curation_budget_mix (still oracle-checked via test_oracle_diff)
 )
 def docs_simhash(spark, sf_dir):
     """Per-doc 32-bit SimHash over distinct tokens: bit b is the sign of
@@ -1261,22 +1264,23 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     Iterative and data-dependent — rows-only class, like the k-means
     trainer. Semantics pinned by tests on known graph shapes and by the
     recursive-closure oracles of every consuming query."""
-    canon = (
-        pairs.select(
-            F.least(F.col("a_id"), F.col("b_id")).alias("lo"),
-            F.greatest(F.col("a_id"), F.col("b_id")).alias("hi"),
-        )
-        .where(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
+    canon = pairs.select(
+        F.least(F.col("a_id"), F.col("b_id")).alias("lo"),
+        F.greatest(F.col("a_id"), F.col("b_id")).alias("hi"),
+    ).distinct()
     # materialize ONCE before iterating (r7 sf10 fix): `canon` is the
     # whole upstream pair pipeline — signatures, band join, exact
-    # verify — and the loop references it repeatedly. Fresh stats: the
-    # pair pipeline's estimate would otherwise seed the compounding.
-    edges = checkpoint_fresh_stats(canon)
+    # verify — and both `nodes` and the loop reference it. Fresh stats:
+    # the pair pipeline's estimate would otherwise seed the compounding.
+    # Self-pairs (a_id == b_id) are kept HERE so their ids reach `nodes`
+    # and emit as singleton clusters (ADVICE r10: the old node set was
+    # derived after the lo != hi cut, silently dropping a doc whose only
+    # edge was a self-pair); the iteration below works on proper edges.
+    canon = checkpoint_fresh_stats(canon)
+    edges = canon.where(F.col("lo") != F.col("hi"))
     nodes = checkpoint_fresh_stats(
-        edges.select(F.col("lo").alias("id"))
-        .unionByName(edges.select(F.col("hi").alias("id")))
+        canon.select(F.col("lo").alias("id"))
+        .unionByName(canon.select(F.col("hi").alias("id")))
         .distinct()
     )
 

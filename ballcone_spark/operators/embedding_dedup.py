@@ -310,6 +310,9 @@ _DUCK_HAMMING_KEYS = ", ".join(
            round((SELECT count(*) FROM found) * 1.0
                  / (SELECT count(*) FROM truth), 4) AS recall
     """,
+    driver=False,  # demoted r11: 1-row recall echo whose guarantee the
+    # three embeddings_ann_*_recall entries already carry; slot freed for
+    # docs_chunk_alias_map (still oracle-checked via test_oracle_diff)
 )
 def dedup_embedding_cosine_recall(spark, sf_dir):
     """Recall of the multi-probe LSH near-dup path vs the exact all-pairs

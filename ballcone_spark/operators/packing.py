@@ -832,9 +832,12 @@ def chunk_alias_map(
     costing index space and retrieval slots.
 
     Components reuse :func:`ballcone_spark.operators.dedup.
-    dedup_clusters` — min-label pointer jumping is type-generic (least/
-    min compare md5 strings lexicographically exactly like the oracle's
-    min(r)); only chunks that appear in at least one pair are emitted
+    dedup_clusters` — the large-star/small-star alternation engine
+    (pointer jumping failed to converge in bounded rounds on exactly
+    this function's chain-shaped sliding-window graphs; see the r10
+    rewrite notes there) — which is type-generic (least/min compare
+    md5 strings lexicographically exactly like the oracle's min(r));
+    only chunks that appear in at least one pair are emitted
     (singletons need no alias row — by construction they are their own
     canonical)."""
     from ballcone_spark.operators.dedup import dedup_clusters
@@ -875,7 +878,8 @@ def _duck_chunk_alias(dim: int, tau: float) -> str:
 @_query(
     "docs_chunk_alias_map",
     _duck_chunk_alias(CHUNK_EMB_DIM, CHUNK_COS_T),
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted r11 (VERDICT r10 #1): the vector-store redirect table with a
+    # recursive-closure oracle; dedup_embedding_cosine_recall demoted
     cacheable=("documents",),  # checkpointed chunk pipeline under it
 )
 def docs_chunk_alias_map(spark, sf_dir):

@@ -427,7 +427,8 @@ def _curation_budget_oracle(w: list[float], budget: int) -> str:
 @_query(
     "docs_curation_budget_mix",
     _curation_budget_oracle(FROZEN_W, _LEARNED_BUDGET),
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted r11 (VERDICT r10 #1): the full production curation order in
+    # one oracle-replayed query; docs_simhash demoted to make the slot
     cacheable=("documents",),  # iterative cluster build at plan time
 )
 def docs_curation_budget_mix(spark, sf_dir):

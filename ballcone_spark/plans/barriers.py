@@ -43,10 +43,22 @@ def checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` (localCheckpoint) and return a frame
     over the same cached partitions whose plan stats are RESET instead
     of inherited — use for every checkpoint that a later iteration
-    joins against itself or multiplies into its own successor."""
+    joins against itself or multiplies into its own successor.
+
+    The rewrap reaches through py4j internals (``_jsparkSession`` /
+    ``_jdf``) that Spark Connect and future py4j-surface changes may
+    remove (ADVICE r10), so it degrades gracefully: if the handles are
+    absent or the JVM call fails, return the plain localCheckpoint —
+    correct, just carrying the snapshotted stats (slower planning on
+    deep iteration, never wrong results)."""
     ck = df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    jdf = spark._jsparkSession.internalCreateDataFrame(
-        ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
-    )
-    return DataFrame(jdf, spark)
+    if not hasattr(spark, "_jsparkSession") or not hasattr(ck, "_jdf"):
+        return ck  # Spark Connect / no py4j surface: stats stay inherited
+    try:
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return ck

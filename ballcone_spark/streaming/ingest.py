@@ -83,6 +83,8 @@ def start_file_ingest(
     trigger_seconds: int = 5,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    hot_partition_rows: int | None = None,
+    hot_task_cap: int = 64,
 ):
     """Start the micro-batch ingest from a spool directory of datagram
     text files (written by the UDP bridge or any log shipper).
@@ -98,14 +100,26 @@ def start_file_ingest(
     files-per-trigger drains the backlog in trigger-sized bites so
     per-batch latency stays flat while throughput catches up.
     (availableNow respects the same bound — its drain becomes several
-    bounded batches instead of one monster.)"""
+    bounded batches instead of one monster.)
+
+    ``hot_partition_rows`` is the hot-partition escape hatch (BASELINE
+    §6r / VERDICT r10 #2): the 1-file-per-partition-per-batch invariant
+    routes each (service, date) through ONE writer task, so a single
+    dominant key caps that key's drain rate at one core's worth of
+    encode+write. When set, each micro-batch counts rows per key (over
+    the persisted batch — one extra map-side-combinable aggregate, no
+    re-parse) and any key above the threshold drops the invariant for
+    that batch: its rows spread round-robin over up to ``hot_task_cap``
+    writer tasks (⌈rows/threshold⌉ of them), producing extra files that
+    :func:`compact_warehouse` folds later. Cold keys keep the 1-file
+    path. ``None`` (default) preserves the old behavior exactly."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(spool_dir)
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def _write_invariant(df: DataFrame) -> None:
         # repartition BY THE PARTITION COLUMNS, not coalesce(1): coalesce
         # has no shuffle boundary, so it collapsed the entire upstream
         # parse+enrich into ONE task — the whole micro-batch ran
@@ -113,15 +127,64 @@ def start_file_ingest(
         # repartition form parallelizes the scan/parse/enrich across the
         # cluster and the shuffle routes each (service, date) to exactly
         # one task, preserving the one-file-per-partition-per-batch
-        # property the small-file budget depends on). A hot partition
-        # still funnels through one writer task — that's the price of
-        # the 1-file invariant; compact_warehouse handles the rest.
+        # property the small-file budget depends on).
         (
-            batch_df.repartition("service", "date")
+            df.repartition("service", "date")
             .write.mode("append")
             .partitionBy("service", "date")
             .parquet(warehouse_data_dir)
         )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if hot_partition_rows is None:
+            _write_invariant(batch_df)
+            return
+        # Escape hatch armed: persist so the per-key count and the
+        # write(s) share one parse+enrich execution (the batch is
+        # trigger-bounded, so the cache is too).
+        batch_df.persist()
+        try:
+            counts = (
+                batch_df.groupBy("service", "date").count().collect()
+            )  # bounded: #(service,date) keys live in a 5 s batch is tiny
+            hot = [r for r in counts if r["count"] > hot_partition_rows]
+            if not hot:
+                _write_invariant(batch_df)
+                return
+            cond = None
+            for r in hot:
+                c = (F.col("service") == r["service"]) & (
+                    F.col("date") == F.lit(r["date"])
+                )
+                cond = c if cond is None else (cond | c)
+            # Hot keys drop the invariant for this batch — spread over
+            # ⌈rows/threshold⌉ writer tasks (capped), plain multi-file
+            # append; compact_warehouse folds the extra files. Round-robin
+            # repartition(N) beats a hash-salt column here: the keys all
+            # land in the same partitionBy directory regardless of which
+            # task writes them, so co-location buys nothing, round-robin
+            # balances perfectly, and the explicit partition count is
+            # exempt from AQE shuffle-coalescing (a column-salt repartition
+            # gets coalesced right back into one task at these sizes —
+            # observed in the e2e test). Retry-safe: Spark locally sorts
+            # before round-robin (sortBeforeRepartition, default on).
+            # ONE write job for both branches: Union concatenates its
+            # children's partitions untouched, so the cold branch's
+            # one-task-per-key layout and the hot branch's N-task spread
+            # survive into a single writer stage (two jobs doubled the
+            # fixed job/commit overhead — measured in the §6w A/B).
+            max_rows = max(r["count"] for r in hot)
+            n_tasks = int(min(hot_task_cap, -(-max_rows // hot_partition_rows)))
+            cold_part = batch_df.filter(~cond).repartition("service", "date")
+            hot_part = batch_df.filter(cond).repartition(n_tasks)
+            (
+                cold_part.unionByName(hot_part)
+                .write.mode("append")
+                .partitionBy("service", "date")
+                .parquet(warehouse_data_dir)
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         facts.writeStream.foreachBatch(write_batch)

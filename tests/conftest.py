@@ -11,6 +11,17 @@ import pytest
 from ballcone_spark.session import get_spark
 
 
+def window_group_limit_expected(spark) -> bool:
+    """Spark ≥ 3.5 rewrites rank/row_number≤k window filters to the
+    WindowGroupLimit physical node; older versions lack the rule and
+    the rendered node name is not a stable cross-version contract
+    (ADVICE r10) — plan-shape assertions gate on this, while the
+    result-correctness assertions in the same tests stay
+    unconditional."""
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    return (major, minor) >= (3, 5)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(app_name="ballcone_spark_tests", master="local[4]",

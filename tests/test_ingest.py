@@ -877,3 +877,75 @@ def test_backlog_drains_in_bounded_batches(spark, tmp_path):
     got = spark.read.parquet(wh)
     assert got.count() == 20
     assert got.select("path").distinct().count() == 20
+
+
+def test_hot_partition_escape_hatch(spark, tmp_path):
+    """Hot-partition escape hatch (r11, BASELINE §6r): a (service, date)
+    key whose batch rows exceed ``hot_partition_rows`` drops the
+    1-file invariant for that batch — its write salts into
+    ⌈rows/threshold⌉ tasks (multiple files) while cold keys keep the
+    single-file path; compact_warehouse later folds the extras. Rows
+    land exactly once either way."""
+    import os
+
+    from ballcone_spark.streaming.ingest import compact_warehouse
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    lines = [
+        _dgram(dict(GOOD, service="hotsvc", path=f"/hot/{i}",
+                    ip=f"10.{i % 250}.{i // 250}.7"))
+        for i in range(400)
+    ] + [
+        _dgram(dict(GOOD, service="coldsvc", path=f"/cold/{i}"))
+        for i in range(5)
+    ]
+    (spool / "batch.log").write_text("\n".join(lines) + "\n")
+
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+    q = start_file_ingest(
+        spark, str(spool), wh, ck,
+        available_now=True, hot_partition_rows=100,
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(wh)
+    assert got.count() == 405
+    assert got.filter(F.col("path").startswith("/hot/")).count() == 400
+    assert got.select("path").distinct().count() == 405
+
+    def parquet_files(svc):
+        svc_dir = os.path.join(wh, f"service={svc}", "date=2020-01-01")
+        return [f for f in os.listdir(svc_dir) if f.endswith(".parquet")]
+
+    # cold key kept the 1-file invariant; the hot key salted into up to
+    # ceil(400/100)=4 files (≥2 even under unlucky hash distribution)
+    assert len(parquet_files("coldsvc")) == 1
+    n_hot = len(parquet_files("hotsvc"))
+    assert 2 <= n_hot <= 4, n_hot
+
+    # compaction folds the extra files without losing a row
+    compact_warehouse(spark, wh, target_file_mb=128)
+    assert len(parquet_files("hotsvc")) == 1
+    assert spark.read.parquet(wh).count() == 405
+
+
+def test_hot_partition_hatch_disabled_is_old_path(spark, tmp_path):
+    """hot_partition_rows=None (default) preserves the invariant even
+    for a key that would have tripped a threshold."""
+    import os
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    lines = [
+        _dgram(dict(GOOD, service="hotsvc", path=f"/hot/{i}"))
+        for i in range(300)
+    ]
+    (spool / "batch.log").write_text("\n".join(lines) + "\n")
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+    q = start_file_ingest(spark, str(spool), wh, ck, available_now=True)
+    q.awaitTermination()
+    svc_dir = os.path.join(wh, "service=hotsvc", "date=2020-01-01")
+    files = [f for f in os.listdir(svc_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(wh).count() == 300

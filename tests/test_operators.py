@@ -1608,6 +1608,23 @@ def test_dedup_clusters_connected_components(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_dedup_clusters_self_pair_emits_singleton(spark):
+    """ADVICE r10: an input self-pair (a_id == b_id) whose node has no
+    other edges must still emit as its own singleton cluster — the node
+    set is derived BEFORE the self-loop cut, so a pair source that
+    doesn't enforce a_id < b_id can't silently lose a doc. A self-pair
+    on a connected node changes nothing."""
+    from ballcone_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "a_id int, b_id int"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
 def test_dedup_clusters_long_chain_and_composition(spark):
     """A 30-node chain converges (diameter-bound rounds with early stop);
     composing with the Jaccard pair list yields a partition of the docs
@@ -3526,8 +3543,11 @@ def test_learned_budget_sample_fills_highest_score_first(spark):
     assert got[3]["n_tokens"] == 4 and got[1]["n_tokens"] == 10
     # the winner is the SCORE order, not doc_id order: doc2 (id < 3's
     # competitors' ids in hash order) is out purely on score
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan, plan[:2000]
+    from tests.conftest import window_group_limit_expected
+
+    if window_group_limit_expected(spark):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan[:2000]
 
 
 def test_chunk_alias_map_properties(spark):

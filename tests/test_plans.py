@@ -191,6 +191,10 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_topn_uses_window_group_limit(spark):
+    from tests.conftest import window_group_limit_expected
+
+    if not window_group_limit_expected(spark):
+        pytest.skip("WindowGroupLimit rewrite requires Spark >= 3.5")
     df = entry_mod.queries()["events_top_types_daily"](spark, SF)
     assert "WindowGroupLimit" in plan_str(df)
 
@@ -316,6 +320,10 @@ def test_sampling_windows_use_group_limit(spark):
     `budget` rows per source however large the hot source is."""
     from ballcone_spark.queries import EXTRA_QUERIES
 
+    from tests.conftest import window_group_limit_expected
+
+    if not window_group_limit_expected(spark):
+        pytest.skip("WindowGroupLimit rewrite requires Spark >= 3.5")
     for name in (
         "docs_source_quota_sample",
         "docs_token_budget_mix",

@@ -69,25 +69,35 @@ PATHS = ["/", "/index.html", "/api/v1/items", "/posts/42", "/robots.txt"]
 
 
 def write_spool(
-    spool_dir: str, rows: int, lines_per_file: int, seq_start: int = 0
+    spool_dir: str,
+    rows: int,
+    lines_per_file: int,
+    seq_start: int = 0,
+    skew_pct: float = 0.0,
 ) -> int:
     """Write ``rows`` synthetic datagrams as spool text files; returns
     the number of files written. Line shape matches the reference's
     nginx→syslog frame (<PRI>header: {json}); fields rotate through
     small pools so (service, date) partitioning, UA parsing, and the
-    GeoIP miss path all run on realistic variety."""
+    GeoIP miss path all run on realistic variety.
+
+    ``skew_pct`` > 0 routes that fraction of rows onto ONE
+    (service, date) key — the hot-partition fixture for the
+    escape-hatch A/B (BASELINE §6w)."""
     os.makedirs(spool_dir, exist_ok=True)
     n_files = 0
     i = 0
     fi = seq_start
+    skew_mod = int(skew_pct * 1000)
     while i < rows:
         chunk = min(lines_per_file, rows - i)
         lines = []
         for k in range(i, i + chunk):
-            svc = SERVICES[k % len(SERVICES)]
+            hot = (k % 1000) < skew_mod
+            svc = SERVICES[0] if hot else SERVICES[k % len(SERVICES)]
             ua = UAS[k % len(UAS)].replace('"', "")
             path = PATHS[k % len(PATHS)]
-            day = 1 + (k % 3)
+            day = 1 if hot else 1 + (k % 3)
             sec = k % 86400
             hh, rem = divmod(sec, 3600)
             mm, ss = divmod(rem, 60)
@@ -144,6 +154,18 @@ def main() -> None:
     )
     ap.add_argument("--keep", action="store_true", help="keep work dir")
     ap.add_argument(
+        "--skew-pct",
+        type=float,
+        default=0.0,
+        help="fraction of rows routed to ONE (service, date) key",
+    )
+    ap.add_argument(
+        "--hot-partition-rows",
+        type=int,
+        default=None,
+        help="escape-hatch threshold passed to start_file_ingest",
+    )
+    ap.add_argument(
         "--services",
         type=int,
         default=len(SERVICES),
@@ -166,6 +188,8 @@ def main() -> None:
         "mode": "live" if args.live_seconds else "drain",
         "trigger_seconds": args.trigger_seconds,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "skew_pct": args.skew_pct,
+        "hot_partition_rows": args.hot_partition_rows,
     }
 
     if args.live_seconds:
@@ -183,7 +207,8 @@ def main() -> None:
             deadline = time.monotonic() + args.live_seconds
             while not stop.is_set() and time.monotonic() < deadline:
                 t0 = time.monotonic()
-                write_spool(spool, per_file, per_file, seq_start=seq)
+                write_spool(spool, per_file, per_file, seq_start=seq,
+                            skew_pct=args.skew_pct)
                 written["rows"] += per_file
                 written["files"] += 1
                 seq += 1
@@ -194,6 +219,7 @@ def main() -> None:
             spark, spool, warehouse, ckpt,
             trigger_seconds=args.trigger_seconds,
             max_files_per_trigger=args.max_files_per_trigger,
+            hot_partition_rows=args.hot_partition_rows,
         )
         th = threading.Thread(target=feeder, daemon=True)
         t0 = time.perf_counter()
@@ -235,12 +261,15 @@ def main() -> None:
         )
     else:
         t_gen0 = time.perf_counter()
-        n_files = write_spool(spool, args.rows, args.lines_per_file)
+        n_files = write_spool(
+            spool, args.rows, args.lines_per_file, skew_pct=args.skew_pct
+        )
         gen_sec = time.perf_counter() - t_gen0
         t0 = time.perf_counter()
         q = start_file_ingest(
             spark, spool, warehouse, ckpt, available_now=True,
             max_files_per_trigger=args.max_files_per_trigger,
+            hot_partition_rows=args.hot_partition_rows,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
