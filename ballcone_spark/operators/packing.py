@@ -583,6 +583,30 @@ CHUNK_GRAM = 5
 CHUNK_GRAM_MAX_DF = 64
 
 
+def chunk_gram_rows(dch: DataFrame) -> DataFrame:
+    """(chunk_fp, g) — distinct token ``CHUNK_GRAM``-grams per distinct
+    chunk, the candidate-generation signal shared by the batch pair
+    operator and the streaming alias map. Distinct (chunk, gram): gram
+    df counts chunks, not instances. Chunks shorter than the gram width
+    emit no grams (and a bare sequence(1, 0) would count DOWN and emit
+    _i=0) — filter first."""
+    pos = dch.where(F.size("chunk_toks") >= CHUNK_GRAM).select(
+        "chunk_fp",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("chunk_toks") - (CHUNK_GRAM - 1)
+            )
+        ).alias("_i"),
+        F.col("chunk_toks"),
+    )
+    return pos.select(
+        "chunk_fp",
+        F.concat_ws(
+            " ", F.slice("chunk_toks", F.col("_i"), CHUNK_GRAM)
+        ).alias("g"),
+    ).distinct()
+
+
 def chunk_semantic_pairs(
     docs: DataFrame,
     tau: float = CHUNK_COS_T,
@@ -635,24 +659,7 @@ def chunk_semantic_pairs(
     emb = chunk_embeddings(
         docs, window, stride, dim, text_col, distinct_chunks=dch
     ).localCheckpoint(eager=False)
-    # distinct (chunk, gram): gram df counts chunks, not instances.
-    # Chunks shorter than the gram width emit no grams (and a bare
-    # sequence(1, 0) would count DOWN and emit _i=0) — filter first.
-    pos = dch.where(F.size("chunk_toks") >= CHUNK_GRAM).select(
-        "chunk_fp",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.size("chunk_toks") - (CHUNK_GRAM - 1)
-            )
-        ).alias("_i"),
-        F.col("chunk_toks"),
-    )
-    grams = pos.select(
-        "chunk_fp",
-        F.concat_ws(
-            " ", F.slice("chunk_toks", F.col("_i"), CHUNK_GRAM)
-        ).alias("g"),
-    ).distinct()
+    grams = chunk_gram_rows(dch)
     rare = (
         grams.groupBy("g")
         .agg(F.count("*").alias("_df"))

@@ -1100,3 +1100,137 @@ def test_semantic_decide_kernel_rectangular_and_linear_in_history():
     t1, t2 = timed(20_000), timed(40_000)
     # linear → ~2×; the old (h+b)² gram → ~4×. Generous noise margin.
     assert t2 / t1 < 3.0, (t1, t2)
+
+
+def _alias_partition(rows):
+    """alias rows → frozenset of frozensets (cluster members incl. the
+    canonical itself) — the naming-independent partition."""
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in rows:
+        groups[r["canonical_fp"]].add(r["chunk_fp"])
+        groups[r["canonical_fp"]].add(r["canonical_fp"])
+    return frozenset(frozenset(v) for v in groups.values())
+
+
+def test_alias_stream_partition_matches_batch(spark, tmp_path):
+    """VERDICT r10 #5 equivalence: the sf0.001 documents corpus streamed
+    in 3 micro-batches must produce the SAME cluster partition as the
+    batch chunk_alias_map (the streamed pair set contains every batch
+    pair; on this corpus the df-cut never binds mid-stream, so the
+    partitions are equal — only canonical NAMING may differ:
+    first-seen vs global lexicographic min). Also pins first-seen:
+    every streamed canonical is the (first_batch, fp)-minimal member."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.operators.packing import chunk_alias_map
+    from ballcone_spark.queries import load_table
+    from ballcone_spark.streaming.alias_stream import (
+        process_alias_batch,
+        read_alias_map,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+    for b in range(3):
+        batch = docs.where(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        process_alias_batch(spark, batch, *dirs, batch_id=b)
+
+    got = read_alias_map(spark, dirs[2]).collect()
+    want = chunk_alias_map(docs).collect()
+    assert _alias_partition(got) == _alias_partition(want)
+
+    # fixture guard: the equivalence is only interesting if some
+    # cluster spans batches — check via the chunk index's first_batch
+    seen = {
+        r["chunk_fp"]: r["batch_id"]
+        for r in spark.read.option("basePath", dirs[0])
+        .parquet(dirs[0] + "/batch_id=*")
+        .select("chunk_fp", "batch_id")
+        .collect()
+    }
+    clusters = _alias_partition(got)
+    assert any(len({seen[fp] for fp in c}) > 1 for c in clusters)
+
+    # first-seen-wins election: canonical == min (first_batch, fp)
+    canon = {r["chunk_fp"]: r["canonical_fp"] for r in got}
+    for c in clusters:
+        first = min((seen[fp], fp) for fp in c)[1]
+        assert all(canon[fp] == first for fp in c)
+
+
+def test_alias_stream_cross_batch_merge_rewrites(spark, tmp_path):
+    """Planted cross-batch merge through the REAL stream: batch0 forms
+    cluster {A, A2} (A2 = A with the tail pair swapped — same token bag
+    → cosine exactly 1.0, shared head 5-gram → candidate); batch1 forms
+    the disjoint cluster {C, C2} (C = reversed A: same bag but NO
+    shared 5-gram with A, so no candidate edge yet); batch2's bridge B
+    (A's bag ordered to share a forward gram with A and a backward gram
+    with C) merges everything. The final redirect table must point all
+    five chunks at batch0's canonical (first-seen-wins), REWRITING the
+    batch1 rows that pointed at the retired canonical."""
+    import json as _json
+
+    from ballcone_spark.streaming.alias_stream import (
+        read_alias_map,
+        start_chunk_alias_stream,
+    )
+
+    toks = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliett", "kilo", "lima",
+    ]
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    c = " ".join(reversed(toks))
+    # reversed(toks) ends "... bravo alpha"; swap that tail pair (the
+    # same-bag trick as a2 — appending [bravo, alpha] would rebuild c)
+    c2 = " ".join(list(reversed(toks))[:-2] + [toks[0], toks[1]])
+    b = " ".join(toks[:6] + list(reversed(toks[6:])))
+
+    spool = tmp_path / "alias_spool"
+    spool.mkdir()
+    batches = [[(1, a), (2, a2)], [(3, c), (4, c2)], [(5, b)]]
+
+    def write(i):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for did, text in batches[i]:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+    ck = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_chunk_alias_stream(
+            spark, str(spool), *dirs, ck, available_now=True
+        )
+        q.awaitTermination(180)
+
+    write(0); run()
+    m0 = {r["chunk_fp"]: r for r in read_alias_map(spark, dirs[2]).collect()}
+    assert len(m0) == 2  # {A, A2} paired
+    a_star = next(r["canonical_fp"] for r in m0.values())
+    assert all(r["canonical_fp"] == a_star for r in m0.values())
+
+    write(1); run()
+    m1 = {r["chunk_fp"]: r for r in read_alias_map(spark, dirs[2]).collect()}
+    assert len(m1) == 4  # {C, C2} formed, DISJOINT from {A, A2}
+    c_star = next(
+        r["canonical_fp"] for fp, r in m1.items() if fp not in m0
+    )
+    assert c_star != a_star
+
+    write(2); run()
+    m2 = {r["chunk_fp"]: r for r in read_alias_map(spark, dirs[2]).collect()}
+    assert len(m2) == 5  # all five chunks aliased into ONE cluster
+    assert {r["canonical_fp"] for r in m2.values()} == {a_star}
+    assert [fp for fp, r in m2.items() if r["is_canonical"]] == [a_star]
+    # the batch1 row for C2 pointed at c_star and MUST have been
+    # rewritten by the merge
+    assert m2[c_star]["canonical_fp"] == a_star
