@@ -215,6 +215,17 @@ def main() -> None:
         "steady_samples": samples,
         "loadavg_per_query": load_q,
     }
+    if duck_queries:
+        # cold-vs-DuckDB ratio per query (VERDICT r10 #6): the steady
+        # headline measures the fingerprint plan cache for the corpus
+        # queries, so a COLD-path regression (lost checkpoint, un-pruned
+        # scan) would be invisible in the stdout contract line — this
+        # table makes it visible round-over-round in the sidecar.
+        detail["cold_vs_duck"] = {
+            q: round(cold[q] / duck_queries[q], 2)
+            for q in HEADLINE
+            if q in duck_queries and duck_queries[q] > 0
+        }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_detail_last.json"), "w") as fh:
         json.dump(detail, fh, indent=1)

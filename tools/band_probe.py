@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Band-geometry plateau-edge probe (VERDICT r10 #4).
+
+The plateau-quadratic class (BASELINE §6s): between two steps of
+:func:`ballcone_spark.operators.dedup.adaptive_band_rows` the geometry
+is FIXED, so candidate mass grows quadratically with corpus size until
+the next step fires — every unmeasured plateau edge is a latent cliff.
+This tool measures a geometry step the way §6s did: for each corpus,
+count band candidates and verified pairs at the adaptive rows setting
+(and optionally at forced settings on either side of the step), timing
+each stage, and bucketing verified pairs by Jaccard so a step's recall
+envelope is explicit.
+
+Stage metrics stream to stderr as they finish (a blown-up candidate
+count is visible BEFORE a possibly-hour-long verify); one JSON line on
+stdout at the end. Probe-session conf sets
+``autoBroadcastJoinThreshold=-1`` (§6s gotcha: checkpointed candidate
+frames carry bogus-small estimates that bait corpus-scale broadcast
+builds in probe plans; the shipped path doesn't checkpoint there).
+
+Usage:
+  python tools/band_probe.py --sf-dirs .scale_data/sf62,.scale_data/sf66
+  python tools/band_probe.py --sf-dirs .scale_data/sf66 --force-rows 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ballcone_spark.operators.dedup import (  # noqa: E402
+    N_BANDS,
+    _JACCARD_THRESHOLD,
+    adaptive_band_rows,
+    band_pairs,
+    exact_jaccard_on_pairs,
+    minhash_signatures_np,
+)
+from ballcone_spark.session import get_spark  # noqa: E402
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def probe(spark, sf_dir: str, rows: int, skip_verify: bool) -> dict:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "rows": rows}
+    t0 = time.perf_counter()
+    sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
+    cand = band_pairs(sig, n_bands=N_BANDS, rows=rows)
+    out["candidates"] = cand.count()
+    out["cand_sec"] = round(time.perf_counter() - t0, 1)
+    log(f"{sf_dir} rows={rows}: {out['candidates']:,} candidates "
+        f"in {out['cand_sec']}s")
+    if skip_verify:
+        return out
+    t0 = time.perf_counter()
+    verified = (
+        exact_jaccard_on_pairs(docs, cand, vectorized=True)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    # J histogram in the same action: bucket = floor(j * 20) / 20
+    hist = (
+        verified.groupBy(
+            (F.floor(F.col("jaccard") * 20) / 20).alias("j_bucket")
+        )
+        .count()
+        .orderBy("j_bucket")
+        .collect()
+    )
+    out["verify_sec"] = round(time.perf_counter() - t0, 1)
+    out["verified"] = sum(r["count"] for r in hist)
+    out["j_hist"] = {str(r["j_bucket"]): r["count"] for r in hist}
+    log(f"{sf_dir} rows={rows}: {out['verified']:,} verified "
+        f"in {out['verify_sec']}s")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dirs", required=True,
+                    help="comma-separated corpus dirs (documents.parquet)")
+    ap.add_argument("--force-rows", type=int, default=None,
+                    help="ALSO probe this rows setting (step comparison)")
+    ap.add_argument("--skip-verify", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="band_probe")
+    # §6s probe gotcha: no broadcast decisions off checkpoint estimates
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    results = []
+    for sf_dir in args.sf_dirs.split(","):
+        sf_dir = sf_dir if os.path.isabs(sf_dir) else os.path.join(ROOT, sf_dir)
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        settings = [adaptive_band_rows(n_docs)]
+        if args.force_rows and args.force_rows not in settings:
+            settings.append(args.force_rows)
+        for rows in settings:
+            results.append(probe(spark, sf_dir, rows, args.skip_verify))
+    print(json.dumps({
+        "metric": "band_step_probe",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "probes": results,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

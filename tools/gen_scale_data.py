@@ -163,7 +163,15 @@ def gen_events(n: int, n_users: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def generate(sf: float, out_root: str, skew: float | None = None) -> str:
+def generate(
+    sf: float,
+    out_root: str,
+    skew: float | None = None,
+    docs_only: bool = False,
+) -> str:
+    """``docs_only`` skips embeddings/events — the multi-million-doc
+    band-geometry probes (BASELINE §6y) only read documents, and at
+    sf60+ the events table alone would be 60 M rows of dead weight."""
     suffix = f"_skew{int(skew * 100)}" if skew is not None else ""
     out = os.path.join(out_root, f"sf{sf:g}{suffix}")
     os.makedirs(out, exist_ok=True)
@@ -175,6 +183,9 @@ def generate(sf: float, out_root: str, skew: float | None = None) -> str:
         gen_documents(n_docs, rng, skew=skew),
         os.path.join(out, "documents.parquet"),
     )
+    if docs_only:
+        print(f"sf{sf:g}: {n_docs} docs (docs only) -> {out}")
+        return out
     pq.write_table(
         gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet")
     )
@@ -199,5 +210,8 @@ if __name__ == "__main__":
         i = args.index("--skew")
         skew = float(args[i + 1])
         args = args[:i] + args[i + 2 :]
+    docs_only = "--docs-only" in args
+    if docs_only:
+        args.remove("--docs-only")
     for arg in args or ["1"]:
-        generate(float(arg), root, skew=skew)
+        generate(float(arg), root, skew=skew, docs_only=docs_only)

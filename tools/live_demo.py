@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""End-to-end live demo measurement (VERDICT r10 #7): the reference's
+actual product loop — nginx→syslog-UDP → bridge → spool → 5 s-trigger
+streaming ingest → partitioned warehouse → HTTP dashboard/SQL routes —
+run as ONE system under live load, measuring FRESHNESS: how long after
+a datagram leaves the UDP socket until a dashboard query can see it.
+
+Chain (all shipped components, product-default knobs):
+
+  feeder thread ──UDP──▶ UdpSpool bridge thread (roll 5 s)
+                              │ spool files
+                              ▼
+  start_file_ingest (processingTime 5 s) ──▶ warehouse parquet
+                              ▲                     │
+  BallconeHTTPServer ◀── Ballcone(SparkDAO) ◀───────┘
+        ▲
+  prober thread: marker datagrams + /sql polls + route timings
+
+Freshness per marker k: send one datagram with the unique path
+``/probe/<k>`` (recording t_send), then poll the web ``/sql`` route —
+``SELECT count(*) FROM <service> WHERE path = '/probe/<k>'`` — until it
+returns 1; freshness = t_visible − t_send. The poll goes through the
+FULL read path (HTTP → DAO → Spark SQL over the live warehouse), so the
+number includes every real contribution: bridge roll latency, trigger
+wait, micro-batch duration, and query time. Background load runs
+concurrently so batches are never empty. Dashboard (``/``) and service
+overview (``/services/<svc>``) latencies are sampled mid-ingest.
+
+Prints ONE JSON line (bench.py convention).
+
+Usage:
+  python tools/live_demo.py --seconds 60 --rows-per-sec 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import socket
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from ballcone_spark.app import Ballcone  # noqa: E402
+from ballcone_spark.dao import SparkDAO  # noqa: E402
+from ballcone_spark.session import get_spark  # noqa: E402
+from ballcone_spark.sources.udp_bridge import UdpSpool  # noqa: E402
+from ballcone_spark.streaming.ingest import (  # noqa: E402
+    compact_warehouse,
+    start_file_ingest,
+)
+from ballcone_spark.web import BallconeHTTPServer  # noqa: E402
+
+SERVICE = "example"
+UA = (
+    "Mozilla/5.0 (X11; Linux x86_64; rv:75.0) Gecko/20100101 Firefox/75.0"
+)
+
+
+def datagram(path: str, k: int) -> bytes:
+    return (
+        f'<190>Jan  1 12:00:00 host nginx: {{"service": "{SERVICE}", '
+        f'"ip": "10.0.{(k >> 8) & 255}.{k & 255}", '
+        f'"host": "example.com", "path": "{path}", "status": "200", '
+        f'"referrer": "", "user_agent": "{UA}", "length": {100 + k % 900}, '
+        f'"generation_time_milli": 0.{k % 100:02d}, '
+        f'"date": "2024-01-01T12:00:00+00:00"}}'
+    ).encode()
+
+
+def run_bridge(spool_dir: str, port_box: dict, stop: threading.Event):
+    """In-process copy of udp_bridge.main's loop (the module-level main
+    blocks on signals; the demo needs a joinable thread)."""
+    spool = UdpSpool(spool_dir, roll_seconds=5.0)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    port_box["port"] = sock.getsockname()[1]
+    sock.settimeout(0.25)
+    try:
+        while not stop.is_set():
+            try:
+                data, _ = sock.recvfrom(65536)
+            except socket.timeout:
+                spool.maybe_roll()
+                continue
+            spool.write(data)
+    finally:
+        spool.close()
+        sock.close()
+
+
+def http_json(url: str) -> tuple[dict, float]:
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(url, timeout=30) as r:
+        payload = json.loads(r.read())
+    return payload, time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int, default=60)
+    ap.add_argument("--rows-per-sec", type=int, default=20_000)
+    ap.add_argument("--marker-every", type=float, default=3.0)
+    ap.add_argument(
+        "--warmup-markers",
+        type=int,
+        default=2,
+        help="exclude the first N markers from the freshness stats — "
+        "they absorb the one-off codegen/stream warm-up a resident "
+        "daemon (the reference's deployment shape) doesn't pay per "
+        "event; recorded separately as warmup_freshness",
+    )
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="live_demo_")
+    spool = os.path.join(work, "spool")
+    warehouse = os.path.join(work, "warehouse")
+    os.makedirs(os.path.join(warehouse, "data"), exist_ok=True)
+
+    spark = get_spark(app_name="live_demo")
+    dao = SparkDAO(spark, warehouse)
+    dao.create_table(SERVICE)
+    server = BallconeHTTPServer(Ballcone(dao)).start()
+    base = f"http://127.0.0.1:{server.port}"
+
+    stop = threading.Event()
+    port_box: dict = {}
+    bridge = threading.Thread(
+        target=run_bridge, args=(spool, port_box, stop), daemon=True
+    )
+    bridge.start()
+    while "port" not in port_box:
+        time.sleep(0.01)
+    udp_port = port_box["port"]
+
+    q = start_file_ingest(
+        spark, spool, os.path.join(warehouse, "data"),
+        os.path.join(work, "ckpt"),
+    )
+
+    send = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sent = {"rows": 0}
+
+    def feeder() -> None:
+        k = 0
+        chunk = max(1, args.rows_per_sec // 100)  # 10 ms ticks
+        deadline = time.monotonic() + args.seconds
+        while not stop.is_set() and time.monotonic() < deadline:
+            t0 = time.monotonic()
+            for _ in range(chunk):
+                send.sendto(
+                    datagram(f"/load/{k % 512}", k), ("127.0.0.1", udp_port)
+                )
+                k += 1
+            sent["rows"] = k
+            time.sleep(max(0.0, 0.01 - (time.monotonic() - t0)))
+
+    fd = threading.Thread(target=feeder, daemon=True)
+    fd.start()
+
+    # prober: marker datagrams + /sql visibility polls + route timings
+    freshness: list[float] = []
+    route_ms: dict[str, list[float]] = {"dashboard": [], "overview": []}
+    t_end = time.monotonic() + args.seconds
+    k = 0
+    while time.monotonic() < t_end:
+        k += 1
+        path = f"/probe/{k}"
+        send.sendto(datagram(path, k), ("127.0.0.1", udp_port))
+        t_send = time.monotonic()
+        sql = (
+            f"SELECT count(*) AS c FROM {SERVICE} "
+            f"WHERE path = '{path}'"
+        )
+        url = f"{base}/sql?sql=" + urllib.request.quote(sql)
+        while time.monotonic() < t_send + 45:
+            payload, _ = http_json(url)
+            rows = payload.get("rows") or []
+            if rows and rows[0] and int(rows[0][0]) >= 1:
+                freshness.append(time.monotonic() - t_send)
+                break
+            time.sleep(0.15)
+        # mid-ingest route latencies (the reference's dashboard loop)
+        _, dt = http_json(f"{base}/?day=2024-01-01")
+        route_ms["dashboard"].append(dt * 1000)
+        _, dt = http_json(
+            f"{base}/services/{SERVICE}?start=2024-01-01&stop=2024-01-01"
+        )
+        route_ms["overview"].append(dt * 1000)
+        time.sleep(max(0.0, args.marker_every - (time.monotonic() - t_send)))
+
+    fd.join(timeout=10)
+    # drain the tail before stopping: markers are already all visible
+    time.sleep(6)
+    prog = [
+        {
+            "batchId": p["batchId"],
+            "numInputRows": p["numInputRows"],
+            "batchDuration_ms": p.get("batchDuration"),
+        }
+        for p in (q.recentProgress or [])
+        if p["numInputRows"] > 0
+    ]
+    q.stop()
+    stop.set()
+    bridge.join(timeout=10)
+
+    # small-file story under live load + row conservation
+    data_dir = os.path.join(warehouse, "data")
+    files_before = sum(
+        1 for _, _, fs in os.walk(data_dir) for f in fs
+        if f.endswith(".parquet")
+    )
+    rows_before = spark.read.parquet(data_dir).count()
+    compact_warehouse(spark, data_dir)
+    rows_after = spark.read.parquet(data_dir).count()
+
+    def pct(xs: list[float], p: float) -> float:
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+    warmup = freshness[: args.warmup_markers]
+    freshness = freshness[args.warmup_markers:]
+    durs = [p["batchDuration_ms"] for p in prog if p["batchDuration_ms"]]
+    payload = {
+        "metric": "live_freshness_p50",
+        "value": round(pct(freshness, 0.5), 2) if freshness else None,
+        "unit": "sec",
+        "rows_sent": sent["rows"] + k,
+        "offered_rows_per_sec": args.rows_per_sec,
+        "run_seconds": args.seconds,
+        "markers": len(freshness),
+        "freshness_p50": round(pct(freshness, 0.5), 2) if freshness else None,
+        "freshness_p90": round(pct(freshness, 0.9), 2) if freshness else None,
+        "freshness_max": round(max(freshness), 2) if freshness else None,
+        "warmup_freshness": [round(x, 2) for x in warmup],
+        "route_ms_median": {
+            r: round(pct(v, 0.5), 1) for r, v in route_ms.items() if v
+        },
+        "n_batches": len(prog),
+        "batch_ms_median": sorted(durs)[len(durs) // 2] if durs else None,
+        "batch_ms_max": max(durs) if durs else None,
+        "rows_ingested": rows_before,
+        "rows_after_compact": rows_after,
+        "files_before_compact": files_before,
+        "files_after_compact": sum(
+            1 for _, _, fs in os.walk(data_dir) for f in fs
+            if f.endswith(".parquet")
+        ),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    server.shutdown()
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
