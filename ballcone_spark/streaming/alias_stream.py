@@ -86,22 +86,103 @@ __all__ = [
     "start_chunk_alias_stream",
     "process_alias_batch",
     "read_alias_map",
+    "compact_alias_state",
 ]
 
 
 def _read_state(spark: SparkSession, root: str, batch_id: int):
     """All state rows with ``batch_id < current`` (replay safety), or
-    None before the first batch. Partition dirs only — no manifest:
-    the alias stream has no fold/compaction yet (batch-count growth is
-    bounded by the deployment's compaction cadence; documented)."""
-    if not os.path.isdir(root) or not any(
-        e.name.startswith("batch_id=") for e in os.scandir(root)
-    ):
-        return None
-    df = spark.read.option("basePath", root).parquet(
-        os.path.join(root, "batch_id=*")
+    None before the first batch. Manifest-aware (same snapshot rule as
+    dedup_stream.read_index): the manifest's fold dir (original
+    batch_id preserved as a physical column) plus per-batch dirs with
+    ``batch_id > folded_hi``; superseded dirs are excluded even while
+    still on disk, so a read racing a fold never double-counts."""
+    from ballcone_spark.streaming.dedup_stream import (
+        _live_batch_parts,
+        _read_manifest,
     )
+
+    if not os.path.isdir(root):
+        return None
+    m = _read_manifest(root)
+    parts = _live_batch_parts(root, m["folded_hi"])
+    frames = []
+    if m["fold_dir"]:
+        frames.append(spark.read.parquet(os.path.join(root, m["fold_dir"])))
+    if parts:
+        frames.append(
+            spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, p) for p in parts]
+            )
+        )
+    if not frames:
+        return None
+    df = frames[0]
+    for fr in frames[1:]:
+        df = df.unionByName(fr)
     return df.where(F.col("batch_id") < F.lit(batch_id))
+
+
+def compact_alias_state(
+    spark: SparkSession, state_dir: str, every: int = 64
+) -> bool:
+    """Fold per-batch partition dirs of ONE alias-stream state dir
+    (chunks / grams / alias — schema-agnostic) into a ``fold-<hi>`` dir
+    when the live count reaches ``every``, preserving ``batch_id`` as a
+    physical column so :func:`_read_state`'s history filter and
+    :func:`read_alias_map`'s latest-batch-wins resolution are
+    bit-identical before and after. Reuses dedup_stream's
+    manifest-pointer commit protocol verbatim: never fold the newest
+    live batch (a replayed batch must still overwrite its own plain
+    dir), the manifest rename is the only commit point, retired dirs
+    are deleted on the NEXT run. Returns True if it compacted."""
+    import shutil
+
+    from ballcone_spark.streaming.dedup_stream import (
+        _live_batch_parts,
+        _read_manifest,
+        _sweep_garbage,
+        _write_manifest,
+    )
+
+    if not os.path.isdir(state_dir):
+        return False
+    m = _sweep_garbage(state_dir, _read_manifest(state_dir))
+    live = _live_batch_parts(state_dir, m["folded_hi"])
+    if len(live) < every:
+        return False
+    foldable = live[:-1]
+    if not foldable:
+        return False
+    hi = int(foldable[-1].split("=", 1)[1])
+    # partition-column inference types batch_id as INT; pin the fold's
+    # physical column to the same type so fold ∪ live unions cleanly
+    # (the dedup_stream fold does the identical cast)
+    folded = (
+        spark.read.option("basePath", state_dir)
+        .parquet(*[os.path.join(state_dir, p) for p in foldable])
+        .withColumn("batch_id", F.col("batch_id").cast("int"))
+    )
+    if m["fold_dir"]:
+        folded = spark.read.parquet(
+            os.path.join(state_dir, m["fold_dir"])
+        ).unionByName(folded)
+    fold_name = f"fold-{hi}"
+    tmp = os.path.join(state_dir, f".{fold_name}.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.coalesce(max(1, len(foldable) // 16)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(tmp, os.path.join(state_dir, fold_name))
+    _write_manifest(
+        state_dir,
+        {
+            "folded_hi": hi,
+            "fold_dir": fold_name,
+            "garbage": ([m["fold_dir"]] if m["fold_dir"] else []) + foldable,
+        },
+    )
+    return True
 
 
 def _overwrite(df: DataFrame, root: str, batch_id: int) -> None:

@@ -1234,3 +1234,68 @@ def test_alias_stream_cross_batch_merge_rewrites(spark, tmp_path):
     # the batch1 row for C2 pointed at c_star and MUST have been
     # rewritten by the merge
     assert m2[c_star]["canonical_fp"] == a_star
+
+
+def test_alias_state_fold_preserves_reads(spark, tmp_path):
+    """compact_alias_state folds per-batch state dirs behind the
+    manifest pointer; read_alias_map and the history reads must be
+    bit-identical before and after, and a post-fold batch must still
+    merge correctly against folded history."""
+    import json as _json
+    import os as _os
+
+    from ballcone_spark.streaming.alias_stream import (
+        compact_alias_state,
+        read_alias_map,
+        start_chunk_alias_stream,
+    )
+
+    toks = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliett", "kilo", "lima",
+    ]
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    c = " ".join(reversed(toks))
+    c2 = " ".join(list(reversed(toks))[:-2] + [toks[0], toks[1]])
+    b = " ".join(toks[:6] + list(reversed(toks[6:])))
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+    ck = str(tmp_path / "ckpt")
+    batches = [[(1, a), (2, a2)], [(3, c), (4, c2)], [(5, b)]]
+
+    def run():
+        q = start_chunk_alias_stream(
+            spark, str(spool), *dirs, ck, available_now=True
+        )
+        q.awaitTermination(180)
+
+    for i, rows in enumerate(batches[:2]):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        run()  # one micro-batch per spool file → two live batch dirs
+    before = sorted(
+        map(tuple, read_alias_map(spark, dirs[2]).collect())
+    )
+    assert len(before) == 4
+
+    # fold ALL THREE state dirs (every=2 folds batch 0, keeps batch 1)
+    for d in dirs:
+        assert compact_alias_state(spark, d, every=2)
+    after = sorted(map(tuple, read_alias_map(spark, dirs[2]).collect()))
+    assert after == before
+    for d in dirs:
+        names = {e.name for e in _os.scandir(d)}
+        assert any(n.startswith("fold-") for n in names)
+
+    # a post-fold batch still merges against the folded history
+    with open(spool / "b2.jsonl", "w") as f:
+        for did, text in batches[2]:
+            f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    run()
+    m = {r["chunk_fp"]: r for r in read_alias_map(spark, dirs[2]).collect()}
+    assert len(m) == 5
+    assert len({r["canonical_fp"] for r in m.values()}) == 1
