@@ -935,10 +935,31 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     density the sf10 curve exposed). At-or-below `_BAND_SCALE_N` docs
     the geometry is the floor 4×4 and output is bit-identical to the
     JVM twin — every oracle-checked SF is in that zone."""
+    hashed = False
     if vectorized:
-        rows = adaptive_band_rows(docs.count())
+        n_docs = docs.count()
+        rows = adaptive_band_rows(n_docs)
         sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
         cand = band_pairs(sig, n_bands=N_BANDS, rows=rows)
+        if n_docs > _BAND_SCALE_N:
+            # Scale zone only (r11, BASELINE §6y): above the band floor
+            # the candidate set is tens of millions of pairs and the
+            # verify joins' payload width IS the cost — license the
+            # 8-byte hashed verify exactly like jaccard_pairs does (one
+            # injectivity aggregation; identical jaccard values by the
+            # injective-mapping argument there, string fallback on a
+            # collision). Driver/oracle SFs stay on the string path,
+            # bit-identical to the JVM twin, zero plan change.
+            hashed = (
+                shingle_rows(docs, n=_NGRAM)
+                .agg(
+                    (
+                        F.countDistinct("s")
+                        == F.countDistinct(F.xxhash64("s"))
+                    ).alias("ok")
+                )
+                .first()["ok"]
+            )
     else:
         cand = band_pairs(minhash_signatures(docs))
     # Exact-verify ONLY the candidate pairs (exact_jaccard_on_pairs: two
@@ -949,7 +970,7 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
     # here: forcing the build relation adds two driver collect jobs that
     # AQE's runtime decision avoids.)
     return (
-        exact_jaccard_on_pairs(docs, cand, vectorized=vectorized)
+        exact_jaccard_on_pairs(docs, cand, vectorized=vectorized, hashed=hashed)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a_id", "b_id")

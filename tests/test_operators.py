@@ -3720,3 +3720,45 @@ def test_dedup_clusters_path_graphs_converge_fast(spark):
     got = dedup_clusters(pairs, max_iters=16).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == n
+
+
+def test_lsh_hashed_verify_identical_and_scale_zone_wiring(spark):
+    """r11 scale-zone verify: exact_jaccard_on_pairs(hashed=True) must
+    produce IDENTICAL (a_id, b_id, jaccard) rows to the string path
+    whenever xxhash64 is injective on the corpus shingles (the license
+    minhash_lsh_pairs now checks above the band floor), and the
+    injectivity license itself must hold on the fixture."""
+    from ballcone_spark.operators.dedup import (
+        _NGRAM,
+        adaptive_band_rows,
+        band_pairs,
+        exact_jaccard_on_pairs,
+        minhash_signatures_np,
+        shingle_rows,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inj = (
+        shingle_rows(docs, n=_NGRAM)
+        .agg(
+            (
+                F.countDistinct("s") == F.countDistinct(F.xxhash64("s"))
+            ).alias("ok")
+        )
+        .first()["ok"]
+    )
+    assert inj  # the license the scale zone depends on
+
+    rows = adaptive_band_rows(docs.count())
+    sig = minhash_signatures_np(docs, n_hashes=4 * rows)
+    cand = band_pairs(sig, rows=rows).localCheckpoint(eager=True)
+    want = sorted(
+        map(tuple, exact_jaccard_on_pairs(docs, cand, vectorized=True)
+            .collect())
+    )
+    got = sorted(
+        map(tuple,
+            exact_jaccard_on_pairs(docs, cand, vectorized=True, hashed=True)
+            .collect())
+    )
+    assert got == want

@@ -39,10 +39,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from ballcone_spark.operators.dedup import (  # noqa: E402
     N_BANDS,
     _JACCARD_THRESHOLD,
+    _NGRAM,
     adaptive_band_rows,
     band_pairs,
     exact_jaccard_on_pairs,
     minhash_signatures_np,
+    shingle_rows,
 )
 from ballcone_spark.session import get_spark  # noqa: E402
 
@@ -51,7 +53,9 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe(spark, sf_dir: str, rows: int, skip_verify: bool) -> dict:
+def probe(
+    spark, sf_dir: str, rows: int, skip_verify: bool, hashed_ok: bool
+) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
     out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "rows": rows}
@@ -64,9 +68,23 @@ def probe(spark, sf_dir: str, rows: int, skip_verify: bool) -> dict:
         f"in {out['cand_sec']}s")
     if skip_verify:
         return out
+    # mirror the shipped scale-zone verify: license the 8-byte hashed
+    # payload when xxhash64 is injective on this corpus's shingles
+    hashed = False
+    if hashed_ok:
+        hashed = bool(
+            shingle_rows(docs, n=_NGRAM)
+            .agg(
+                (
+                    F.countDistinct("s") == F.countDistinct(F.xxhash64("s"))
+                ).alias("ok")
+            )
+            .first()["ok"]
+        )
+    out["hashed_verify"] = hashed
     t0 = time.perf_counter()
     verified = (
-        exact_jaccard_on_pairs(docs, cand, vectorized=True)
+        exact_jaccard_on_pairs(docs, cand, vectorized=True, hashed=hashed)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
     # J histogram in the same action: bucket = floor(j * 20) / 20
@@ -93,6 +111,10 @@ def main() -> None:
     ap.add_argument("--force-rows", type=int, default=None,
                     help="ALSO probe this rows setting (step comparison)")
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument(
+        "--no-hashed", action="store_true",
+        help="force the string verify (pre-r11 path) for A/B",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="band_probe")
@@ -109,7 +131,10 @@ def main() -> None:
         if args.force_rows and args.force_rows not in settings:
             settings.append(args.force_rows)
         for rows in settings:
-            results.append(probe(spark, sf_dir, rows, args.skip_verify))
+            results.append(
+                probe(spark, sf_dir, rows, args.skip_verify,
+                      hashed_ok=not args.no_hashed)
+            )
     print(json.dumps({
         "metric": "band_step_probe",
         "loadavg": [round(x, 2) for x in os.getloadavg()],
