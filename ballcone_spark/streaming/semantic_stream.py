@@ -23,6 +23,20 @@ first-seen-wins semantics of every streaming dedup index (the MinHash
 stream behaves identically). Pinned by
 ``test_semantic_stream_out_of_order_arrival_is_first_seen_wins``.
 
+Alias emission (r11, VERDICT r10 #5): every decision row also carries
+``canonical`` — the redirect target a vector store keeps for this
+vector: itself when kept, else the canonical of its FIRST earlier match
+(lowest-vec_id matching history row, else lowest-vec_id earlier
+in-batch row), propagated transitively through chains
+(``test_semantic_stream_alias_chain_transitive``). First-seen-wins and
+FROZEN: unlike the chunk alias stream (alias_stream.py) there are no
+merge rewrites, because this stream's decision contract freezes each
+vector's verdict at arrival — the two streams document the two
+coherent streaming-alias semantics. The compressed path elects
+identically (``cross_first`` = min matching history vec_id = the exact
+kernel's positional first; pinned by
+``test_semantic_stream_compressed_matches_exact``).
+
 Durability contract (inherited from dedup_stream): per-batch decisions
 and index rows land in ``batch_id=<n>`` partition dirs via overwrite —
 a replayed batch rewrites its own partition idempotently and reads only
@@ -44,6 +58,8 @@ growth.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,8 +104,13 @@ def _decide_kernel(e, nrm, is_new, tau: float):
     ``e`` is the (h+b, d) matrix of history∪batch vectors ALREADY in
     decision order (history first, then new rows by vec_id), ``nrm``
     their norms, ``is_new`` the boolean batch mask. Returns
-    ``matches`` — for each NEW row, how many strictly-earlier rows sit
-    at cosine >= tau.
+    ``(matches, first)`` — for each NEW row, how many strictly-earlier
+    rows sit at cosine >= tau, and the POSITION (into the sorted input)
+    of the first such row (-1 if none). "First" in decision order means
+    the lowest-vec_id matching HISTORY row when any history row
+    matches, else the lowest-vec_id earlier in-batch row — the
+    deterministic first-seen tie-break the alias emission (r11) keys
+    canonical election on.
 
     The gram is rectangular: new rows × ALL rows — O(b·(h+b)) FLOPs,
     never the full (h+b)² (VERDICT r6 #2). The earlier-than mask on the
@@ -103,7 +124,9 @@ def _decide_kernel(e, nrm, is_new, tau: float):
     new_pos = pos[is_new]
     sim = n[is_new] @ n.T  # (b, h+b)
     earlier = (sim >= tau) & (pos[None, :] < new_pos[:, None])
-    return earlier.sum(axis=1)
+    matches = earlier.sum(axis=1)
+    first = np.where(matches > 0, earlier.argmax(axis=1), -1)
+    return matches, first
 
 
 def _pq_encode_norm(nmat, B):
@@ -144,12 +167,35 @@ def _adc_sims(q, codes, B):
     return dots / np.sqrt(rn2)[None, :]  # |q| = 1 by construction
 
 
+def _read_decision_canon(
+    spark: SparkSession, decisions_dir: str, batch_id: int
+):
+    """vec_id → canonical from prior decisions (``batch_id <
+    current``), or None when no decisions exist yet. Tolerates
+    pre-alias decision partitions (no ``canonical`` column): those
+    deployments fall back to canonical = self via the left-join
+    coalesce in the decide paths."""
+    if not os.path.isdir(decisions_dir) or not any(
+        e.name.startswith("batch_id=") for e in os.scandir(decisions_dir)
+    ):
+        return None
+    df = spark.read.option("basePath", decisions_dir).parquet(
+        os.path.join(decisions_dir, "batch_id=*")
+    )
+    if "canonical" not in df.columns:
+        return None
+    return df.where(F.col("batch_id") < F.lit(batch_id)).select(
+        "vec_id", "canonical"
+    )
+
+
 def _decide_compressed(
     batch_routed: DataFrame,
     hist: DataFrame | None,
     tau: float,
     books,
     eps: float,
+    hist_canon: DataFrame | None = None,
 ):
     """Compressed-domain decision pass (VERDICT r6 #3): the per-cluster
     kernel ships history PQ CODES (m bytes/row) instead of full vectors
@@ -203,7 +249,13 @@ def _decide_compressed(
         # intra-batch: exact rectangular among the new rows only
         simb = q @ q.T
         bpos = np.arange(len(q))
-        intra = ((simb >= tau) & (bpos[None, :] < bpos[:, None])).sum(axis=1)
+        imask = (simb >= tau) & (bpos[None, :] < bpos[:, None])
+        intra = imask.sum(axis=1)
+        nvid = new_pdf["vec_id"].values
+        ifirst = np.where(intra > 0, imask.argmax(axis=1), -1)
+        intra_first = [
+            int(nvid[i]) if i >= 0 else None for i in ifirst
+        ]
         hist_pdf = pdf[~is_new]
         if len(hist_pdf):
             codes = np.array(hist_pdf["codes"].tolist(), dtype=np.int64)
@@ -214,76 +266,144 @@ def _decide_compressed(
             cand = [[] for _ in range(len(q))]
         return pd.DataFrame(
             {
-                "vec_id": new_pdf["vec_id"].values,
+                "vec_id": nvid,
                 "cluster_id": key[0],
                 "intra": intra.astype("int64"),
+                "intra_first": intra_first,
                 "cand": cand,
             }
         )
 
     screened = pool.groupBy("cluster_id").applyInPandas(
-        screen, "vec_id long, cluster_id long, intra long, cand array<long>"
+        screen,
+        "vec_id long, cluster_id long, intra long, intra_first long, "
+        "cand array<long>",
     ).localCheckpoint()
 
-    if hist is None:
-        return screened.select(
-            "vec_id",
-            "cluster_id",
-            (F.col("intra") > 0).alias("is_dup"),
-            F.col("intra").alias("n_matches"),
+    if hist is not None:
+        # exact rerank of the banded candidates only: narrow vec_id
+        # joins pull full vectors for O(candidates) rows, never the
+        # whole history. cross_first = min matching h_id — identical to
+        # the exact path's positional first (its kernel sorts history
+        # by vec_id), so the alias election matches bit-for-bit.
+        pairs = screened.select("vec_id", F.explode("cand").alias("h_id"))
+        hvec = hist.select(
+            F.col("vec_id").alias("h_id"),
+            F.col("e").alias("h_e"),
+            F.col("nrm").alias("h_nrm"),
+        )
+        nvec = batch_routed.select("vec_id", "e", "nrm")
+        dot = F.aggregate(
+            F.zip_with("e", "h_e", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        exact = (
+            pairs.join(hvec, "h_id")
+            .join(nvec, "vec_id")
+            .where(dot / (F.col("nrm") * F.col("h_nrm")) >= tau)
+            .groupBy("vec_id")
+            .agg(
+                F.count("*").alias("cross"),
+                F.min("h_id").alias("cross_first"),
+            )
+        )
+        base = screened.join(exact, "vec_id", "left")
+        if hist_canon is not None:
+            hc = hist_canon.select(
+                F.col("vec_id").alias("cross_first"),
+                F.col("canonical").alias("_hc"),
+            )
+            base = base.join(hc.hint("merge"), "cross_first", "left")
+            base = base.withColumn(
+                "cross_canon", F.coalesce("_hc", "cross_first")
+            ).drop("_hc")
+        else:
+            base = base.withColumn("cross_canon", F.col("cross_first"))
+    else:
+        base = screened.withColumn(
+            "cross", F.lit(None).cast("long")
+        ).withColumn("cross_canon", F.lit(None).cast("long"))
+
+    def resolve(key, pdf):
+        # per-cluster chain resolution in arrival order: a history match
+        # wins (its canonical is frozen in cross_canon); else the first
+        # earlier in-batch match, whose canonical was resolved earlier
+        # in this very loop (vec_id ascending); else self
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        canon: dict = {}
+        out = []
+        for r in pdf.itertuples():
+            vid = int(r.vec_id)
+            if r.cross_canon is not None and not pd.isna(r.cross_canon):
+                c = int(r.cross_canon)
+            elif r.intra_first is not None and not pd.isna(r.intra_first):
+                c = canon[int(r.intra_first)]
+            else:
+                c = vid
+            canon[vid] = c
+            n_matches = int(r.intra) + (
+                int(r.cross) if r.cross is not None and not pd.isna(r.cross)
+                else 0
+            )
+            out.append((vid, int(r.cluster_id), n_matches > 0, n_matches, c))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "vec_id", "cluster_id", "is_dup", "n_matches", "canonical",
+            ],
         )
 
-    # exact rerank of the banded candidates only: narrow vec_id joins
-    # pull full vectors for O(candidates) rows, never the whole history
-    pairs = screened.select("vec_id", F.explode("cand").alias("h_id"))
-    hvec = hist.select(
-        F.col("vec_id").alias("h_id"),
-        F.col("e").alias("h_e"),
-        F.col("nrm").alias("h_nrm"),
-    )
-    nvec = batch_routed.select("vec_id", "e", "nrm")
-    dot = F.aggregate(
-        F.zip_with("e", "h_e", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    exact = (
-        pairs.join(hvec, "h_id")
-        .join(nvec, "vec_id")
-        .where(dot / (F.col("nrm") * F.col("h_nrm")) >= tau)
-        .groupBy("vec_id")
-        .agg(F.count("*").alias("cross"))
-    )
-    return (
-        screened.join(exact, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            (
-                (F.col("intra") + F.coalesce("cross", F.lit(0))) > 0
-            ).alias("is_dup"),
-            (F.col("intra") + F.coalesce("cross", F.lit(0))).alias(
-                "n_matches"
-            ),
-        )
+    return base.groupBy("cluster_id").applyInPandas(
+        resolve,
+        "vec_id long, cluster_id long, is_dup boolean, n_matches long, "
+        "canonical long",
     )
 
 
-def _decide(batch_routed: DataFrame, hist: DataFrame | None, tau: float):
-    """(vec_id, cluster_id, is_dup, n_matches) for the batch rows."""
+def _decide(
+    batch_routed: DataFrame,
+    hist: DataFrame | None,
+    tau: float,
+    hist_canon: DataFrame | None = None,
+):
+    """(vec_id, cluster_id, is_dup, n_matches, canonical) for the batch
+    rows. ``canonical`` (r11 alias emission) is the redirect target a
+    vector store keeps for this vector: itself when kept, else the
+    canonical of its FIRST earlier match (lowest-vec_id matching
+    history row, else lowest-vec_id earlier in-batch row) — canonicals
+    propagate transitively through chains, and a decision is never
+    revisited (first-seen-wins, the dedup_stream convention; unlike the
+    chunk alias stream there are no merge rewrites, because the
+    decision contract here freezes each vector's verdict at arrival).
+    ``hist_canon`` maps history vec_id → canonical (from prior
+    decisions); absent entries default to self."""
     import numpy as np
     import pandas as pd
 
     new = batch_routed.select(
-        "vec_id", "cluster_id", "e", "nrm", F.lit(True).alias("_new")
+        "vec_id",
+        "cluster_id",
+        "e",
+        "nrm",
+        F.lit(True).alias("_new"),
+        F.lit(None).cast("long").alias("_canon"),
     )
     if hist is not None:
         clusters = new.select("cluster_id").distinct()
-        old = (
-            hist.join(F.broadcast(clusters), "cluster_id", "left_semi")
-            .select(
-                "vec_id", "cluster_id", "e", "nrm", F.lit(False).alias("_new")
-            )
+        old = hist.join(F.broadcast(clusters), "cluster_id", "left_semi")
+        if hist_canon is not None:
+            old = old.join(hist_canon.hint("merge"), "vec_id", "left")
+            canon_col = F.coalesce("canonical", "vec_id")
+        else:
+            canon_col = F.col("vec_id")
+        old = old.select(
+            "vec_id",
+            "cluster_id",
+            "e",
+            "nrm",
+            F.lit(False).alias("_new"),
+            canon_col.alias("_canon"),
         )
         pool = old.unionByName(new)
     else:
@@ -295,18 +415,31 @@ def _decide(batch_routed: DataFrame, hist: DataFrame | None, tau: float):
         pdf = pdf.sort_values(["_new", "vec_id"]).reset_index(drop=True)
         e = np.array(pdf["e"].tolist(), dtype=np.float64)
         is_new = pdf["_new"].values
-        matches = _decide_kernel(e, pdf["nrm"].values, is_new, tau)
+        matches, first = _decide_kernel(e, pdf["nrm"].values, is_new, tau)
+        vids = pdf["vec_id"].values
+        canon = pdf["_canon"].tolist()  # hist filled; new rows None
+        new_positions = np.flatnonzero(is_new)
+        for p, f in zip(new_positions, first):
+            # f < p positionally → canon[f] already resolved (history
+            # rows carry their stored canonical; earlier in-batch rows
+            # were assigned in this loop) — chains collapse in one pass
+            canon[p] = int(canon[f]) if f >= 0 else int(vids[p])
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].values[is_new],
+                "vec_id": vids[is_new],
                 "cluster_id": key[0],
                 "is_dup": matches > 0,
                 "n_matches": matches.astype("int64"),
+                "canonical": np.array(
+                    [canon[p] for p in new_positions], dtype="int64"
+                ),
             }
         )
 
     return pool.groupBy("cluster_id").applyInPandas(
-        decide, "vec_id long, cluster_id long, is_dup boolean, n_matches long"
+        decide,
+        "vec_id long, cluster_id long, is_dup boolean, n_matches long, "
+        "canonical long",
     )
 
 
@@ -396,14 +529,20 @@ def start_semantic_dedup_stream(
         if not routed.take(1):
             return
         hist = read_semantic_index(spark, index_dir)
+        hist_canon = None
         if hist is not None:
             hist = hist.where(F.col("batch_id") < F.lit(batch_id)).drop(
                 "batch_id"
             )
+            hist_canon = _read_decision_canon(
+                spark, decisions_dir, batch_id
+            )
         if compressed:
-            decisions = _decide_compressed(routed, hist, tau, books, eps)
+            decisions = _decide_compressed(
+                routed, hist, tau, books, eps, hist_canon=hist_canon
+            )
         else:
-            decisions = _decide(routed, hist, tau)
+            decisions = _decide(routed, hist, tau, hist_canon=hist_canon)
         _overwrite_partition(decisions, decisions_dir, batch_id)
         _overwrite_partition(routed, index_dir, batch_id)
 

@@ -1021,7 +1021,7 @@ def test_semantic_stream_compressed_matches_exact(spark, tmp_path):
         )
         q.awaitTermination(120)
         return {
-            r["vec_id"]: (r["is_dup"], r["n_matches"])
+            r["vec_id"]: (r["is_dup"], r["n_matches"], r["canonical"])
             for r in spark.read.parquet(
                 str(tmp_path / f"cmp_dec_{tag}")
             ).collect()
@@ -1034,9 +1034,13 @@ def test_semantic_stream_compressed_matches_exact(spark, tmp_path):
     exact = run("exact")
     comp = run("pq", compressed=True, books=books, eps=0.3)
 
-    assert comp == exact
+    assert comp == exact  # decisions AND alias canonicals (r11)
     assert exact[20][0] and exact[21][0]  # the planted cross-batch dups
     assert not exact[22][0]  # the sub-threshold vector is kept
+    # alias emission: dups redirect to their first-seen match's
+    # canonical; kept vectors are their own canonical
+    assert exact[20][2] == 10 and exact[21][2] == 11
+    assert exact[22][2] == 22
 
     # the compressed index really carries codes
     idx = spark.read.parquet(str(tmp_path / "cmp_idx_pq")).collect()
@@ -1078,8 +1082,15 @@ def test_semantic_decide_kernel_rectangular_and_linear_in_history():
         is_new[h:] = True
         n = e / nrm[:, None]
         full = np.tril(n @ n.T >= 0.2, k=-1).sum(axis=1)[is_new]
-        rect = _decide_kernel(e, nrm, is_new, 0.2)
+        rect, first = _decide_kernel(e, nrm, is_new, 0.2)
         assert np.array_equal(full, rect), (h, b)
+        # first-match positions: -1 iff no match, else the first
+        # earlier position whose cosine clears tau
+        earlier = np.tril(n @ n.T >= 0.2, k=-1)[is_new]
+        want_first = np.where(
+            earlier.any(axis=1), earlier.argmax(axis=1), -1
+        )
+        assert np.array_equal(first, want_first), (h, b)
 
     # (b) near-linear growth in history at fixed batch size
     d, b = 64, 200
@@ -1299,3 +1310,46 @@ def test_alias_state_fold_preserves_reads(spark, tmp_path):
     m = {r["chunk_fp"]: r for r in read_alias_map(spark, dirs[2]).collect()}
     assert len(m) == 5
     assert len({r["canonical_fp"] for r in m.values()}) == 1
+
+
+def test_semantic_stream_alias_chain_transitive(spark, tmp_path):
+    """r11 alias emission: A←B←C chains collapse to the first-seen root
+    even when the newest link does NOT match the root directly.
+    Rotations in the first plane: B = rot(A, 20°) (cos ≈ 0.94 ≥ τ),
+    C = rot(A, 40°) (cos(C,B) ≈ 0.94 ≥ τ but cos(C,A) ≈ 0.77 < τ) —
+    C's only match is B, whose canonical is A; C must inherit A."""
+    import json as _json
+    import math
+
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0))]
+    spool = tmp_path / "chain_spool"
+    spool.mkdir()
+    dec = str(tmp_path / "chain_dec")
+
+    def run():
+        q = start_semantic_dedup_stream(
+            spark, str(spool), str(tmp_path / "chain_idx"), dec,
+            str(tmp_path / "chain_ckpt"), centroids, tau=0.9,
+        )
+        q.awaitTermination(120)
+
+    for i, (vid, deg) in enumerate([(10, 0), (20, 20), (30, 40)]):
+        with open(spool / f"b{i}.jsonl", "w") as f:
+            f.write(_json.dumps({"vec_id": vid, "e": rot(deg)}) + "\n")
+        run()
+
+    got = {
+        r["vec_id"]: (r["is_dup"], r["canonical"])
+        for r in spark.read.parquet(dec).collect()
+    }
+    assert got == {10: (False, 10), 20: (True, 10), 30: (True, 10)}
