@@ -250,23 +250,35 @@ def process_alias_batch(
         else grams_new.unionByName(hist_grams.select("chunk_fp", "g"))
     )
     # df over history ∪ batch; the cut replays batch mode's bound with
-    # the stream-time df (≤ final df — see module docstring). MERGE on
-    # every corpus-scale side: same §6g bogus-estimate class as batch.
+    # the stream-time df (≤ final df — see module docstring). Only the
+    # BATCH's grams can produce candidates, so the df aggregate is
+    # semi-join-pruned to them BEFORE the shuffle (r11 scale fix: the
+    # unpruned form aggregated the ENTIRE posting index every batch —
+    # O(corpus grams) shuffled per 5 s trigger; pruned, the shuffle is
+    # O(postings of batch grams), bounded by batch size × gram df. The
+    # full index SCAN remains — pruning it needs gram-keyed physical
+    # layout, the banded-storage trade documented in the module
+    # docstring). The batch gram set is trigger-bounded → broadcast.
+    # MERGE on the corpus-scale sides: same §6g bogus-estimate class.
+    batch_gram_keys = grams_new.select("g").distinct()
     rare = (
-        posting.groupBy("g")
+        posting.join(F.broadcast(batch_gram_keys), "g", "left_semi")
+        .groupBy("g")
         .agg(F.count("*").alias("_df"))
         .where((F.col("_df") > 1) & (F.col("_df") <= max_df))
         .select("g")
     )
+    # probe plan (the dedup_stream convention): the batch side —
+    # (new chunk, rare gram) rows, trigger-bounded — is BROADCAST, so
+    # the posting index streams through the join without ever
+    # shuffling (an equi-join keyed on g would hash-exchange the whole
+    # index per batch)
+    gr_new = grams_new.join(F.broadcast(rare), "g").select(
+        F.col("chunk_fp").alias("n_fp"), "g"
+    )
     cand = (
-        grams_new.join(rare.hint("merge"), "g")
-        .select(F.col("chunk_fp").alias("n_fp"), "g")
-        .join(
-            posting.select(F.col("chunk_fp").alias("o_fp"), "g").hint(
-                "merge"
-            ),
-            "g",
-        )
+        posting.select(F.col("chunk_fp").alias("o_fp"), "g")
+        .join(F.broadcast(gr_new), "g")
         .where(F.col("n_fp") != F.col("o_fp"))
         .select(
             F.least("n_fp", "o_fp").alias("a_fp"),
@@ -275,7 +287,17 @@ def process_alias_batch(
         .distinct()
     )
 
-    # ---- verify: exact integer cosine, embeddings from batch ∪ index.
+    # ---- verify: exact integer cosine, embeddings from batch ∪ index,
+    # RESTRICTED to candidate fps by a broadcast semi-join first (the
+    # candidate set is bounded, so the chunk index streams through the
+    # restriction without shuffling; the verify joins then run on
+    # candidate-sized frames instead of corpus-sized ones)
+    cand = cand.localCheckpoint(eager=True)  # bounded; feeds fps + verify
+    fps = (
+        cand.select(F.col("a_fp").alias("chunk_fp"))
+        .unionByName(cand.select(F.col("b_fp").alias("chunk_fp")))
+        .distinct()
+    )
     emb_all = (
         emb_new
         if hist_chunks is None
@@ -283,7 +305,8 @@ def process_alias_batch(
             hist_chunks.select("chunk_fp", *[f"v{j}" for j in range(dim)])
         )
     )
-    pairs = _verify_chunk_pairs(cand, emb_all, dim, tau).localCheckpoint(
+    emb_cand = emb_all.join(F.broadcast(fps), "chunk_fp", "left_semi")
+    pairs = _verify_chunk_pairs(cand, emb_cand, dim, tau).localCheckpoint(
         eager=True
     )
 
