@@ -124,7 +124,10 @@ def _read_state(spark: SparkSession, root: str, batch_id: int):
 
 
 def compact_alias_state(
-    spark: SparkSession, state_dir: str, every: int = 64
+    spark: SparkSession,
+    state_dir: str,
+    every: int = 64,
+    latest_wins_key: str | None = None,
 ) -> bool:
     """Fold per-batch partition dirs of ONE alias-stream state dir
     (chunks / grams / alias — schema-agnostic) into a ``fold-<hi>`` dir
@@ -135,7 +138,16 @@ def compact_alias_state(
     manifest-pointer commit protocol verbatim: never fold the newest
     live batch (a replayed batch must still overwrite its own plain
     dir), the manifest rename is the only commit point, retired dirs
-    are deleted on the NEXT run. Returns True if it compacted."""
+    are deleted on the NEXT run. Returns True if it compacted.
+
+    ``latest_wins_key`` (use ``"chunk_fp"`` for the ALIAS dir only):
+    additionally drop superseded rows — keep only the max-batch_id row
+    per key among the folded batches. Read-equivalent by construction:
+    latest-batch-wins resolution over (fold ∪ live) returns the same
+    row whether or not older same-key rows exist in the fold, and a
+    replayed newest batch is never folded, so its ``batch_id <
+    current`` view is unchanged. Keeps the resident alias state at
+    O(current redirect table) instead of O(total updates ever)."""
     import shutil
 
     from ballcone_spark.streaming.dedup_stream import (
@@ -167,6 +179,15 @@ def compact_alias_state(
         folded = spark.read.parquet(
             os.path.join(state_dir, m["fold_dir"])
         ).unionByName(folded)
+    if latest_wins_key is not None:
+        w = Window.partitionBy(latest_wins_key).orderBy(
+            F.col("batch_id").desc()
+        )
+        folded = (
+            folded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     fold_name = f"fold-{hi}"
     tmp = os.path.join(state_dir, f".{fold_name}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)

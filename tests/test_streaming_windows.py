@@ -1293,9 +1293,13 @@ def test_alias_state_fold_preserves_reads(spark, tmp_path):
     )
     assert len(before) == 4
 
-    # fold ALL THREE state dirs (every=2 folds batch 0, keeps batch 1)
-    for d in dirs:
+    # fold ALL THREE state dirs (every=2 folds batch 0, keeps batch 1);
+    # the alias dir folds latest-wins (superseded rows dropped)
+    for d in dirs[:2]:
         assert compact_alias_state(spark, d, every=2)
+    assert compact_alias_state(
+        spark, dirs[2], every=2, latest_wins_key="chunk_fp"
+    )
     after = sorted(map(tuple, read_alias_map(spark, dirs[2]).collect()))
     assert after == before
     for d in dirs:
