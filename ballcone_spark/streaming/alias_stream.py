@@ -206,8 +206,25 @@ def compact_alias_state(
     return True
 
 
-def _overwrite(df: DataFrame, root: str, batch_id: int) -> None:
-    df.coalesce(1).write.mode("overwrite").parquet(
+def _overwrite(
+    df: DataFrame, root: str, batch_id: int, n_rows: int | None = None
+) -> None:
+    """Idempotent per-batch write; ``n_rows`` (when the caller already
+    has it from a checkpointed frame) scales the file count so a
+    backfill-sized batch's posting write is not single-writer-
+    bottlenecked (the dedup_stream r4 convention, same constants)."""
+    from ballcone_spark.streaming.dedup_stream import (
+        MAX_FILES_PER_BATCH,
+        ROWS_PER_FILE,
+    )
+
+    n_files = (
+        1
+        if n_rows is None
+        else max(1, min(MAX_FILES_PER_BATCH, n_rows // ROWS_PER_FILE + 1))
+    )
+    shaped = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
+    shaped.write.mode("overwrite").parquet(
         os.path.join(root, f"batch_id={batch_id}")
     )
 
@@ -438,12 +455,14 @@ def _write_indices(
     batch_id: int,
     dim: int,
 ) -> None:
+    # counts are cheap: both frames are eagerly checkpointed upstream
     _overwrite(
         emb_new.select("chunk_fp", *[f"v{j}" for j in range(dim)]),
         chunks_dir,
         batch_id,
+        n_rows=emb_new.count(),
     )
-    _overwrite(grams_new, grams_dir, batch_id)
+    _overwrite(grams_new, grams_dir, batch_id, n_rows=grams_new.count())
 
 
 def start_chunk_alias_stream(
