@@ -92,35 +92,17 @@ __all__ = [
 
 def _read_state(spark: SparkSession, root: str, batch_id: int):
     """All state rows with ``batch_id < current`` (replay safety), or
-    None before the first batch. Manifest-aware (same snapshot rule as
-    dedup_stream.read_index): the manifest's fold dir (original
-    batch_id preserved as a physical column) plus per-batch dirs with
-    ``batch_id > folded_hi``; superseded dirs are excluded even while
-    still on disk, so a read racing a fold never double-counts."""
-    from ballcone_spark.streaming.dedup_stream import (
-        _live_batch_parts,
-        _read_manifest,
-    )
+    None before the first batch. Delegates to dedup_stream's
+    manifest-aware ``read_index`` (which is schema-agnostic): the
+    manifest's fold dir plus per-batch dirs with ``batch_id >
+    folded_hi``; superseded dirs are excluded even while still on disk,
+    so a read racing a fold never double-counts."""
+    from ballcone_spark.streaming.dedup_stream import read_index
 
-    if not os.path.isdir(root):
+    idx = read_index(spark, root)
+    if idx is None:
         return None
-    m = _read_manifest(root)
-    parts = _live_batch_parts(root, m["folded_hi"])
-    frames = []
-    if m["fold_dir"]:
-        frames.append(spark.read.parquet(os.path.join(root, m["fold_dir"])))
-    if parts:
-        frames.append(
-            spark.read.option("basePath", root).parquet(
-                *[os.path.join(root, p) for p in parts]
-            )
-        )
-    if not frames:
-        return None
-    df = frames[0]
-    for fr in frames[1:]:
-        df = df.unionByName(fr)
-    return df.where(F.col("batch_id") < F.lit(batch_id))
+    return idx.where(F.col("batch_id") < F.lit(batch_id))
 
 
 def compact_alias_state(
@@ -130,109 +112,55 @@ def compact_alias_state(
     latest_wins_key: str | None = None,
 ) -> bool:
     """Fold per-batch partition dirs of ONE alias-stream state dir
-    (chunks / grams / alias — schema-agnostic) into a ``fold-<hi>`` dir
-    when the live count reaches ``every``, preserving ``batch_id`` as a
-    physical column so :func:`_read_state`'s history filter and
-    :func:`read_alias_map`'s latest-batch-wins resolution are
-    bit-identical before and after. Reuses dedup_stream's
-    manifest-pointer commit protocol verbatim: never fold the newest
-    live batch (a replayed batch must still overwrite its own plain
-    dir), the manifest rename is the only commit point, retired dirs
-    are deleted on the NEXT run. Returns True if it compacted.
+    (chunks / grams / alias) — dedup_stream's manifest-pointer fold
+    protocol verbatim (never fold the newest live batch, manifest
+    rename is the only commit point, retired dirs deleted on the next
+    run), schema-agnostic, with no sort column (the alias state has no
+    probe key to cluster row groups by).
 
     ``latest_wins_key`` (use ``"chunk_fp"`` for the ALIAS dir only):
-    additionally drop superseded rows — keep only the max-batch_id row
-    per key among the folded batches. Read-equivalent by construction:
-    latest-batch-wins resolution over (fold ∪ live) returns the same
-    row whether or not older same-key rows exist in the fold, and a
-    replayed newest batch is never folded, so its ``batch_id <
-    current`` view is unchanged. Keeps the resident alias state at
-    O(current redirect table) instead of O(total updates ever)."""
-    import shutil
+    additionally drop superseded rows — read-equivalent because
+    latest-batch-wins resolution ignores them and the newest batch is
+    never folded; keeps the resident alias state at O(current redirect
+    table) instead of O(total updates ever). Returns True if it
+    compacted."""
+    from ballcone_spark.streaming.dedup_stream import compact_index
 
-    from ballcone_spark.streaming.dedup_stream import (
-        _live_batch_parts,
-        _read_manifest,
-        _sweep_garbage,
-        _write_manifest,
-    )
-
-    if not os.path.isdir(state_dir):
-        return False
-    m = _sweep_garbage(state_dir, _read_manifest(state_dir))
-    live = _live_batch_parts(state_dir, m["folded_hi"])
-    if len(live) < every:
-        return False
-    foldable = live[:-1]
-    if not foldable:
-        return False
-    hi = int(foldable[-1].split("=", 1)[1])
-    # partition-column inference types batch_id as INT; pin the fold's
-    # physical column to the same type so fold ∪ live unions cleanly
-    # (the dedup_stream fold does the identical cast)
-    folded = (
-        spark.read.option("basePath", state_dir)
-        .parquet(*[os.path.join(state_dir, p) for p in foldable])
-        .withColumn("batch_id", F.col("batch_id").cast("int"))
-    )
-    if m["fold_dir"]:
-        folded = spark.read.parquet(
-            os.path.join(state_dir, m["fold_dir"])
-        ).unionByName(folded)
-    if latest_wins_key is not None:
-        w = Window.partitionBy(latest_wins_key).orderBy(
-            F.col("batch_id").desc()
-        )
-        folded = (
-            folded.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    fold_name = f"fold-{hi}"
-    tmp = os.path.join(state_dir, f".{fold_name}.tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.coalesce(max(1, len(foldable) // 16)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    os.rename(tmp, os.path.join(state_dir, fold_name))
-    _write_manifest(
+    return compact_index(
+        spark,
         state_dir,
-        {
-            "folded_hi": hi,
-            "fold_dir": fold_name,
-            "garbage": ([m["fold_dir"]] if m["fold_dir"] else []) + foldable,
-        },
+        every=every,
+        sort_col=None,
+        latest_wins_key=latest_wins_key,
     )
-    return True
 
 
 def _overwrite(
     df: DataFrame, root: str, batch_id: int, n_rows: int | None = None
 ) -> None:
-    """Idempotent per-batch write; ``n_rows`` (when the caller already
-    has it from a checkpointed frame) scales the file count so a
-    backfill-sized batch's posting write is not single-writer-
-    bottlenecked (the dedup_stream r4 convention, same constants)."""
+    """Idempotent per-batch write — dedup_stream's writer verbatim
+    (row-scaled file count so a backfill batch's posting write is not
+    single-writer-bottlenecked)."""
     from ballcone_spark.streaming.dedup_stream import (
-        MAX_FILES_PER_BATCH,
-        ROWS_PER_FILE,
+        _overwrite_batch_partition,
     )
 
-    n_files = (
-        1
-        if n_rows is None
-        else max(1, min(MAX_FILES_PER_BATCH, n_rows // ROWS_PER_FILE + 1))
-    )
-    shaped = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
-    shaped.write.mode("overwrite").parquet(
-        os.path.join(root, f"batch_id={batch_id}")
-    )
+    _overwrite_batch_partition(df, root, batch_id, n_rows)
 
 
-def read_alias_map(spark: SparkSession, alias_dir: str) -> DataFrame | None:
-    """The CURRENT redirect table: latest-batch row per chunk_fp →
-    (chunk_fp, canonical_fp, is_canonical). None before any update."""
-    upd = _read_state(spark, alias_dir, 1 << 62)
+def read_alias_map(
+    spark: SparkSession, alias_dir: str, before_batch: int = 1 << 62
+) -> DataFrame | None:
+    """The redirect table as of ``before_batch`` (exclusive):
+    latest-batch row per chunk_fp → (chunk_fp, canonical_fp,
+    is_canonical). None before any update. External readers use the
+    default (everything); :func:`process_alias_batch` passes the
+    CURRENT batch id — a crashed-and-replayed batch must see history
+    WITHOUT its own prior attempt's rows, or a re-verified pair maps
+    to a self-edge and the replay overwrites the partition empty,
+    silently losing the redirect (review r11 finding #1; pinned by
+    ``test_alias_stream_batch_replay_idempotent``)."""
+    upd = _read_state(spark, alias_dir, before_batch)
     if upd is None:
         return None
     w = Window.partitionBy("chunk_fp").orderBy(F.col("batch_id").desc())
@@ -349,7 +277,7 @@ def process_alias_batch(
     )
 
     # ---- merge + first-seen election over the touched subgraph.
-    alias_now = read_alias_map(spark, alias_dir)
+    alias_now = read_alias_map(spark, alias_dir, before_batch=batch_id)
     if alias_now is not None:
         alias_now = alias_now.localCheckpoint(eager=True)
 
@@ -427,11 +355,13 @@ def process_alias_batch(
     )
     if alias_now is not None:
         # rewrite prior alias rows whose canonical merged into another
-        # cluster (their fps are NOT reps — they pointed at one)
+        # cluster (their fps are NOT reps — they pointed at one). The
+        # moved side is bounded (touched reps) → broadcast, so the
+        # alias table streams through the join without shuffling.
         moved = remap.where(F.col("rep") != F.col("canonical"))
         rewrites = (
             alias_now.join(
-                moved.hint("merge"),
+                F.broadcast(moved),
                 alias_now.canonical_fp == moved.rep,
             )
             .where(alias_now.chunk_fp != moved.rep)  # rep row emitted above
@@ -443,7 +373,11 @@ def process_alias_batch(
         )
         updates = updates.unionByName(rewrites)
 
-    _overwrite(updates, alias_dir, batch_id)
+    # materialize BEFORE the file-count coalesce: writing through a bare
+    # coalesce(1) has no shuffle boundary and would collapse the rewrite
+    # join into one task (the ingest.py coalesce pitfall; review r11 #4)
+    updates = updates.localCheckpoint(eager=True)
+    _overwrite(updates, alias_dir, batch_id, n_rows=updates.count())
     _write_indices(emb_new, grams_new, chunks_dir, grams_dir, batch_id, dim)
 
 

@@ -62,7 +62,7 @@ import math
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ballcone_spark.operators.dedup import (
@@ -679,14 +679,28 @@ def _sweep_garbage(index_dir: str, manifest: dict) -> dict:
     return manifest
 
 
-def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    every: int = 64,
+    sort_col: str | None = "band_key",
+    latest_wins_key: str | None = None,
+) -> bool:
     """Fold per-batch partition dirs into one ``fold-<hi>`` dir when the
     live dir count reaches ``every`` — the signature-index version of
     warehouse compaction. Original ``batch_id`` values are PRESERVED as
     a physical column in the fold (probe semantics bit-identical before
-    and after), and fold rows are sorted by band_key so parquet
-    row-group min/max stats prune the probe's key filter tightly.
-    Returns True if it compacted.
+    and after), and fold rows are sorted by ``sort_col`` (default
+    band_key) so parquet row-group min/max stats prune the probe's key
+    filter tightly. Returns True if it compacted.
+
+    Schema-agnostic apart from ``batch_id`` (r11: the alias stream's
+    three state dirs fold through this same protocol via
+    ``alias_stream.compact_alias_state``). ``latest_wins_key``: keep
+    only the max-batch_id row per key among the folded batches —
+    read-equivalent for latest-batch-wins consumers (superseded rows
+    are unreadable anyway, and the never-folded newest batch keeps
+    replay views unchanged); used by the alias updates dir.
 
     Two invariants close the crash-replay and concurrent-probe holes of
     a delete-then-rename design:
@@ -720,24 +734,30 @@ def compact_index(spark: SparkSession, index_dir: str, every: int = 64) -> bool:
     folded = (
         spark.read.option("basePath", index_dir)
         .parquet(*[os.path.join(index_dir, p) for p in foldable])
-        .select(
-            "doc_id",
-            "band_idx",
-            "band_key",
-            "sig",
-            F.col("batch_id").cast("int").alias("batch_id"),
-        )
+        # partition-column inference types batch_id INT; pin the fold's
+        # physical column to the same so fold ∪ live unions cleanly
+        .withColumn("batch_id", F.col("batch_id").cast("int"))
     )
     if m["fold_dir"]:
         folded = spark.read.parquet(
             os.path.join(index_dir, m["fold_dir"])
         ).unionByName(folded)
+    if latest_wins_key is not None:
+        w = Window.partitionBy(latest_wins_key).orderBy(
+            F.col("batch_id").desc()
+        )
+        folded = (
+            folded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    if sort_col is not None:
+        folded = folded.sortWithinPartitions(sort_col)
     fold_name = f"fold-{hi}"
     tmp = os.path.join(index_dir, f".{fold_name}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        folded.sortWithinPartitions("band_key")
-        .coalesce(max(1, len(foldable) // 16))
+        folded.coalesce(max(1, len(foldable) // 16))
         .write.mode("overwrite")
         .parquet(tmp)
     )

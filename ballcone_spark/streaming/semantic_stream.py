@@ -171,16 +171,27 @@ def _read_decision_canon(
     spark: SparkSession, decisions_dir: str, batch_id: int
 ):
     """vec_id → canonical from prior decisions (``batch_id <
-    current``), or None when no decisions exist yet. Tolerates
-    pre-alias decision partitions (no ``canonical`` column): those
-    deployments fall back to canonical = self via the left-join
-    coalesce in the decide paths."""
-    if not os.path.isdir(decisions_dir) or not any(
-        e.name.startswith("batch_id=") for e in os.scandir(decisions_dir)
+    current``), or None when no decisions exist yet. Probed through the
+    Hadoop FS API like :func:`read_semantic_index` (an os.path probe
+    would silently disable canonical chaining on s3a/hdfs — the ADVICE
+    r6 class). Read with mergeSchema: a deployment upgraded mid-stream
+    has pre-alias partitions without the ``canonical`` column, and a
+    single-footer schema pick would nondeterministically disable
+    chaining (review r11 #3); merged, old rows read canonical=null and
+    the decide paths' coalesce falls back to self."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(decisions_dir)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path) or not any(
+        s.getPath().getName().startswith("batch_id=")
+        for s in fs.listStatus(path)
     ):
         return None
-    df = spark.read.option("basePath", decisions_dir).parquet(
-        os.path.join(decisions_dir, "batch_id=*")
+    df = (
+        spark.read.option("basePath", decisions_dir)
+        .option("mergeSchema", "true")
+        .parquet(os.path.join(decisions_dir, "batch_id=*"))
     )
     if "canonical" not in df.columns:
         return None

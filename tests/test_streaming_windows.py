@@ -1357,3 +1357,53 @@ def test_semantic_stream_alias_chain_transitive(spark, tmp_path):
         for r in spark.read.parquet(dec).collect()
     }
     assert got == {10: (False, 10), 20: (True, 10), 30: (True, 10)}
+
+
+def test_alias_stream_batch_replay_idempotent(spark, tmp_path):
+    """Review r11 #1: a crashed-and-replayed micro-batch must see
+    history WITHOUT its own prior attempt's alias rows. Before the fix,
+    the replay mapped its re-verified pair through its own output,
+    collapsed it to a self-edge, and overwrote the partition EMPTY —
+    silently losing the redirect. Replaying batch 1 must leave the
+    redirect table and every state dir's row counts bit-identical."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming.alias_stream import (
+        process_alias_batch,
+        read_alias_map,
+    )
+
+    toks = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliett", "kilo", "lima",
+    ]
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    c = " ".join(reversed(toks))
+    c2 = " ".join(list(reversed(toks))[:-2] + [toks[0], toks[1]])
+    batches = [[(1, a), (2, a2)], [(3, c), (4, c2)]]
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+
+    def run(b):
+        df = spark.createDataFrame(batches[b], "doc_id long, text string")
+        process_alias_batch(spark, df, *dirs, batch_id=b)
+
+    run(0)
+    run(1)
+    before = sorted(map(tuple, read_alias_map(spark, dirs[2]).collect()))
+    counts_before = [
+        spark.read.parquet(_os.path.join(d, "batch_id=*")).count()
+        for d in dirs
+    ]
+    assert len(before) == 4
+
+    run(1)  # the replay: same batch_id, same input, prior output on disk
+    after = sorted(map(tuple, read_alias_map(spark, dirs[2]).collect()))
+    counts_after = [
+        spark.read.parquet(_os.path.join(d, "batch_id=*")).count()
+        for d in dirs
+    ]
+    assert after == before
+    assert counts_after == counts_before
