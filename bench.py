@@ -77,6 +77,11 @@ HEADLINE = [
     "docs_chunk_semantic_pairs",
     # r10: quality-aware representative selection (clusters + argmax)
     "docs_dedup_keep_best",
+    # r11: the two promoted driver queries — the full curation
+    # composition and the vector-store alias map (suite grows by two;
+    # totals not comparable to r10, per-query rows are)
+    "docs_curation_budget_mix",
+    "docs_chunk_alias_map",
     # r7: the one-pass Arrow kernel is the registered entry (same
     # oracle verbatim); bench the shipped path
     "docs_token_stats_vectorized",
@@ -95,6 +100,10 @@ ON2_ORACLES = {
     "dedup_minhash_lsh_vectorized",
     "dedup_incremental_minhash",
     "docs_dedup_keep_best",
+    # r11 promotions: both oracles run the recursive-closure components
+    # CTE (a correctness definition, not DuckDB's scale path)
+    "docs_curation_budget_mix",
+    "docs_chunk_alias_map",
 }
 
 #: runs per steady-state measurement; reported value is the median
