@@ -131,6 +131,10 @@ def adaptive_band_rows(n_docs: int) -> int:
         math.log(n_docs / _BAND_SCALE_N) / math.log(4)
     )
 
+#: mega-bucket guard for the LSH band join above the band floor
+#: (band_pairs docstring; measured envelope in BASELINE §6ab)
+_BAND_BUCKET_CAP = 2000
+
 _NGRAM = 3
 _JACCARD_THRESHOLD = 0.8
 
@@ -896,13 +900,30 @@ def dedup_minhash_lsh_vectorized(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), vectorized=True)
 
 
-def band_pairs(sig: DataFrame, n_bands: int = N_BANDS, rows: int | None = None) -> DataFrame:
+def band_pairs(
+    sig: DataFrame,
+    n_bands: int = N_BANDS,
+    rows: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Candidate (a_id, b_id) pairs agreeing on ≥1 LSH band of a MinHash
     signature frame (``doc_id, sig_0..sig_{K-1}``). One explode to K
     band rows per doc, then the bucket join — bucket sizes are O(near-dup
     group), never corpus-sized (bounded by :func:`adaptive_band_rows`
     above the floor). Shared by :func:`minhash_lsh_pairs` and
-    :func:`jaccard_pairs`'s selectivity-collapse fallback."""
+    :func:`jaccard_pairs`'s selectivity-collapse fallback.
+
+    ``bucket_cap`` (r11, BASELINE §6ab): drop band buckets with more
+    than this many docs BEFORE the pair explosion — the standard
+    production-LSH mega-bucket guard. A band key shared by c docs
+    contributes c²/2 candidate pairs; on saturated-vocabulary corpora
+    the biggest buckets are moderate-Jaccard mass whose pairs almost
+    all fail the exact verify, yet their c² payload is what filled the
+    disk at 13 M docs (398 M candidates → verify spill > free disk,
+    §6ab). A TRUE near-dup pair keeps ``n_bands`` independent chances
+    to meet in a sub-cap bucket; the measured recall envelope of the
+    cap is in §6ab. The dropped-key set is tiny (few, huge buckets) →
+    broadcast anti-join; None = off (every oracle-checked SF)."""
     if rows is None:
         rows = N_HASHES // N_BANDS
     bands = F.array(
@@ -919,6 +940,16 @@ def band_pairs(sig: DataFrame, n_bands: int = N_BANDS, rows: int | None = None) 
     banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
+    if bucket_cap is not None:
+        mega = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_c"))
+            .where(F.col("_c") > bucket_cap)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(mega), ["band_idx", "band_key"], "left_anti"
+        )
     return bucket_pairs(banded, ["band_idx", "band_key"]).distinct()
 
 
@@ -940,7 +971,12 @@ def minhash_lsh_pairs(docs: DataFrame, vectorized: bool = False) -> DataFrame:
         n_docs = docs.count()
         rows = adaptive_band_rows(n_docs)
         sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
-        cand = band_pairs(sig, n_bands=N_BANDS, rows=rows)
+        # scale zone: mega-bucket guard (band_pairs docstring / §6ab —
+        # the 13 M-doc probe filled the disk with c² candidate payload
+        # from a handful of non-discriminative buckets). Oracle SFs are
+        # below the floor and keep every bucket.
+        cap = _BAND_BUCKET_CAP if n_docs > _BAND_SCALE_N else None
+        cand = band_pairs(sig, n_bands=N_BANDS, rows=rows, bucket_cap=cap)
         if n_docs > _BAND_SCALE_N:
             # Scale zone only (r11, BASELINE §6y): above the band floor
             # the candidate set is tens of millions of pairs and the

@@ -3762,3 +3762,28 @@ def test_lsh_hashed_verify_identical_and_scale_zone_wiring(spark):
             .collect())
     )
     assert got == want
+
+
+def test_band_pairs_bucket_cap_drops_mega_buckets_only(spark):
+    """§6ab mega-bucket guard: band buckets above the cap are dropped
+    BEFORE the pair explosion; sub-cap buckets are untouched; cap=None
+    keeps everything (the oracle-SF path)."""
+    from ballcone_spark.operators.dedup import N_BANDS, band_pairs
+
+    rows = 4
+    k = N_BANDS * rows
+    sigs = (
+        [(i, *([7] * k)) for i in range(10)]      # mega group: bucket 10
+        + [(20, *([9] * k)), (21, *([9] * k))]     # small group: bucket 2
+    )
+    cols = "doc_id long, " + ", ".join(f"sig_{j} long" for j in range(k))
+    sig = spark.createDataFrame(sigs, cols)
+
+    uncapped = band_pairs(sig, rows=rows).count()
+    assert uncapped == 45 + 1  # C(10,2) + 1
+
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in band_pairs(sig, rows=rows, bucket_cap=5).collect()
+    }
+    assert capped == {(20, 21)}

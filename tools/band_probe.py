@@ -54,14 +54,20 @@ def log(msg: str) -> None:
 
 
 def probe(
-    spark, sf_dir: str, rows: int, skip_verify: bool, hashed_ok: bool
+    spark,
+    sf_dir: str,
+    rows: int,
+    skip_verify: bool,
+    hashed_ok: bool,
+    bucket_cap: int | None = None,
 ) -> dict:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "rows": rows}
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "rows": rows,
+                 "bucket_cap": bucket_cap}
     t0 = time.perf_counter()
     sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
-    cand = band_pairs(sig, n_bands=N_BANDS, rows=rows)
+    cand = band_pairs(sig, n_bands=N_BANDS, rows=rows, bucket_cap=bucket_cap)
     out["candidates"] = cand.count()
     out["cand_sec"] = round(time.perf_counter() - t0, 1)
     log(f"{sf_dir} rows={rows}: {out['candidates']:,} candidates "
@@ -115,6 +121,10 @@ def main() -> None:
         "--no-hashed", action="store_true",
         help="force the string verify (pre-r11 path) for A/B",
     )
+    ap.add_argument(
+        "--bucket-cap", type=int, default=None,
+        help="mega-bucket guard passed to band_pairs (§6ab)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="band_probe")
@@ -133,7 +143,8 @@ def main() -> None:
         for rows in settings:
             results.append(
                 probe(spark, sf_dir, rows, args.skip_verify,
-                      hashed_ok=not args.no_hashed)
+                      hashed_ok=not args.no_hashed,
+                      bucket_cap=args.bucket_cap)
             )
     print(json.dumps({
         "metric": "band_step_probe",
