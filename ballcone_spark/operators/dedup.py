@@ -524,6 +524,7 @@ def _rare_shingle_candidates(
     MinHash bands when selectivity collapses) and the hashed-verify
     license — the shared front half of :func:`jaccard_pairs` and
     :func:`containment_pairs`."""
+    n_docs = None
     if max_df is None or pair_budget is None:
         n_docs = docs.count()
         if max_df is None:
@@ -559,6 +560,12 @@ def _rare_shingle_candidates(
         # per-pair band-miss from (1−J⁴)⁴ ≈ 12 % to ≈ 1.5 % at J=0.8
         # for one extra numpy permutation batch and 2× band rows — paid
         # only on this branch, which never activates at driver SFs
+        # the fallback activates exactly on saturated-vocabulary
+        # corpora — the class where band buckets go mega (BASELINE
+        # §6ab) — so it takes the same bucket guard as
+        # minhash_lsh_pairs above _BAND_SCALE_N docs (ADVICE r11)
+        if n_docs is None:
+            n_docs = docs.count()
         cand = cand.union(
             band_pairs(
                 minhash_signatures_np(
@@ -566,6 +573,9 @@ def _rare_shingle_candidates(
                 ),
                 n_bands=_FALLBACK_BANDS,
                 rows=4,
+                bucket_cap=_BAND_BUCKET_CAP
+                if n_docs > _BAND_SCALE_N
+                else None,
             )
         ).distinct()
     return cand, bool(inj)

@@ -979,7 +979,11 @@ _sql_query(
     ORDER BY date NULLS FIRST, event_type NULLS FIRST
     """,
     doc="ROLLUP hierarchy: per (day,type), per day, grand total. Spark "
-    "plans one Expand + single aggregate — no N-pass union.",
+    "plans one Expand + single aggregate — no N-pass union. Demoted to "
+    "EXTRA (r12, VERDICT r11 #1): its Expand shape is strictly inside "
+    "events_grouping_sets_profile, which stays; the freed driver slot "
+    "goes to docs_chunk_alias_arrival (the streaming alias surface).",
+    driver=False,
 )
 
 _sql_query(

@@ -505,7 +505,8 @@ def _duck_alias_arrival(dim: int, tau: float) -> str:
 @_query(
     "docs_chunk_alias_arrival",
     _duck_alias_arrival(CHUNK_EMB_DIM, CHUNK_COS_T),
-    driver=False,  # registry at the 50 cap; oracle-checked locally
+    # promoted r12 (VERDICT r11 #1): the streaming alias surface gets a
+    # driver CORRECTNESS row; events_rollup_daily_types freed the slot
     cacheable=("documents",),
 )
 def docs_chunk_alias_arrival(spark, sf_dir):

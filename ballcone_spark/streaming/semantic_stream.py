@@ -264,8 +264,10 @@ def _decide_compressed(
         intra = imask.sum(axis=1)
         nvid = new_pdf["vec_id"].values
         ifirst = np.where(intra > 0, imask.argmax(axis=1), -1)
+        # -1 sentinel, not None: nulls would make the long column
+        # float64 downstream (vec_ids > 2^53 round — ADVICE r11)
         intra_first = [
-            int(nvid[i]) if i >= 0 else None for i in ifirst
+            int(nvid[i]) if i >= 0 else -1 for i in ifirst
         ]
         hist_pdf = pdf[~is_new]
         if len(hist_pdf):
@@ -331,10 +333,18 @@ def _decide_compressed(
             ).drop("_hc")
         else:
             base = base.withColumn("cross_canon", F.col("cross_first"))
+        # left-join misses become -1 sentinels so the long columns
+        # cross the Arrow boundary null-free (exact int64, no float64
+        # rounding of >2^53 vec_ids)
+        base = base.withColumn(
+            "cross", F.coalesce("cross", F.lit(-1)).cast("long")
+        ).withColumn(
+            "cross_canon", F.coalesce("cross_canon", F.lit(-1)).cast("long")
+        )
     else:
         base = screened.withColumn(
-            "cross", F.lit(None).cast("long")
-        ).withColumn("cross_canon", F.lit(None).cast("long"))
+            "cross", F.lit(-1).cast("long")
+        ).withColumn("cross_canon", F.lit(-1).cast("long"))
 
     def resolve(key, pdf):
         # per-cluster chain resolution in arrival order: a history match
@@ -346,17 +356,16 @@ def _decide_compressed(
         out = []
         for r in pdf.itertuples():
             vid = int(r.vec_id)
-            if r.cross_canon is not None and not pd.isna(r.cross_canon):
+            # all three columns arrive null-free (the -1 sentinel),
+            # hence exact int64 — no pd.isna branch, no float rounding
+            if int(r.cross_canon) >= 0:
                 c = int(r.cross_canon)
-            elif r.intra_first is not None and not pd.isna(r.intra_first):
+            elif int(r.intra_first) >= 0:
                 c = canon[int(r.intra_first)]
             else:
                 c = vid
             canon[vid] = c
-            n_matches = int(r.intra) + (
-                int(r.cross) if r.cross is not None and not pd.isna(r.cross)
-                else 0
-            )
+            n_matches = int(r.intra) + max(int(r.cross), 0)
             out.append((vid, int(r.cluster_id), n_matches > 0, n_matches, c))
         return pd.DataFrame(
             out,
@@ -398,7 +407,11 @@ def _decide(
         "e",
         "nrm",
         F.lit(True).alias("_new"),
-        F.lit(None).cast("long").alias("_canon"),
+        # -1 sentinel, NOT null: an Arrow long column with any null
+        # reaches pandas as float64, silently rounding vec_ids above
+        # 2^53 (snowflake-scale 64-bit ids) before the int() casts
+        # below. With no nulls the column arrives as exact int64.
+        F.lit(-1).cast("long").alias("_canon"),
     )
     if hist is not None:
         clusters = new.select("cluster_id").distinct()
@@ -428,7 +441,10 @@ def _decide(
         is_new = pdf["_new"].values
         matches, first = _decide_kernel(e, pdf["nrm"].values, is_new, tau)
         vids = pdf["vec_id"].values
-        canon = pdf["_canon"].tolist()  # hist filled; new rows None
+        # hist rows carry real canonicals; new rows the -1 sentinel
+        # (never read: every f points at an already-resolved position).
+        # astype int64 is exact — and raises if a NaN ever sneaks in.
+        canon = pdf["_canon"].astype("int64").tolist()
         new_positions = np.flatnonzero(is_new)
         for p, f in zip(new_positions, first):
             # f < p positionally → canon[f] already resolved (history

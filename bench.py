@@ -82,6 +82,10 @@ HEADLINE = [
     # totals not comparable to r10, per-query rows are)
     "docs_curation_budget_mix",
     "docs_chunk_alias_map",
+    # r12 promotion: the streaming alias map's first-seen election
+    # replayed as one batch query (suite grows by one; totals not
+    # comparable to r11, per-query rows are)
+    "docs_chunk_alias_arrival",
     # r7: the one-pass Arrow kernel is the registered entry (same
     # oracle verbatim); bench the shipped path
     "docs_token_stats_vectorized",
@@ -104,6 +108,9 @@ ON2_ORACLES = {
     # CTE (a correctness definition, not DuckDB's scale path)
     "docs_curation_budget_mix",
     "docs_chunk_alias_map",
+    # r12 promotion: same recursive-closure CTE plus the first-seen
+    # election on top
+    "docs_chunk_alias_arrival",
 }
 
 #: runs per steady-state measurement; reported value is the median

@@ -930,6 +930,89 @@ def test_hot_partition_escape_hatch(spark, tmp_path):
     assert spark.read.parquet(wh).count() == 405
 
 
+def test_hot_partition_hatch_auto_threshold(spark, tmp_path, monkeypatch):
+    """r12 (VERDICT r11 #5): ``hot_partition_rows="auto"`` derives the
+    threshold per batch — max(floor, batch_rows // defaultParallelism)
+    — so a deployment never supplies the constant. With the floor
+    patched to 100, the 405-row batch derives threshold 100 (405//32 <
+    100): the 400-row key trips and spreads, the 5-row key keeps the
+    1-file invariant — same observable behavior as the explicit-100
+    test above, reached with no caller-supplied number."""
+    import os
+
+    from ballcone_spark.streaming import ingest as ing
+
+    monkeypatch.setattr(ing, "_HOT_AUTO_FLOOR", 100)
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    lines = [
+        _dgram(dict(GOOD, service="hotsvc", path=f"/hot/{i}",
+                    ip=f"10.{i % 250}.{i // 250}.7"))
+        for i in range(400)
+    ] + [
+        _dgram(dict(GOOD, service="coldsvc", path=f"/cold/{i}"))
+        for i in range(5)
+    ]
+    (spool / "batch.log").write_text("\n".join(lines) + "\n")
+
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+    q = start_file_ingest(
+        spark, str(spool), wh, ck,
+        available_now=True, hot_partition_rows="auto",
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(wh)
+    assert got.count() == 405
+    assert got.select("path").distinct().count() == 405
+
+    def parquet_files(svc):
+        svc_dir = os.path.join(wh, f"service={svc}", "date=2020-01-01")
+        return [f for f in os.listdir(svc_dir) if f.endswith(".parquet")]
+
+    assert len(parquet_files("coldsvc")) == 1
+    assert 2 <= len(parquet_files("hotsvc")) <= 4
+
+
+def test_hot_partition_hatch_auto_floor_guards_small_batches(
+    spark, tmp_path
+):
+    """With the production floor (100 k rows), "auto" must NOT spread a
+    batch whose dominant key is far below it — spreading tiny batches
+    would mint small files for nothing. The 400-row hot key keeps the
+    1-file invariant."""
+    import os
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    lines = [
+        _dgram(dict(GOOD, service="hotsvc", path=f"/hot/{i}"))
+        for i in range(400)
+    ]
+    (spool / "batch.log").write_text("\n".join(lines) + "\n")
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+    q = start_file_ingest(
+        spark, str(spool), wh, ck,
+        available_now=True, hot_partition_rows="auto",
+    )
+    q.awaitTermination()
+    svc_dir = os.path.join(wh, "service=hotsvc", "date=2020-01-01")
+    files = [f for f in os.listdir(svc_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(wh).count() == 400
+
+
+def test_hot_partition_rows_rejects_unknown_string(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        start_file_ingest(
+            spark, str(tmp_path / "s"), str(tmp_path / "w"),
+            str(tmp_path / "c"), hot_partition_rows="always",
+        )
+
+
 def test_hot_partition_hatch_disabled_is_old_path(spark, tmp_path):
     """hot_partition_rows=None (default) preserves the invariant even
     for a key that would have tripped a threshold."""

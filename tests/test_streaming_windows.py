@@ -1316,6 +1316,172 @@ def test_alias_state_fold_preserves_reads(spark, tmp_path):
     assert len({r["canonical_fp"] for r in m.values()}) == 1
 
 
+_ALIAS_TOKS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliett", "kilo", "lima",
+]
+
+
+def _alias_kill_batches():
+    """Four micro-batches with planted near-dups: two clusters seeded in
+    b0/b1, then one more member each in b2/b3 — every batch writes real
+    alias updates, and b2/b3 exercise the rewrite path against history."""
+    toks = _ALIAS_TOKS
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    a3 = " ".join([toks[1], toks[0]] + toks[2:])
+    c = " ".join(reversed(toks))
+    c2 = " ".join(list(reversed(toks))[:-2] + [toks[0], toks[1]])
+    c3 = " ".join(list(reversed(toks))[2:] + [toks[-1], toks[-2]])
+    return [[(1, a), (2, a2)], [(3, c), (4, c2)], [(5, a3)], [(6, c3)]]
+
+
+@pytest.mark.parametrize(
+    "crash_at",
+    ["before_fold_rename", "before_manifest_swap", "mid_garbage_sweep",
+     "partial_batch_overwrite"],
+)
+def test_compact_alias_state_crash_recovery(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """VERDICT r11 #2: kill-point durability for the alias stream's
+    state folds. ``compact_alias_state`` reuses dedup_stream's
+    manifest-pointer protocol, but the alias dir folds LATEST-WINS
+    (superseded redirect rows dropped) — a crash after each fold write
+    step, and a replay after a partial ``batch_id=`` overwrite, must
+    leave ``read_alias_map`` bit-identical to the never-crashed state
+    (the 5484fde replay-data-loss bug proves this operator's crash
+    surface is real). Fold crash points mirror
+    ``test_compact_index_crash_recovery``; the partial-overwrite case
+    is alias-specific: Spark's overwrite clears the dir before writing,
+    so a kill mid-write leaves an empty/_temporary-only partition the
+    replay must repopulate from ``batch_id < current`` history."""
+    import os as _os
+    import shutil as _shutil
+
+    from ballcone_spark.streaming import alias_stream as als
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+    batches = _alias_kill_batches()
+
+    def run(b):
+        df = spark.createDataFrame(batches[b], "doc_id long, text string")
+        als.process_alias_batch(spark, df, *dirs, batch_id=b)
+
+    for b in range(len(batches)):
+        run(b)
+
+    def snapshot():
+        spark.catalog.clearCache()
+        alias = sorted(map(tuple, als.read_alias_map(spark, dirs[2]).collect()))
+        chunks = sorted(
+            r["chunk_fp"]
+            for r in ds.read_index(spark, dirs[0])
+            .select("chunk_fp").distinct().collect()
+        )
+        grams = ds.read_index(spark, dirs[1]).count()
+        return alias, chunks, grams
+
+    clean = snapshot()
+    assert len(clean[0]) >= 6  # two clusters × three members
+
+    class Boom(RuntimeError):
+        pass
+
+    if crash_at == "before_fold_rename":
+        real_rename = _os.rename
+
+        def rename_hook(src, dst):
+            if _os.path.basename(dst).startswith("fold-"):
+                raise Boom()
+            real_rename(src, dst)
+
+        monkeypatch.setattr(ds.os, "rename", rename_hook)
+        with pytest.raises(Boom):
+            als.compact_alias_state(
+                spark, dirs[2], every=3, latest_wins_key="chunk_fp"
+            )
+        monkeypatch.undo()
+        assert _os.path.isdir(_os.path.join(dirs[2], ".fold-2.tmp"))
+    elif crash_at == "before_manifest_swap":
+        def manifest_hook(index_dir_, manifest):
+            raise Boom()
+
+        monkeypatch.setattr(ds, "_write_manifest", manifest_hook)
+        with pytest.raises(Boom):
+            als.compact_alias_state(
+                spark, dirs[2], every=3, latest_wins_key="chunk_fp"
+            )
+        monkeypatch.undo()
+        # fold dir in place but unreferenced — discarded on recovery
+        assert _os.path.isdir(_os.path.join(dirs[2], "fold-2"))
+    elif crash_at == "mid_garbage_sweep":
+        assert als.compact_alias_state(
+            spark, dirs[2], every=3, latest_wins_key="chunk_fp"
+        )
+        real_rmtree = _shutil.rmtree
+        state = {"n": 0}
+
+        def rmtree_hook(p, **kw):
+            if _os.path.basename(p).startswith("batch_id="):
+                state["n"] += 1
+                if state["n"] == 2:
+                    raise Boom()
+            real_rmtree(p, **kw)
+
+        monkeypatch.setattr(ds.shutil, "rmtree", rmtree_hook)
+        with pytest.raises(Boom):
+            als.compact_alias_state(
+                spark, dirs[2], every=999, latest_wins_key="chunk_fp"
+            )
+        monkeypatch.undo()
+    elif crash_at == "partial_batch_overwrite":
+        # a replay of the LAST batch killed mid-overwrite: the dir is
+        # cleared (only _temporary residue) before any part file commits
+        last = len(batches) - 1
+        part = _os.path.join(dirs[2], f"batch_id={last}")
+        _shutil.rmtree(part)
+        _os.makedirs(_os.path.join(part, "_temporary"))
+        run(last)  # the replay repopulates from batch_id < last history
+
+    # recovery = the next compaction pass over all three state dirs
+    # (sweep runs first); alias folds latest-wins like production
+    spark.catalog.clearCache()
+    for d in dirs[:2]:
+        als.compact_alias_state(spark, d, every=3)
+    als.compact_alias_state(
+        spark, dirs[2], every=3, latest_wins_key="chunk_fp"
+    )
+    assert snapshot() == clean, crash_at
+    # one more no-fold pass: sweeps the garbage the recovery fold
+    # retired (deleted at the START of the next run, by contract)
+    als.compact_alias_state(
+        spark, dirs[2], every=999, latest_wins_key="chunk_fp"
+    )
+    assert snapshot() == clean, crash_at
+
+    m = ds._read_manifest(dirs[2])
+    assert m["garbage"] == []
+    strays = [
+        e.name
+        for e in _os.scandir(dirs[2])
+        if (e.name.startswith("fold-") or e.name.startswith(".fold-"))
+        and e.name != (m["fold_dir"] or "")
+    ]
+    assert strays == []
+
+    # a post-recovery batch still merges against the recovered state:
+    # a bridge doc near cluster A keeps exactly one canonical there
+    bridge = " ".join([_ALIAS_TOKS[1], _ALIAS_TOKS[0]] + _ALIAS_TOKS[2:-2]
+                      + [_ALIAS_TOKS[-1], _ALIAS_TOKS[-2]])
+    df = spark.createDataFrame([(9, bridge)], "doc_id long, text string")
+    als.process_alias_batch(spark, df, *dirs, batch_id=len(batches))
+    spark.catalog.clearCache()
+    final = als.read_alias_map(spark, dirs[2]).collect()
+    assert len({r["canonical_fp"] for r in final}) == 2  # still 2 clusters
+
+
 def test_semantic_stream_alias_chain_transitive(spark, tmp_path):
     """r11 alias emission: A←B←C chains collapse to the first-seen root
     even when the newest link does NOT match the root directly.
@@ -1357,6 +1523,66 @@ def test_semantic_stream_alias_chain_transitive(spark, tmp_path):
         for r in spark.read.parquet(dec).collect()
     }
     assert got == {10: (False, 10), 20: (True, 10), 30: (True, 10)}
+
+
+def test_semantic_stream_canonical_exact_above_2_53(spark, tmp_path):
+    """ADVICE r11 (medium): nullable long columns crossing the Arrow
+    boundary became float64 in pandas, silently rounding vec_ids above
+    2^53 before the int() casts in ``_decide`` / ``_decide_compressed``
+    — an alias row would point at a NONEXISTENT vec_id for
+    snowflake-scale 64-bit ids. 2^53+1 is the smallest integer float64
+    cannot represent (it rounds to 2^53); the chain here roots at it,
+    and the canonical must survive bit-exact through BOTH decision
+    paths — including the history-canon join of a later batch, where
+    the pre-fix code read the corrupted value back."""
+    import json as _json
+    import math
+
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    BIG = 2**53
+    v1, v2, v3 = BIG + 1, BIG + 3, BIG + 5  # none float64-representable
+    assert int(float(v1)) != v1  # the premise of the bug
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0))]
+    # B matches A (cos 20° ≈ .94); C matches only B (cos(C,A) ≈ .77 <
+    # τ) — the chain forces canonical propagation THROUGH hist_canon
+    arrivals = [(v1, 0), (v2, 20), (v3, 40)]
+    books = [
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0.7, 0.7, 0, 0], [0.94, 0.34, 0, 0]],
+        [[0, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0]],
+    ]
+
+    for tag, kw in [
+        ("exact", {}),
+        ("pq", {"compressed": True, "books": books, "eps": 0.3}),
+    ]:
+        spool = tmp_path / f"big_spool_{tag}"
+        spool.mkdir()
+        dec = str(tmp_path / f"big_dec_{tag}")
+        for i, (vid, deg) in enumerate(arrivals):
+            with open(spool / f"b{i}.jsonl", "w") as f:
+                f.write(_json.dumps({"vec_id": vid, "e": rot(deg)}) + "\n")
+            q = start_semantic_dedup_stream(
+                spark, str(spool), str(tmp_path / f"big_idx_{tag}"), dec,
+                str(tmp_path / f"big_ckpt_{tag}"), centroids, tau=0.9, **kw,
+            )
+            q.awaitTermination(120)
+        got = {
+            r["vec_id"]: (r["is_dup"], r["canonical"])
+            for r in spark.read.parquet(dec).collect()
+        }
+        assert got == {
+            v1: (False, v1), v2: (True, v1), v3: (True, v1),
+        }, (tag, got)
 
 
 def test_alias_stream_batch_replay_idempotent(spark, tmp_path):

@@ -84,7 +84,8 @@ def main() -> None:
         )
         print(json.dumps(per_batch[-1]), file=sys.stderr, flush=True)
 
-    alias_rows = read_alias_map(spark, dirs[2]).count()
+    m = read_alias_map(spark, dirs[2])
+    alias_rows = m.count() if m is not None else 0
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(

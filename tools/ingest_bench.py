@@ -161,9 +161,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--hot-partition-rows",
-        type=int,
+        type=lambda v: v if v == "auto" else int(v),
         default=None,
-        help="escape-hatch threshold passed to start_file_ingest",
+        help="escape-hatch threshold passed to start_file_ingest "
+        "(an int, or 'auto' to derive it from each batch)",
     )
     ap.add_argument(
         "--services",
