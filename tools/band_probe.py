@@ -60,18 +60,41 @@ def probe(
     skip_verify: bool,
     hashed_ok: bool,
     bucket_cap: int | None = None,
+    candidates_out: str | None = None,
+    candidates_in: str | None = None,
 ) -> dict:
+    """``candidates_out``/``candidates_in`` (r12): split candidate
+    generation and verify into SEPARATE sessions. A single-session probe
+    retains the candidate stages' shuffle files for the whole app
+    lifetime — at 52 M docs that held ~35 GB of disk through the verify
+    join, which then hit the disk wall this box otherwise has room for.
+    A production job checkpoints between phases for exactly this
+    reason; the two-phase probe measures the same plan a deployment
+    would run."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
     out: dict = {"sf_dir": sf_dir, "n_docs": n_docs, "rows": rows,
                  "bucket_cap": bucket_cap}
-    t0 = time.perf_counter()
-    sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
-    cand = band_pairs(sig, n_bands=N_BANDS, rows=rows, bucket_cap=bucket_cap)
-    out["candidates"] = cand.count()
-    out["cand_sec"] = round(time.perf_counter() - t0, 1)
-    log(f"{sf_dir} rows={rows}: {out['candidates']:,} candidates "
-        f"in {out['cand_sec']}s")
+    if candidates_in is not None:
+        cand = spark.read.parquet(candidates_in)
+        out["candidates"] = cand.count()
+        log(f"{sf_dir} rows={rows}: {out['candidates']:,} candidates "
+            f"read from {candidates_in}")
+    else:
+        t0 = time.perf_counter()
+        sig = minhash_signatures_np(docs, n_hashes=N_BANDS * rows)
+        cand = band_pairs(
+            sig, n_bands=N_BANDS, rows=rows, bucket_cap=bucket_cap
+        )
+        if candidates_out is not None:
+            cand.write.mode("overwrite").parquet(candidates_out)
+            cand = spark.read.parquet(candidates_out)
+            out["candidates"] = cand.count()
+        else:
+            out["candidates"] = cand.count()
+        out["cand_sec"] = round(time.perf_counter() - t0, 1)
+        log(f"{sf_dir} rows={rows}: {out['candidates']:,} candidates "
+            f"in {out['cand_sec']}s")
     if skip_verify:
         return out
     # mirror the shipped scale-zone verify: license the 8-byte hashed
@@ -116,6 +139,9 @@ def main() -> None:
                     help="comma-separated corpus dirs (documents.parquet)")
     ap.add_argument("--force-rows", type=int, default=None,
                     help="ALSO probe this rows setting (step comparison)")
+    ap.add_argument("--force-only", action="store_true",
+                    help="probe ONLY --force-rows (skip the adaptive "
+                    "setting — for step A/Bs split across sessions)")
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument(
         "--no-hashed", action="store_true",
@@ -125,9 +151,24 @@ def main() -> None:
         "--bucket-cap", type=int, default=None,
         help="mega-bucket guard passed to band_pairs (§6ab)",
     )
+    ap.add_argument(
+        "--candidates-out", default=None,
+        help="write candidates parquet here and stop after counting "
+        "(phase 1 of the two-session disk-bounded protocol)",
+    )
+    ap.add_argument(
+        "--candidates-in", default=None,
+        help="skip candidate generation; verify these pairs (phase 2)",
+    )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="band_probe")
+    spark = get_spark(
+        app_name="band_probe",
+        # zstd shuffle blocks (vs lz4 default): ~30-40% smaller spill
+        # footprint — the probe's binding resource at 50M+ docs is
+        # DISK, not CPU (static conf, must be set at session build)
+        extra_conf={"spark.io.compression.codec": "zstd"},
+    )
     # §6s probe gotcha: no broadcast decisions off checkpoint estimates
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
@@ -140,11 +181,18 @@ def main() -> None:
         settings = [adaptive_band_rows(n_docs)]
         if args.force_rows and args.force_rows not in settings:
             settings.append(args.force_rows)
+        if args.force_only:
+            if not args.force_rows:
+                raise SystemExit("--force-only requires --force-rows")
+            settings = [args.force_rows]
         for rows in settings:
             results.append(
-                probe(spark, sf_dir, rows, args.skip_verify,
+                probe(spark, sf_dir, rows,
+                      args.skip_verify or args.candidates_out is not None,
                       hashed_ok=not args.no_hashed,
-                      bucket_cap=args.bucket_cap)
+                      bucket_cap=args.bucket_cap,
+                      candidates_out=args.candidates_out,
+                      candidates_in=args.candidates_in)
             )
     print(json.dumps({
         "metric": "band_step_probe",

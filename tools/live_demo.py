@@ -52,7 +52,10 @@ sys.path.insert(
 from ballcone_spark.app import Ballcone  # noqa: E402
 from ballcone_spark.dao import SparkDAO  # noqa: E402
 from ballcone_spark.session import get_spark  # noqa: E402
-from ballcone_spark.sources.udp_bridge import UdpSpool  # noqa: E402
+from ballcone_spark.sources.udp_bridge import (  # noqa: E402
+    UdpSpool,
+    open_udp_socket,
+)
 from ballcone_spark.streaming.ingest import (  # noqa: E402
     compact_warehouse,
     start_file_ingest,
@@ -76,12 +79,16 @@ def datagram(path: str, k: int) -> bytes:
     ).encode()
 
 
-def run_bridge(spool_dir: str, port_box: dict, stop: threading.Event):
+def run_bridge(
+    spool_dir: str,
+    port_box: dict,
+    stop: threading.Event,
+    roll_seconds: float = 5.0,
+):
     """In-process copy of udp_bridge.main's loop (the module-level main
     blocks on signals; the demo needs a joinable thread)."""
-    spool = UdpSpool(spool_dir, roll_seconds=5.0)
-    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    sock.bind(("127.0.0.1", 0))
+    spool = UdpSpool(spool_dir, roll_seconds=roll_seconds)
+    sock = open_udp_socket("127.0.0.1", 0)
     port_box["port"] = sock.getsockname()[1]
     sock.settimeout(0.25)
     try:
@@ -110,6 +117,14 @@ def main() -> None:
     ap.add_argument("--rows-per-sec", type=int, default=20_000)
     ap.add_argument("--marker-every", type=float, default=3.0)
     ap.add_argument(
+        "--roll-seconds", type=float, default=5.0,
+        help="bridge spool-file roll period (product default 5 s)",
+    )
+    ap.add_argument(
+        "--trigger-seconds", type=int, default=5,
+        help="ingest micro-batch trigger period (product default 5 s)",
+    )
+    ap.add_argument(
         "--warmup-markers",
         type=int,
         default=2,
@@ -135,7 +150,9 @@ def main() -> None:
     stop = threading.Event()
     port_box: dict = {}
     bridge = threading.Thread(
-        target=run_bridge, args=(spool, port_box, stop), daemon=True
+        target=run_bridge,
+        args=(spool, port_box, stop, args.roll_seconds),
+        daemon=True,
     )
     bridge.start()
     while "port" not in port_box:
@@ -145,6 +162,7 @@ def main() -> None:
     q = start_file_ingest(
         spark, spool, os.path.join(warehouse, "data"),
         os.path.join(work, "ckpt"),
+        trigger_seconds=args.trigger_seconds,
     )
 
     send = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -169,6 +187,7 @@ def main() -> None:
 
     # prober: marker datagrams + /sql visibility polls + route timings
     freshness: list[float] = []
+    markers_lost = 0  # poll timed out — the marker datagram was dropped
     route_ms: dict[str, list[float]] = {"dashboard": [], "overview": []}
     t_end = time.monotonic() + args.seconds
     k = 0
@@ -182,7 +201,11 @@ def main() -> None:
             f"WHERE path = '{path}'"
         )
         url = f"{base}/sql?sql=" + urllib.request.quote(sql)
-        while time.monotonic() < t_send + 45:
+        deadline_mk = t_send + 45
+        while True:
+            if time.monotonic() >= deadline_mk:
+                markers_lost += 1  # lossy UDP ate the marker itself
+                break
             payload, _ = http_json(url)
             rows = payload.get("rows") or []
             if rows and rows[0] and int(rows[0][0]) >= 1:
@@ -238,7 +261,13 @@ def main() -> None:
         "rows_sent": sent["rows"] + k,
         "offered_rows_per_sec": args.rows_per_sec,
         "run_seconds": args.seconds,
+        "roll_seconds": args.roll_seconds,
+        "trigger_seconds": args.trigger_seconds,
         "markers": len(freshness),
+        "markers_lost": markers_lost,
+        "udp_loss_pct": round(
+            100.0 * (1 - rows_before / max(1, sent["rows"] + k)), 2
+        ),
         "freshness_p50": round(pct(freshness, 0.5), 2) if freshness else None,
         "freshness_p90": round(pct(freshness, 0.9), 2) if freshness else None,
         "freshness_max": round(max(freshness), 2) if freshness else None,
