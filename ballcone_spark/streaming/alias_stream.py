@@ -410,10 +410,21 @@ def start_chunk_alias_stream(
     trigger_seconds: int = 5,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = 64,
 ):
     """Micro-batch alias-map maintenance over a spool of JSON-lines
     document files (``{"doc_id": ..., "text": ...}`` per line, the
-    dedup_stream input shape). Returns the StreamingQuery."""
+    dedup_stream input shape). Returns the StreamingQuery.
+
+    ``compact_every`` (r12): fold each state dir's per-batch partition
+    dirs through :func:`compact_alias_state` when the live dir count
+    reaches this many — previously the fold existed but nothing in the
+    production loop CALLED it, so a 5 s-trigger deployment accumulated
+    ~17 k dirs/day/state-dir and every history read paid the listing.
+    The alias dir folds latest-wins (superseded redirect rows dropped);
+    chunks/grams fold as-is. Reads are bit-identical before/after
+    (``test_alias_state_fold_preserves_reads``), crash points covered
+    by ``test_compact_alias_state_crash_recovery``. ``None`` disables."""
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -435,6 +446,13 @@ def start_chunk_alias_stream(
             batch_id,
             tau=tau,
         )
+        if compact_every is not None:
+            for d in (chunks_dir, grams_dir):
+                compact_alias_state(spark, d, every=compact_every)
+            compact_alias_state(
+                spark, alias_dir, every=compact_every,
+                latest_wins_key="chunk_fp",
+            )
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)

@@ -459,6 +459,7 @@ def start_dedup_stream(
     checkpoint_dir: str,
     trigger_seconds: int = 5,
     available_now: bool = False,
+    compact_every: int | None = 64,
 ):
     """Micro-batch incremental dedup over a spool of JSON-lines document
     files (``{"doc_id": ..., "text": ...}`` per line). Each batch:
@@ -470,6 +471,16 @@ def start_dedup_stream(
     3. overwrite ``decisions_dir/batch_id=<n>`` with (doc_id, is_dup,
        n_matches) and ``index_dir/batch_id=<n>`` with the batch's banded
        signature rows.
+
+    ``compact_every`` (r12): fold the INDEX's per-batch dirs through
+    :func:`compact_index` whenever the live dir count reaches this many
+    — wired into the batch loop because a 5 s-trigger deployment mints
+    ~17 k dirs/day and the probe's file-listing cost would otherwise
+    grow without bound (the fold was previously manual-only; reads are
+    bit-identical before/after, crash points covered by the kill-point
+    suite). ``None`` disables. The decisions dir is NOT folded here:
+    external consumers read it as plain ``batch_id=`` parquet, so its
+    lifecycle belongs to them (the warehouse-compaction convention).
 
     Returns the StreamingQuery."""
     raw = spark.readStream.format("text").load(spool_dir)
@@ -491,6 +502,8 @@ def start_dedup_stream(
         _overwrite_batch_partition(
             _bands(sigs), index_dir, batch_id, n_rows * N_BANDS
         )
+        if compact_every is not None:
+            compact_index(spark, index_dir, every=compact_every)
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)

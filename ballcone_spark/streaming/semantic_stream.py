@@ -70,18 +70,48 @@ __all__ = ["start_semantic_dedup_stream", "read_semantic_index"]
 
 #: ``codes`` is the PQ encoding of the NORMALIZED vector — populated in
 #: compressed mode, null otherwise (an exact-mode index reads back with
-#: null codes and still serves the exact path).
-_IDX_SCHEMA = (
-    "vec_id long, cluster_id long, e array<double>, nrm double, "
-    "codes array<int>, batch_id long"
-)
+#: null codes and still serves the exact path). The reader enforces
+#: this shape after the manifest-aware union (r12): vec_id long,
+#: cluster_id long, e array<double>, nrm double, codes array<int>,
+#: batch_id long.
+
+
+def _read_manifest_fs(spark: SparkSession, index_dir: str) -> dict:
+    """dedup_stream's fold manifest, read through the Hadoop FS API so
+    the reader stays FS-agnostic (ADVICE r6 class). Absent manifest =
+    the no-fold default — which is also the permanent state on object
+    stores, where :func:`~ballcone_spark.streaming.dedup_stream
+    .compact_index` is a posix-only no-op."""
+    import json as _json
+
+    from ballcone_spark.streaming.dedup_stream import _MANIFEST
+
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(index_dir + "/" + _MANIFEST)
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(mpath):
+        return {"folded_hi": -1, "fold_dir": None, "garbage": []}
+    stream = fs.open(mpath)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
+        return _json.loads(out.toString("UTF-8"))
+    finally:
+        stream.close()
 
 
 def read_semantic_index(spark: SparkSession, index_dir: str):
     """The resident index as a DataFrame, or None before the first batch
     lands. Probed through the Hadoop FS API (ADVICE r6: an os.listdir
     probe silently restricted the index to the local filesystem, unlike
-    the DAO/ingest sinks which take any s3a/hdfs URI Spark can read)."""
+    the DAO/ingest sinks which take any s3a/hdfs URI Spark can read).
+
+    Manifest-aware since r12 (the stream now folds its own per-batch
+    dirs inline — see ``compact_every``): reads the manifest's fold dir
+    plus per-batch dirs with ``batch_id > folded_hi``, the dedup_stream
+    snapshot rule, so a read racing a fold never double-counts. With no
+    manifest (never folded, or an object store where the fold no-ops)
+    this degrades to exactly the old whole-dir read."""
     jvm = spark._jvm
     jsc = spark._jsc
     path = jvm.org.apache.hadoop.fs.Path(index_dir)
@@ -90,12 +120,46 @@ def read_semantic_index(spark: SparkSession, index_dir: str):
     # a transient FS/permission failure must PROPAGATE so the batch
     # retries, not be mis-read as empty history and durably write false
     # not-dup decisions (ADVICE r7)
-    if not fs.exists(path) or not any(
-        s.getPath().getName().startswith("batch_id=")
-        for s in fs.listStatus(path)
-    ):
+    if not fs.exists(path):
         return None
-    return spark.read.schema(_IDX_SCHEMA).parquet(index_dir)
+    m = _read_manifest_fs(spark, index_dir)
+    names = [s.getPath().getName() for s in fs.listStatus(path)]
+    parts = sorted(
+        (
+            n for n in names
+            if n.startswith("batch_id=")
+            and int(n.split("=", 1)[1]) > m["folded_hi"]
+        ),
+        key=lambda n: int(n.split("=", 1)[1]),
+    )
+    frames = []
+    if m["fold_dir"] and m["fold_dir"] in names:
+        frames.append(
+            spark.read.parquet(index_dir + "/" + m["fold_dir"])
+        )
+    if parts:
+        frames.append(
+            spark.read.option("basePath", index_dir).parquet(
+                *[index_dir + "/" + p for p in parts]
+            )
+        )
+    if not frames:
+        return None
+    df = frames[0]
+    if len(frames) == 2:
+        df = df.unionByName(frames[1], allowMissingColumns=True)
+    # enforce the _IDX_SCHEMA shape the old schema-pinned read gave:
+    # exact-mode files carry no codes column at all
+    if "codes" not in df.columns:
+        df = df.withColumn("codes", F.lit(None).cast("array<int>"))
+    return df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "e",
+        "nrm",
+        "codes",
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
 
 
 def _decide_kernel(e, nrm, is_new, tau: float):
@@ -510,6 +574,7 @@ def start_semantic_dedup_stream(
     compressed: bool = False,
     books=None,
     eps: float = 0.15,
+    compact_every: int | None = 64,
 ):
     """Stream JSON-lines ``{"vec_id": ..., "e": [...]}`` files through
     the incremental SemDeDup rule against a frozen centroid set.
@@ -529,7 +594,18 @@ def start_semantic_dedup_stream(
     codebooks, e.g. :func:`~ballcone_spark.operators.quantization
     .train_pq_codebooks` output); an index dir must stay in ONE mode
     for its lifetime (exact-mode batches have null codes the
-    compressed screen cannot score)."""
+    compressed screen cannot score).
+
+    ``compact_every`` (r12): fold the INDEX's per-batch dirs through
+    dedup_stream's :func:`~ballcone_spark.streaming.dedup_stream
+    .compact_index` when the live dir count reaches this many —
+    previously nothing in the loop folded, so a long-running stream
+    paid an ever-growing dir listing per trigger. Fold rows are sorted
+    by ``cluster_id`` so the per-cluster history probe prunes row
+    groups. The decisions dir is NOT folded (read by external
+    consumers and the canonical chain as plain ``batch_id=`` parquet).
+    On object stores the fold is a posix-only no-op and reads are
+    unchanged. ``None`` disables."""
     import numpy as np
 
     if compressed and books is None:
@@ -572,6 +648,12 @@ def start_semantic_dedup_stream(
             decisions = _decide(routed, hist, tau, hist_canon=hist_canon)
         _overwrite_partition(decisions, decisions_dir, batch_id)
         _overwrite_partition(routed, index_dir, batch_id)
+        if compact_every is not None:
+            from ballcone_spark.streaming.dedup_stream import compact_index
+
+            compact_index(
+                spark, index_dir, every=compact_every, sort_col="cluster_id"
+            )
 
     writer = vecs.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

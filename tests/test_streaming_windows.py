@@ -1316,6 +1316,169 @@ def test_alias_state_fold_preserves_reads(spark, tmp_path):
     assert len({r["canonical_fp"] for r in m.values()}) == 1
 
 
+def test_semantic_stream_compacts_index_inline(spark, tmp_path):
+    """r12: the semantic stream folds its own index inline
+    (compact_every), and the manifest-aware read_semantic_index serves
+    bit-identical history through the fold — decisions AND canonicals
+    must equal an uncompacted twin, including a post-fold batch whose
+    only match lives in FOLDED history (the A←B←C chain forces the
+    canonical to propagate through the fold)."""
+    import json as _json
+    import math
+    import os as _os
+
+    from ballcone_spark.streaming import dedup_stream as ds
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0))]
+    arrivals = [(10, 0), (20, 20), (30, 40), (40, 60)]
+    # 20 dups 10; 30 dups 20 (chain→10); 40 dups 30 (chain→10, with
+    # 10/20/30 all in folded history by then at compact_every=2)
+
+    def run(tag, compact_every):
+        spool = tmp_path / f"sspool_{tag}"
+        spool.mkdir()
+        dec = str(tmp_path / f"sdec_{tag}")
+        for i, (vid, deg) in enumerate(arrivals):
+            with open(spool / f"b{i}.jsonl", "w") as f:
+                f.write(_json.dumps({"vec_id": vid, "e": rot(deg)}) + "\n")
+            q = start_semantic_dedup_stream(
+                spark, str(spool), str(tmp_path / f"sidx_{tag}"), dec,
+                str(tmp_path / f"sck_{tag}"), centroids, tau=0.9,
+                compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+        return {
+            r["vec_id"]: (r["is_dup"], r["canonical"])
+            for r in spark.read.parquet(dec).collect()
+        }
+
+    folded = run("fold", compact_every=2)
+    plain = run("plain", compact_every=None)
+    want = {10: (False, 10), 20: (True, 10), 30: (True, 10),
+            40: (True, 10)}
+    assert folded == plain == want
+    m = ds._read_manifest(str(tmp_path / "sidx_fold"))
+    assert m["fold_dir"] is not None
+    live = [e.name for e in _os.scandir(str(tmp_path / "sidx_fold"))
+            if e.name.startswith("batch_id=")]
+    assert len(live) <= 2
+
+
+def test_dedup_stream_compacts_index_inline(spark, tmp_path):
+    """r12: the production loop FOLDS its own state. Previously
+    compact_index existed (kill-point-tested) but start_dedup_stream
+    never called it, so a 5 s-trigger deployment minted one batch_id=
+    dir per trigger forever. With compact_every=2, three single-file
+    batches must leave a committed fold behind AND decide identically
+    to an uncompacted twin stream over the same spool."""
+    import os as _os
+
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    docs_by_batch = [
+        [(1, BASE), (2, OTHER)],
+        [(3, BASE)],          # dups 1 via (folded) history
+        [(4, THIRD), (5, THIRD)],
+    ]
+
+    def run(tag, compact_every):
+        spool = tmp_path / f"spool_{tag}"
+        for docs in docs_by_batch:
+            _write_docs(spool, docs)
+            q = ds.start_dedup_stream(
+                spark, str(spool),
+                str(tmp_path / f"index_{tag}"),
+                str(tmp_path / f"dec_{tag}"),
+                str(tmp_path / f"ckpt_{tag}"),
+                available_now=True,
+                compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+        return {
+            r["doc_id"]: r["is_dup"]
+            for r in ds.read_decisions(
+                spark, str(tmp_path / f"dec_{tag}")
+            ).collect()
+        }
+
+    folded = run("fold", compact_every=2)
+    plain = run("plain", compact_every=None)
+    assert folded == plain == {1: False, 2: False, 3: True,
+                               4: False, 5: True}
+    m = ds._read_manifest(str(tmp_path / "index_fold"))
+    assert m["fold_dir"] is not None  # the loop really folded
+    assert ds._read_manifest(str(tmp_path / "index_plain"))["fold_dir"] is None
+    # the folded index still answers a fresh history probe correctly
+    idx = ds.read_index(spark, str(tmp_path / "index_fold"))
+    assert idx.select("doc_id").distinct().count() == 5
+    live = [
+        e.name for e in _os.scandir(str(tmp_path / "index_fold"))
+        if e.name.startswith("batch_id=")
+    ]
+    assert len(live) <= 2  # folded dirs retired (newest + at most one)
+
+
+def test_alias_stream_compacts_state_inline(spark, tmp_path):
+    """r12: same wiring gate for the alias stream — with
+    compact_every=2 the three state dirs fold during the stream's own
+    batch loop, and the redirect table equals an uncompacted twin."""
+    import json as _json
+    import os as _os
+
+    from ballcone_spark.streaming import dedup_stream as ds
+    from ballcone_spark.streaming.alias_stream import (
+        read_alias_map,
+        start_chunk_alias_stream,
+    )
+
+    toks = _ALIAS_TOKS
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    c = " ".join(reversed(toks))
+    c2 = " ".join(list(reversed(toks))[:-2] + [toks[0], toks[1]])
+    batches = [[(1, a), (2, a2)], [(3, c), (4, c2)], [(5, " ".join(
+        [toks[1], toks[0]] + toks[2:]))]]
+
+    def run(tag, compact_every):
+        spool = tmp_path / f"aspool_{tag}"
+        spool.mkdir()
+        dirs = [str(tmp_path / f"{d}_{tag}")
+                for d in ("chunks", "grams", "alias")]
+        for i, rows in enumerate(batches):
+            with open(spool / f"b{i}.jsonl", "w") as f:
+                for did, text in rows:
+                    f.write(
+                        _json.dumps({"doc_id": did, "text": text}) + "\n"
+                    )
+            q = start_chunk_alias_stream(
+                spark, str(spool), *dirs, str(tmp_path / f"ack_{tag}"),
+                available_now=True, compact_every=compact_every,
+            )
+            q.awaitTermination(180)
+        return dirs, sorted(
+            map(tuple, read_alias_map(spark, dirs[2]).collect())
+        )
+
+    fdirs, folded = run("fold", compact_every=2)
+    _, plain = run("plain", compact_every=None)
+    assert folded == plain
+    assert len(folded) == 5
+    for d in fdirs:
+        assert ds._read_manifest(d)["fold_dir"] is not None, d
+        live = [e.name for e in _os.scandir(d)
+                if e.name.startswith("batch_id=")]
+        assert len(live) <= 2, (d, live)
+
+
 _ALIAS_TOKS = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
     "golf", "hotel", "india", "juliett", "kilo", "lima",
