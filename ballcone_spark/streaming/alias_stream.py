@@ -411,6 +411,8 @@ def start_chunk_alias_stream(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = 64,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
 ):
     """Micro-batch alias-map maintenance over a spool of JSON-lines
     document files (``{"doc_id": ..., "text": ...}`` per line, the
@@ -425,7 +427,9 @@ def start_chunk_alias_stream(
     chunks/grams fold as-is. Reads are bit-identical before/after
     (``test_alias_state_fold_preserves_reads``), crash points covered
     by ``test_compact_alias_state_crash_recovery``. ``None`` disables."""
-    reader = spark.readStream.format("text")
+    from ballcone_spark.streaming.dedup_stream import _spool_reader
+
+    reader = _spool_reader(spark, clean_source, archive_dir)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(spool_dir)

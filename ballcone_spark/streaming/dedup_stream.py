@@ -451,6 +451,27 @@ def read_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
     )
 
 
+def _spool_reader(spark, clean_source, archive_dir):
+    """Text file-source reader with the optional committed-file cleanup
+    (r12, the ingest ``clean_source`` contract). Default None: these
+    spools may be the ONLY copy of the raw documents — the stream
+    persists signatures/chunks, not text — so deletion is opt-in,
+    unlike the warehouse-backed ingest spool."""
+    if clean_source not in (None, "delete", "archive"):
+        raise ValueError(
+            f"clean_source must be None, 'delete', or 'archive' "
+            f"(got {clean_source!r})"
+        )
+    if clean_source == "archive" and archive_dir is None:
+        raise ValueError("clean_source='archive' requires archive_dir")
+    reader = spark.readStream.format("text")
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+        if archive_dir is not None:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader
+
+
 def start_dedup_stream(
     spark: SparkSession,
     spool_dir: str,
@@ -460,6 +481,8 @@ def start_dedup_stream(
     trigger_seconds: int = 5,
     available_now: bool = False,
     compact_every: int | None = 64,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
 ):
     """Micro-batch incremental dedup over a spool of JSON-lines document
     files (``{"doc_id": ..., "text": ...}`` per line). Each batch:
@@ -483,7 +506,7 @@ def start_dedup_stream(
     lifecycle belongs to them (the warehouse-compaction convention).
 
     Returns the StreamingQuery."""
-    raw = spark.readStream.format("text").load(spool_dir)
+    raw = _spool_reader(spark, clean_source, archive_dir).load(spool_dir)
     docs = raw.select(
         F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
         F.get_json_object("value", "$.text").alias("text"),

@@ -91,12 +91,25 @@ def start_file_ingest(
     max_files_per_trigger: int | None = None,
     hot_partition_rows: int | str | None = None,
     hot_task_cap: int = 64,
+    clean_source: str | None = "delete",
+    archive_dir: str | None = None,
 ):
     """Start the micro-batch ingest from a spool directory of datagram
     text files (written by the UDP bridge or any log shipper).
 
     Returns the StreamingQuery. ``available_now=True`` drains whatever
     is in the spool and stops — the test/backfill mode.
+
+    ``clean_source`` (r12): what happens to a spool file once its
+    micro-batch COMMITS — ``"delete"`` (default), ``"archive"`` (moved
+    under ``archive_dir``), or ``None`` (retain — the pre-r12
+    behavior). The spool is a transport buffer: the bridge rolls a new
+    file every 5 s, so an uncleaned spool grows by ~17 k files/day and
+    the file source re-lists ALL of them every trigger — the same
+    unbounded-state class the stream state folds (§6ae) close, one
+    layer down. Spark deletes only files whose batch has committed, so
+    a crash-replayed batch still finds its input; pass ``None`` if the
+    directory doubles as an archive someone else reads.
 
     ``max_files_per_trigger`` is the backpressure knob: after a stall
     (restart, long GC, compaction pause) the file source would
@@ -137,9 +150,20 @@ def start_file_ingest(
             "hot_partition_rows must be an int, None, or 'auto' "
             f"(got {hot_partition_rows!r})"
         )
+    if clean_source not in (None, "delete", "archive"):
+        raise ValueError(
+            f"clean_source must be None, 'delete', or 'archive' "
+            f"(got {clean_source!r})"
+        )
+    if clean_source == "archive" and archive_dir is None:
+        raise ValueError("clean_source='archive' requires archive_dir")
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+        if archive_dir is not None:
+            reader = reader.option("sourceArchiveDir", archive_dir)
     raw = reader.load(spool_dir)
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 

@@ -575,6 +575,8 @@ def start_semantic_dedup_stream(
     books=None,
     eps: float = 0.15,
     compact_every: int | None = 64,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
 ):
     """Stream JSON-lines ``{"vec_id": ..., "e": [...]}`` files through
     the incremental SemDeDup rule against a frozen centroid set.
@@ -616,7 +618,9 @@ def start_semantic_dedup_stream(
     cmat = np.array([v for _, v in cents], dtype=np.float64)
     cmat = (cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]).T
 
-    raw = spark.readStream.format("text").load(spool_dir)
+    from ballcone_spark.streaming.dedup_stream import _spool_reader
+
+    raw = _spool_reader(spark, clean_source, archive_dir).load(spool_dir)
     vecs = raw.select(
         F.get_json_object("value", "$.vec_id").cast("long").alias("vec_id"),
         F.from_json(

@@ -930,6 +930,62 @@ def test_hot_partition_escape_hatch(spark, tmp_path):
     assert spark.read.parquet(wh).count() == 405
 
 
+def test_ingest_clean_source_deletes_committed_spool(spark, tmp_path):
+    """r12: the spool is a transport buffer — once a micro-batch
+    COMMITS, its input files are deleted (cleanSource=delete, the new
+    default), so the spool dir and the file source's per-trigger
+    listing stay bounded instead of growing ~17 k files/day. Replay
+    safety is Spark's own contract: only committed batches' files are
+    cleaned. Rows must all land exactly once."""
+    import os
+    import time
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for b in range(2):
+        lines = [
+            _dgram(dict(GOOD, path=f"/c{b}/{i}")) for i in range(5)
+        ]
+        (spool / f"batch{b}.log").write_text("\n".join(lines) + "\n")
+    wh, ck = str(tmp_path / "wh"), str(tmp_path / "ck")
+
+    def drain():
+        q = start_file_ingest(spark, str(spool), wh, ck, available_now=True)
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(wh).count() == 10
+    # the cleaner is async; a follow-up drain (and a short poll) gives
+    # it a batch boundary to run behind
+    (spool / "batch2.log").write_text(
+        _dgram(dict(GOOD, path="/c2/0")) + "\n"
+    )
+    drain()
+    assert spark.read.parquet(wh).count() == 11
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        left = [f for f in os.listdir(spool) if f.endswith(".log")]
+        if set(left) <= {"batch2.log"}:
+            break
+        time.sleep(0.5)
+    assert set(left) <= {"batch2.log"}, left
+
+
+def test_ingest_clean_source_rejects_bad_values(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="clean_source"):
+        start_file_ingest(
+            spark, str(tmp_path / "s"), str(tmp_path / "w"),
+            str(tmp_path / "c"), clean_source="shred",
+        )
+    with pytest.raises(ValueError, match="archive_dir"):
+        start_file_ingest(
+            spark, str(tmp_path / "s"), str(tmp_path / "w"),
+            str(tmp_path / "c"), clean_source="archive",
+        )
+
+
 def test_hot_partition_hatch_auto_threshold(spark, tmp_path, monkeypatch):
     """r12 (VERDICT r11 #5): ``hot_partition_rows="auto"`` derives the
     threshold per batch — max(floor, batch_rows // defaultParallelism)
