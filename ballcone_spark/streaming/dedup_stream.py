@@ -483,6 +483,7 @@ def start_dedup_stream(
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Micro-batch incremental dedup over a spool of JSON-lines document
     files (``{"doc_id": ..., "text": ...}`` per line). Each batch:
@@ -506,7 +507,12 @@ def start_dedup_stream(
     lifecycle belongs to them (the warehouse-compaction convention).
 
     Returns the StreamingQuery."""
-    raw = _spool_reader(spark, clean_source, archive_dir).load(spool_dir)
+    reader = _spool_reader(spark, clean_source, archive_dir)
+    if max_files_per_trigger is not None:
+        # the ingest stream's backpressure knob (catch-up drains in
+        # trigger-sized bites); availableNow respects it too
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(spool_dir)
     docs = raw.select(
         F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
         F.get_json_object("value", "$.text").alias("text"),

@@ -229,6 +229,7 @@ def main() -> None:
             "batchId": p["batchId"],
             "numInputRows": p["numInputRows"],
             "batchDuration_ms": p.get("batchDuration"),
+            "durationMs": p.get("durationMs") or {},
         }
         for p in (q.recentProgress or [])
         if p["numInputRows"] > 0
@@ -254,6 +255,18 @@ def main() -> None:
     warmup = freshness[: args.warmup_markers]
     freshness = freshness[args.warmup_markers:]
     durs = [p["batchDuration_ms"] for p in prog if p["batchDuration_ms"]]
+    # micro-batch floor decomposition (r12): median of each durationMs
+    # phase over non-empty batches — shows WHERE the fixed per-batch
+    # cost lives (addBatch = plan+execute+sink commit; latestOffset/
+    # getBatch = source listing; walCommit/commitOffsets = checkpoint
+    # fsyncs), so a floor regression points at its phase
+    phase_keys = sorted({k for p in prog for k in p["durationMs"]})
+    phase_ms_median = {
+        k: sorted(int(p["durationMs"].get(k, 0)) for p in prog)[
+            len(prog) // 2
+        ]
+        for k in phase_keys
+    } if prog else {}
     payload = {
         "metric": "live_freshness_p50",
         "value": round(pct(freshness, 0.5), 2) if freshness else None,
@@ -277,6 +290,7 @@ def main() -> None:
         },
         "n_batches": len(prog),
         "batch_ms_median": sorted(durs)[len(durs) // 2] if durs else None,
+        "batch_phase_ms_median": phase_ms_median,
         "batch_ms_max": max(durs) if durs else None,
         "rows_ingested": rows_before,
         "rows_after_compact": rows_after,
