@@ -727,6 +727,7 @@ def compact_index(
     every: int = 64,
     sort_col: str | None = "band_key",
     latest_wins_key: str | None = None,
+    merge_schema: bool = False,
 ) -> bool:
     """Fold per-batch partition dirs into one ``fold-<hi>`` dir when the
     live dir count reaches ``every`` — the signature-index version of
@@ -753,6 +754,14 @@ def compact_index(
        ``batch_id < N`` and overwrites ``batch_id=N`` — both only safe
        if N's own dir is still a plain per-batch dir and all folded ids
        are < N. Folding strictly-older batches guarantees both.
+
+    ``merge_schema`` (r12, for the semantic DECISIONS dir): read the
+    foldable dirs with parquet mergeSchema and union schemas across
+    fold generations — a deployment upgraded mid-stream has pre-alias
+    partitions without the ``canonical`` column, and a single-footer
+    schema pick would silently DROP that column from the fold (the
+    review r11 #3 class, now at fold time). Off for the index dirs,
+    whose schema is fixed for an index's lifetime.
     2. **The manifest rename is the only commit point, and a fold never
        deletes the dirs it retires.** The fold is written to a hidden
        tmp, renamed to ``fold-<hi>``, and then the manifest atomically
@@ -773,17 +782,20 @@ def compact_index(
     if not foldable:
         return False
     hi = int(foldable[-1].split("=", 1)[1])
+    reader = spark.read.option("basePath", index_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     folded = (
-        spark.read.option("basePath", index_dir)
-        .parquet(*[os.path.join(index_dir, p) for p in foldable])
+        reader.parquet(*[os.path.join(index_dir, p) for p in foldable])
         # partition-column inference types batch_id INT; pin the fold's
         # physical column to the same so fold ∪ live unions cleanly
         .withColumn("batch_id", F.col("batch_id").cast("int"))
     )
     if m["fold_dir"]:
-        folded = spark.read.parquet(
-            os.path.join(index_dir, m["fold_dir"])
-        ).unionByName(folded)
+        prev = spark.read.parquet(os.path.join(index_dir, m["fold_dir"]))
+        folded = prev.unionByName(
+            folded, allowMissingColumns=merge_schema
+        )
     if latest_wins_key is not None:
         w = Window.partitionBy(latest_wins_key).orderBy(
             F.col("batch_id").desc()

@@ -66,7 +66,11 @@ from pyspark.sql import functions as F
 
 from ballcone_spark.operators.semantic_dedup import TAU, _route_np
 
-__all__ = ["start_semantic_dedup_stream", "read_semantic_index"]
+__all__ = [
+    "start_semantic_dedup_stream",
+    "read_semantic_index",
+    "read_semantic_decisions",
+]
 
 #: ``codes`` is the PQ encoding of the NORMALIZED vector — populated in
 #: compressed mode, null otherwise (an exact-mode index reads back with
@@ -231,33 +235,64 @@ def _adc_sims(q, codes, B):
     return dots / np.sqrt(rn2)[None, :]  # |q| = 1 by construction
 
 
-def _read_decision_canon(
-    spark: SparkSession, decisions_dir: str, batch_id: int
-):
-    """vec_id → canonical from prior decisions (``batch_id <
-    current``), or None when no decisions exist yet. Probed through the
-    Hadoop FS API like :func:`read_semantic_index` (an os.path probe
-    would silently disable canonical chaining on s3a/hdfs — the ADVICE
-    r6 class). Read with mergeSchema: a deployment upgraded mid-stream
-    has pre-alias partitions without the ``canonical`` column, and a
-    single-footer schema pick would nondeterministically disable
-    chaining (review r11 #3); merged, old rows read canonical=null and
-    the decide paths' coalesce falls back to self."""
+def read_semantic_decisions(spark: SparkSession, decisions_dir: str):
+    """Every decision row ``(vec_id, cluster_id, is_dup, n_matches
+    [, canonical], batch_id)``, or None before the first batch — THE
+    reader for the stream's decisions dir (r12: the dir now folds
+    through the manifest protocol like the index, so a plain
+    ``spark.read.parquet(dir)`` would double-count rows retired by a
+    fold that the next run hasn't swept yet). Manifest-aware through
+    the Hadoop FS API; both the fold and the live dirs read with
+    parquet mergeSchema, so pre-alias partitions (no ``canonical``
+    column — review r11 #3) surface as canonical=null rather than
+    nondeterministically dropping the column."""
     jvm = spark._jvm
     jsc = spark._jsc
     path = jvm.org.apache.hadoop.fs.Path(decisions_dir)
     fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(path) or not any(
-        s.getPath().getName().startswith("batch_id=")
-        for s in fs.listStatus(path)
-    ):
+    if not fs.exists(path):
         return None
-    df = (
-        spark.read.option("basePath", decisions_dir)
-        .option("mergeSchema", "true")
-        .parquet(os.path.join(decisions_dir, "batch_id=*"))
+    m = _read_manifest_fs(spark, decisions_dir)
+    names = [s.getPath().getName() for s in fs.listStatus(path)]
+    parts = sorted(
+        (
+            n for n in names
+            if n.startswith("batch_id=")
+            and int(n.split("=", 1)[1]) > m["folded_hi"]
+        ),
+        key=lambda n: int(n.split("=", 1)[1]),
     )
-    if "canonical" not in df.columns:
+    frames = []
+    if m["fold_dir"] and m["fold_dir"] in names:
+        frames.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                decisions_dir + "/" + m["fold_dir"]
+            )
+        )
+    if parts:
+        frames.append(
+            spark.read.option("basePath", decisions_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[decisions_dir + "/" + p for p in parts])
+        )
+    if not frames:
+        return None
+    df = frames[0]
+    if len(frames) == 2:
+        df = df.unionByName(frames[1], allowMissingColumns=True)
+    return df.withColumn("batch_id", F.col("batch_id").cast("long"))
+
+
+def _read_decision_canon(
+    spark: SparkSession, decisions_dir: str, batch_id: int
+):
+    """vec_id → canonical from prior decisions (``batch_id <
+    current``), or None when no decisions exist yet. Delegates to the
+    manifest-aware :func:`read_semantic_decisions`; pre-alias rows read
+    canonical=null and the decide paths' coalesce falls back to
+    self."""
+    df = read_semantic_decisions(spark, decisions_dir)
+    if df is None or "canonical" not in df.columns:
         return None
     return df.where(F.col("batch_id") < F.lit(batch_id)).select(
         "vec_id", "canonical"
@@ -604,10 +639,13 @@ def start_semantic_dedup_stream(
     previously nothing in the loop folded, so a long-running stream
     paid an ever-growing dir listing per trigger. Fold rows are sorted
     by ``cluster_id`` so the per-cluster history probe prunes row
-    groups. The decisions dir is NOT folded (read by external
-    consumers and the canonical chain as plain ``batch_id=`` parquet).
-    On object stores the fold is a posix-only no-op and reads are
-    unchanged. ``None`` disables."""
+    groups. The DECISIONS dir folds too (each vec_id is decided exactly
+    once — first-seen, never revisited — so a plain concat fold is
+    read-equivalent; ``merge_schema`` keeps pre-alias partitions from
+    dropping the ``canonical`` column at fold time): external consumers
+    must read it via :func:`read_semantic_decisions`, the
+    manifest-aware reader. On object stores the fold is a posix-only
+    no-op and reads are unchanged. ``None`` disables."""
     import numpy as np
 
     if compressed and books is None:
@@ -657,6 +695,15 @@ def start_semantic_dedup_stream(
 
             compact_index(
                 spark, index_dir, every=compact_every, sort_col="cluster_id"
+            )
+            # decisions fold (r12): each vec_id is decided exactly once
+            # (first-seen, never revisited), so a plain concat fold is
+            # read-equivalent; merge_schema keeps pre-alias partitions
+            # from dropping the canonical column at fold time. External
+            # consumers read via read_semantic_decisions.
+            compact_index(
+                spark, decisions_dir, every=compact_every, sort_col=None,
+                merge_schema=True,
             )
 
     writer = vecs.writeStream.foreachBatch(process_batch).option(

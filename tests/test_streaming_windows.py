@@ -1329,6 +1329,7 @@ def test_semantic_stream_compacts_index_inline(spark, tmp_path):
 
     from ballcone_spark.streaming import dedup_stream as ds
     from ballcone_spark.streaming.semantic_stream import (
+        read_semantic_decisions,
         start_semantic_dedup_stream,
     )
 
@@ -1356,9 +1357,11 @@ def test_semantic_stream_compacts_index_inline(spark, tmp_path):
                 compact_every=compact_every,
             )
             q.awaitTermination(120)
+        # the decisions dir folds too (r12) — read through the
+        # manifest-aware reader, never plain parquet on the root
         return {
             r["vec_id"]: (r["is_dup"], r["canonical"])
-            for r in spark.read.parquet(dec).collect()
+            for r in read_semantic_decisions(spark, dec).collect()
         }
 
     folded = run("fold", compact_every=2)
@@ -1371,6 +1374,73 @@ def test_semantic_stream_compacts_index_inline(spark, tmp_path):
     live = [e.name for e in _os.scandir(str(tmp_path / "sidx_fold"))
             if e.name.startswith("batch_id=")]
     assert len(live) <= 2
+
+
+def test_semantic_decisions_fold_preserves_canonical_through_upgrade(
+    spark, tmp_path
+):
+    """r12: the decisions fold reads with mergeSchema — a deployment
+    upgraded mid-stream has pre-alias partitions WITHOUT the
+    ``canonical`` column, and a single-footer schema pick at fold time
+    would silently drop the column for every post-upgrade row (the
+    review r11 #3 class moved into the fold). After folding a pre-alias
+    batch together with post-alias batches: the column survives, old
+    rows read canonical=null (the decide paths' coalesce falls back to
+    self), new rows keep their exact values, and the canonical chain
+    reader serves the same map as before the fold."""
+    from ballcone_spark.streaming import dedup_stream as ds
+    from ballcone_spark.streaming.semantic_stream import (
+        _overwrite_partition,
+        _read_decision_canon,
+        read_semantic_decisions,
+    )
+
+    dec = str(tmp_path / "up_dec")
+    pre = spark.createDataFrame(
+        [(1, 0, False, 0), (2, 0, True, 1)],
+        "vec_id long, cluster_id long, is_dup boolean, n_matches long",
+    )
+    _overwrite_partition(pre, dec, 0)  # pre-alias deployment's batch
+    post = spark.createDataFrame(
+        [(3, 0, True, 1, 1)],
+        "vec_id long, cluster_id long, is_dup boolean, n_matches long, "
+        "canonical long",
+    )
+    _overwrite_partition(post, dec, 1)
+    _overwrite_partition(
+        post.selectExpr("CAST(4 AS BIGINT) AS vec_id", "cluster_id", "is_dup",
+                        "n_matches", "canonical"), dec, 2,
+    )
+
+    before = {
+        r["vec_id"]: r["canonical"]
+        for r in _read_decision_canon(spark, dec, 99).collect()
+    }
+    assert ds.compact_index(
+        spark, dec, every=2, sort_col=None, merge_schema=True
+    )
+    after_all = read_semantic_decisions(spark, dec)
+    assert "canonical" in after_all.columns
+    got = {r["vec_id"]: r["canonical"] for r in after_all.collect()}
+    assert got == {1: None, 2: None, 3: 1, 4: 1}
+    assert {
+        r["vec_id"]: r["canonical"]
+        for r in _read_decision_canon(spark, dec, 99).collect()
+    } == before
+    # a second fold generation unions the old fold (which has the
+    # merged schema) with new live dirs without dropping the column
+    _overwrite_partition(
+        post.selectExpr("CAST(5 AS BIGINT) AS vec_id", "cluster_id", "is_dup",
+                        "n_matches", "canonical"), dec, 3,
+    )
+    assert ds.compact_index(
+        spark, dec, every=2, sort_col=None, merge_schema=True
+    )
+    got2 = {
+        r["vec_id"]: r["canonical"]
+        for r in read_semantic_decisions(spark, dec).collect()
+    }
+    assert got2 == {1: None, 2: None, 3: 1, 4: 1, 5: 1}
 
 
 def test_dedup_stream_compacts_index_inline(spark, tmp_path):
