@@ -1,0 +1,185 @@
+"""Corpus release as a resumable super-stage pipeline.
+
+The production curation order (quality gate → MinHash-LSH near-dup
+pairs → clusters → keep-best survivors → learned-score budget fill —
+the same composition `curation_budget_mix` runs in one session,
+pinned row-identical by tests/test_pipeline.py) expressed through
+plans/pipeline.py: every stage materializes behind an atomic manifest,
+a killed run RESUMES from the last committed stage, and
+--fresh-sessions runs each stage in its own SparkSession so peak
+shuffle disk is max-over-stages instead of sum-over-stages
+(BASELINE §6ac).
+
+  python tools/corpus_release.py --root /tmp/release --sf-dir /root/testdata/sf0.1
+  python tools/corpus_release.py --root /tmp/release --status
+  python tools/corpus_release.py --root /tmp/release --fresh-sessions
+
+Prints one JSON line: per-stage ran/skipped + wall, total wall.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ballcone_spark.plans.pipeline import (  # noqa: E402
+    Stage,
+    pipeline_status,
+    run_pipeline,
+    stage_output,
+)
+
+
+def build_stages(sf_dir: str) -> list[Stage]:
+    from ballcone_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        minhash_lsh_pairs,
+    )
+    from ballcone_spark.operators.quality_classifier import (
+        FROZEN_W,
+        _LEARNED_BUDGET,
+        learned_budget_sample,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def gate(spark, inputs):
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        return (
+            spark.read.parquet(docs_path)
+            .where(F.col("text").isNotNull())
+            .select(
+                "doc_id", "source", "lang", "text", "n_chars",
+                F.size(toks).alias("n_tok"),
+                F.size(F.array_distinct(toks)).alias("n_uniq"),
+            )
+            .where(
+                (F.col("n_chars") >= 100)
+                & (F.col("n_tok") >= 20)
+                & ((F.col("n_uniq") / F.col("n_tok")) >= 0.3)
+            )
+        )
+
+    def pairs(spark, inputs):
+        return minhash_lsh_pairs(
+            inputs["gate"].select("doc_id", "text"), vectorized=True
+        ).select("a_id", "b_id")
+
+    def survivors(spark, inputs):
+        clusters = dedup_clusters(inputs["pairs"])
+        kb = dedup_keep_best(
+            clusters,
+            inputs["gate"].select("doc_id", F.col("n_uniq").alias("score")),
+        )
+        dropped = clusters.join(
+            kb.select(F.col("kept_doc_id").alias("doc_id")).hint("merge"),
+            "doc_id", "left_anti",
+        ).select("doc_id")
+        return inputs["gate"].join(
+            dropped.hint("merge"), "doc_id", "left_anti"
+        )
+
+    def fill(spark, inputs):
+        return learned_budget_sample(
+            inputs["survivors"].select(
+                "doc_id", "source", "lang", "text", "n_chars"
+            ),
+            FROZEN_W, _LEARNED_BUDGET, text_col="text",
+        )
+
+    return [
+        Stage("gate", gate),
+        Stage("pairs", pairs, deps=("gate",)),
+        Stage("survivors", survivors, deps=("gate", "pairs")),
+        Stage("fill", fill, deps=("survivors",)),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--fresh-sessions", action="store_true",
+                    help="one SparkSession per pending stage (§6ac "
+                         "max-over-stages disk shape)")
+    ap.add_argument("--force", action="store_true")
+    ap.add_argument("--status", action="store_true",
+                    help="print what a run would skip vs redo, then exit")
+    ap.add_argument("--stop-after", default=None,
+                    help="(testing) exit after this stage commits — "
+                         "simulates a killed deployment for resume runs")
+    args = ap.parse_args()
+
+    stages = build_stages(args.sf_dir)
+    if args.status:
+        print(json.dumps(pipeline_status(args.root, stages)))
+        return
+
+    from ballcone_spark.session import get_spark
+
+    walls: dict[str, float] = {}
+    ran: dict[str, bool] = {}
+
+    # wrap each build with a wall clock + the --stop-after kill point
+    def timed(stage: Stage) -> Stage:
+        def build(spark, inputs, _s=stage):
+            t0 = time.monotonic()
+            out = _s.build(spark, inputs)
+            # materialization happens in the runner's write; time the
+            # whole stage from the runner's perspective instead
+            walls[_s.name] = t0
+            return out
+        return Stage(stage.name, build, stage.deps, stage.partition_by,
+                     stage.version)
+
+    stages = [timed(s) for s in stages]
+    t_total = time.monotonic()
+    if args.fresh_sessions:
+        factory = lambda: get_spark("corpus_release")  # noqa: E731
+        run_kw = {"session_factory": factory}
+    else:
+        run_kw = {"spark": get_spark("corpus_release")}
+
+    # run stage-at-a-time so --stop-after can kill between commits
+    done: list[Stage] = []
+    results: dict[str, dict] = {}
+    for s in stages:
+        done.append(s)
+        res = run_pipeline(args.root, done, force=args.force, **run_kw)
+        r = res[s.name]
+        ran[s.name] = r["ran"]
+        if s.name in walls:
+            walls[s.name] = round(time.monotonic() - walls[s.name], 2)
+        else:
+            walls[s.name] = 0.0  # resumed
+        if args.stop_after == s.name:
+            print(json.dumps({"stopped_after": s.name,
+                              "stage_walls_s": walls, "ran": ran}))
+            return
+
+    spark = run_kw.get("spark") or get_spark("corpus_release")
+    out = stage_output(spark, args.root, "fill")
+    n = out.count()
+    print(json.dumps({
+        "stages": [s.name for s in stages],
+        "ran": ran,
+        "stage_walls_s": walls,
+        "total_wall_s": round(time.monotonic() - t_total, 2),
+        "fill_rows": n,
+        "sf_dir": args.sf_dir,
+        "fresh_sessions": bool(args.fresh_sessions),
+    }))
+
+
+if __name__ == "__main__":
+    main()
