@@ -1088,3 +1088,55 @@ def test_hot_partition_hatch_disabled_is_old_path(spark, tmp_path):
     files = [f for f in os.listdir(svc_dir) if f.endswith(".parquet")]
     assert len(files) == 1
     assert spark.read.parquet(wh).count() == 300
+
+
+def test_sharded_bridge_round_trip(tmp_path):
+    """`--workers N` bridge e2e: N SO_REUSEPORT receiver processes on
+    one port, each writing its own `datagrams-wK-*` spool files. With
+    many distinct sender sockets the kernel flow hash spreads traffic
+    over every worker; every datagram lands exactly once, and SIGTERM
+    publishes each worker's in-progress file."""
+    import os
+    import signal as _signal
+    import socket as _socket
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    port_probe = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    port_probe.bind(("127.0.0.1", 0))
+    port = port_probe.getsockname()[1]
+    port_probe.close()
+
+    spool = tmp_path / "spool"
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    bridge = subprocess.Popen(
+        [_sys.executable, "-m", "ballcone_spark.sources.udp_bridge",
+         "--port", str(port), "--spool", str(spool),
+         "--roll-seconds", "1", "--workers", "2"],
+        env=env,
+    )
+    try:
+        _time.sleep(2.5)  # spawn-context worker startup
+        # 64 distinct source sockets: odds every flow hashes to one of
+        # the 2 workers are 2^-63 — both shards must see traffic
+        socks = [_socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+                 for _ in range(64)]
+        n = 2000
+        for i in range(n):
+            socks[i % 64].sendto(
+                b"<190>host nginx: shard msg %d" % i, ("127.0.0.1", port)
+            )
+        _time.sleep(1.5)  # roll publishes
+    finally:
+        bridge.send_signal(_signal.SIGTERM)
+        bridge.wait(timeout=20)
+
+    lines, prefixes = [], set()
+    for p in sorted(spool.iterdir()):
+        assert not p.name.startswith(".")  # everything published
+        prefixes.add(p.name.split("-")[1])
+        lines += p.read_text().splitlines()
+    assert len(lines) == n  # zero loss, zero duplication
+    assert prefixes == {"w0", "w1"}  # both shards carried traffic
+    assert sorted(int(l.rsplit(" ", 1)[1]) for l in lines) == list(range(n))
