@@ -225,7 +225,13 @@ def run_pipeline(
             }
             continue
 
-        _sweep_orphans(root, s.name, None)
+        # keep the COMMITTED data dir through the re-run: the manifest
+        # still references it, so deleting it now would strand a
+        # crash-before-commit in a "current"-looking state pointing at
+        # missing data, and would yank the floor from under any
+        # concurrent stage_output reader. Only uncommitted orphans go;
+        # the old committed dir is retired by the post-commit sweep.
+        _sweep_orphans(root, s.name, st.token if st.committed else None)
         sess = spark if spark is not None else session_factory()
         try:
             inputs = {

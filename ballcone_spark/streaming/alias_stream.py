@@ -110,6 +110,7 @@ def compact_alias_state(
     state_dir: str,
     every: int = 64,
     latest_wins_key: str | None = None,
+    sweep_when: str = "always",
 ) -> bool:
     """Fold per-batch partition dirs of ONE alias-stream state dir
     (chunks / grams / alias) — dedup_stream's manifest-pointer fold
@@ -132,6 +133,7 @@ def compact_alias_state(
         every=every,
         sort_col=None,
         latest_wins_key=latest_wins_key,
+        sweep_when=sweep_when,
     )
 
 
@@ -451,11 +453,14 @@ def start_chunk_alias_stream(
             tau=tau,
         )
         if compact_every is not None:
+            # per-trigger cadence: sweep only at fold time (full
+            # compaction interval of reader grace — review r12 #2)
             for d in (chunks_dir, grams_dir):
-                compact_alias_state(spark, d, every=compact_every)
+                compact_alias_state(spark, d, every=compact_every,
+                                    sweep_when="fold")
             compact_alias_state(
                 spark, alias_dir, every=compact_every,
-                latest_wins_key="chunk_fp",
+                latest_wins_key="chunk_fp", sweep_when="fold",
             )
 
     writer = (

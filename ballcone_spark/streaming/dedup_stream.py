@@ -532,7 +532,10 @@ def start_dedup_stream(
             _bands(sigs), index_dir, batch_id, n_rows * N_BANDS
         )
         if compact_every is not None:
-            compact_index(spark, index_dir, every=compact_every)
+            # per-trigger cadence: sweep only at fold time so retired
+            # dirs keep a full compaction interval of reader grace
+            compact_index(spark, index_dir, every=compact_every,
+                          sweep_when="fold")
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)
@@ -728,6 +731,7 @@ def compact_index(
     sort_col: str | None = "band_key",
     latest_wins_key: str | None = None,
     merge_schema: bool = False,
+    sweep_when: str = "always",
 ) -> bool:
     """Fold per-batch partition dirs into one ``fold-<hi>`` dir when the
     live dir count reaches ``every`` — the signature-index version of
@@ -767,20 +771,41 @@ def compact_index(
        tmp, renamed to ``fold-<hi>``, and then the manifest atomically
        swaps to reference it, listing the previous fold + absorbed
        per-batch dirs as garbage. Garbage is deleted at the start of the
-       NEXT run — so any reader holding either manifest version still
+       NEXT sweep — so any reader holding either manifest version still
        finds every dir its snapshot references (no quiet period needed;
-       a probe just has to finish within one compaction interval). A
+       a probe just has to finish within one sweep interval). A
        crash before the manifest swap leaves an unreferenced fold dir
-       that the next run's sweep discards; sources are untouched."""
+       that the next sweep discards; sources are untouched.
+
+    ``sweep_when`` (r12, review #2) picks the sweep cadence to match
+    the CALL cadence, so the reader grace window is one compaction
+    interval either way: ``"always"`` (default) sweeps at the start of
+    every call — right for interval-spaced manual/cron compaction
+    (the original contract); ``"fold"`` sweeps only in a call that
+    actually folds — required for per-trigger callers like the stream
+    loops, where an every-call sweep would delete a fold's retired
+    dirs ONE TRIGGER (~5 s) after the fold committed, yanking them
+    from under any external reader mid-scan."""
     if not os.path.isdir(index_dir):
         return False
-    m = _sweep_garbage(index_dir, _read_manifest(index_dir))
+    if sweep_when not in ("always", "fold"):
+        raise ValueError(f"sweep_when must be 'always' or 'fold', "
+                         f"got {sweep_when!r}")
+    m = _read_manifest(index_dir)
+    if sweep_when == "always":
+        m = _sweep_garbage(index_dir, m)
     live = _live_batch_parts(index_dir, m["folded_hi"])
     if len(live) < every:
         return False
     foldable = live[:-1]  # invariant 1: never the newest
     if not foldable:
         return False
+    if sweep_when == "fold":
+        # per-trigger callers (the stream loops) sweep only when a fold
+        # actually happens, so retired dirs keep a FULL compaction
+        # interval of grace — sweeping on every call would shrink an
+        # external reader's window to one trigger (~5 s; review r12 #2)
+        m = _sweep_garbage(index_dir, m)
     hi = int(foldable[-1].split("=", 1)[1])
     reader = spark.read.option("basePath", index_dir)
     if merge_schema:

@@ -150,20 +150,15 @@ def start_file_ingest(
             "hot_partition_rows must be an int, None, or 'auto' "
             f"(got {hot_partition_rows!r})"
         )
-    if clean_source not in (None, "delete", "archive"):
-        raise ValueError(
-            f"clean_source must be None, 'delete', or 'archive' "
-            f"(got {clean_source!r})"
-        )
-    if clean_source == "archive" and archive_dir is None:
-        raise ValueError("clean_source='archive' requires archive_dir")
-    reader = spark.readStream.format("text")
+    # shared validation + option wiring with the analytical streams
+    # (one copy of the clean_source contract — review r12 #5); only the
+    # DEFAULT differs: "delete" here (the warehouse holds the rows),
+    # None there (their spools can be the only copy of the raw text)
+    from ballcone_spark.streaming.dedup_stream import _spool_reader
+
+    reader = _spool_reader(spark, clean_source, archive_dir)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if clean_source is not None:
-        reader = reader.option("cleanSource", clean_source)
-        if archive_dir is not None:
-            reader = reader.option("sourceArchiveDir", archive_dir)
     raw = reader.load(spool_dir)
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 

@@ -104,6 +104,61 @@ def _read_manifest_fs(spark: SparkSession, index_dir: str) -> dict:
         stream.close()
 
 
+def _read_folded_dir(
+    spark: SparkSession, root: str, merge_schema: bool = False
+):
+    """Manifest-snapshot read of a folded state dir through the Hadoop
+    FS API: the manifest's fold dir plus per-batch dirs with
+    ``batch_id > folded_hi`` (the dedup_stream rule, so a read racing a
+    fold never double-counts). Returns the raw union or None when the
+    dir is absent/empty. One copy of the listStatus/filter/union logic
+    for both the index and decisions readers (review r12 #6);
+    ``merge_schema`` is the decisions dir's cross-generation schema
+    union (pre-alias partitions must surface canonical=null, not drop
+    the column)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    # no try/except: fs.exists covers 'nothing yet'; a transient FS or
+    # permission failure must PROPAGATE so the batch retries, not be
+    # mis-read as empty history (ADVICE r7)
+    if not fs.exists(path):
+        return None
+    m = _read_manifest_fs(spark, root)
+    names = [s.getPath().getName() for s in fs.listStatus(path)]
+    parts = sorted(
+        (
+            n for n in names
+            if n.startswith("batch_id=")
+            and int(n.split("=", 1)[1]) > m["folded_hi"]
+        ),
+        key=lambda n: int(n.split("=", 1)[1]),
+    )
+
+    def _reader():
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r
+
+    frames = []
+    if m["fold_dir"] and m["fold_dir"] in names:
+        frames.append(_reader().parquet(root + "/" + m["fold_dir"]))
+    if parts:
+        frames.append(
+            _reader().option("basePath", root).parquet(
+                *[root + "/" + p for p in parts]
+            )
+        )
+    if not frames:
+        return None
+    df = frames[0]
+    if len(frames) == 2:
+        df = df.unionByName(frames[1], allowMissingColumns=True)
+    return df
+
+
 def read_semantic_index(spark: SparkSession, index_dir: str):
     """The resident index as a DataFrame, or None before the first batch
     lands. Probed through the Hadoop FS API (ADVICE r6: an os.listdir
@@ -116,42 +171,9 @@ def read_semantic_index(spark: SparkSession, index_dir: str):
     snapshot rule, so a read racing a fold never double-counts. With no
     manifest (never folded, or an object store where the fold no-ops)
     this degrades to exactly the old whole-dir read."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    path = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    # no try/except: fs.exists already covers the 'no index yet' case;
-    # a transient FS/permission failure must PROPAGATE so the batch
-    # retries, not be mis-read as empty history and durably write false
-    # not-dup decisions (ADVICE r7)
-    if not fs.exists(path):
+    df = _read_folded_dir(spark, index_dir)
+    if df is None:
         return None
-    m = _read_manifest_fs(spark, index_dir)
-    names = [s.getPath().getName() for s in fs.listStatus(path)]
-    parts = sorted(
-        (
-            n for n in names
-            if n.startswith("batch_id=")
-            and int(n.split("=", 1)[1]) > m["folded_hi"]
-        ),
-        key=lambda n: int(n.split("=", 1)[1]),
-    )
-    frames = []
-    if m["fold_dir"] and m["fold_dir"] in names:
-        frames.append(
-            spark.read.parquet(index_dir + "/" + m["fold_dir"])
-        )
-    if parts:
-        frames.append(
-            spark.read.option("basePath", index_dir).parquet(
-                *[index_dir + "/" + p for p in parts]
-            )
-        )
-    if not frames:
-        return None
-    df = frames[0]
-    if len(frames) == 2:
-        df = df.unionByName(frames[1], allowMissingColumns=True)
     # enforce the _IDX_SCHEMA shape the old schema-pinned read gave:
     # exact-mode files carry no codes column at all
     if "codes" not in df.columns:
@@ -246,40 +268,9 @@ def read_semantic_decisions(spark: SparkSession, decisions_dir: str):
     parquet mergeSchema, so pre-alias partitions (no ``canonical``
     column — review r11 #3) surface as canonical=null rather than
     nondeterministically dropping the column."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    path = jvm.org.apache.hadoop.fs.Path(decisions_dir)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(path):
+    df = _read_folded_dir(spark, decisions_dir, merge_schema=True)
+    if df is None:
         return None
-    m = _read_manifest_fs(spark, decisions_dir)
-    names = [s.getPath().getName() for s in fs.listStatus(path)]
-    parts = sorted(
-        (
-            n for n in names
-            if n.startswith("batch_id=")
-            and int(n.split("=", 1)[1]) > m["folded_hi"]
-        ),
-        key=lambda n: int(n.split("=", 1)[1]),
-    )
-    frames = []
-    if m["fold_dir"] and m["fold_dir"] in names:
-        frames.append(
-            spark.read.option("mergeSchema", "true").parquet(
-                decisions_dir + "/" + m["fold_dir"]
-            )
-        )
-    if parts:
-        frames.append(
-            spark.read.option("basePath", decisions_dir)
-            .option("mergeSchema", "true")
-            .parquet(*[decisions_dir + "/" + p for p in parts])
-        )
-    if not frames:
-        return None
-    df = frames[0]
-    if len(frames) == 2:
-        df = df.unionByName(frames[1], allowMissingColumns=True)
     return df.withColumn("batch_id", F.col("batch_id").cast("long"))
 
 
@@ -455,11 +446,16 @@ def _decide_compressed(
         out = []
         for r in pdf.itertuples():
             vid = int(r.vec_id)
-            # all three columns arrive null-free (the -1 sentinel),
-            # hence exact int64 — no pd.isna branch, no float rounding
-            if int(r.cross_canon) >= 0:
+            # all columns arrive null-free (the -1 sentinel), hence
+            # exact int64 — no pd.isna branch, no float rounding.
+            # Hit tests read the COUNT columns (domain: non-negative,
+            # -1 only as the join-miss sentinel) — NEVER the sign of
+            # an id column: vec_ids are arbitrary signed 64-bit, so a
+            # legitimate negative id would read as "no match" there
+            # (review r12 #4).
+            if int(r.cross) > 0:
                 c = int(r.cross_canon)
-            elif int(r.intra_first) >= 0:
+            elif int(r.intra) > 0:
                 c = canon[int(r.intra_first)]
             else:
                 c = vid
@@ -694,7 +690,8 @@ def start_semantic_dedup_stream(
             from ballcone_spark.streaming.dedup_stream import compact_index
 
             compact_index(
-                spark, index_dir, every=compact_every, sort_col="cluster_id"
+                spark, index_dir, every=compact_every,
+                sort_col="cluster_id", sweep_when="fold",
             )
             # decisions fold (r12): each vec_id is decided exactly once
             # (first-seen, never revisited), so a plain concat fold is
@@ -703,7 +700,7 @@ def start_semantic_dedup_stream(
             # consumers read via read_semantic_decisions.
             compact_index(
                 spark, decisions_dir, every=compact_every, sort_col=None,
-                merge_schema=True,
+                merge_schema=True, sweep_when="fold",
             )
 
     writer = vecs.writeStream.foreachBatch(process_batch).option(

@@ -307,3 +307,32 @@ def test_staged_curation_matches_single_session(spark, tmp_path):
     with open(tmp_path / "fill" / "_stage.json") as f:
         tok = json.load(f)["token"]
     assert os.path.isdir(tmp_path / "fill" / f"data-{tok}")
+
+
+def test_pipeline_forced_rerun_crash_keeps_old_output(spark, tmp_path,
+                                                      monkeypatch):
+    """A re-run (force or staleness) must NOT delete the committed data
+    dir before the replacement commits: a crash mid-re-run leaves the
+    old manifest pointing at old data, which must still be readable and
+    intact (review r12 finding #1)."""
+    stages = _diamond([])
+    run_pipeline(str(tmp_path), stages, spark=spark)
+    before = _rows(stage_output(spark, str(tmp_path), "raw"))
+
+    real_commit = pl._commit_state
+
+    def exploding(root, name, st):
+        raise OSError("injected crash before forced re-commit")
+
+    monkeypatch.setattr(pl, "_commit_state", exploding)
+    with pytest.raises(OSError, match="injected"):
+        run_pipeline(str(tmp_path), stages, spark=spark, force=True)
+    monkeypatch.setattr(pl, "_commit_state", real_commit)
+
+    # the committed output survived the crashed re-run attempt ...
+    assert _rows(stage_output(spark, str(tmp_path), "raw")) == before
+    # ... and a plain resume sees every stage current (the force never
+    # completed, so the old committed state stands)
+    res = run_pipeline(str(tmp_path), stages, spark=spark)
+    assert not any(v["ran"] for v in res.values())
+    assert _rows(stage_output(spark, str(tmp_path), "raw")) == before

@@ -1866,3 +1866,109 @@ def test_alias_stream_batch_replay_idempotent(spark, tmp_path):
     ]
     assert after == before
     assert counts_after == counts_before
+
+
+def test_semantic_stream_canonical_negative_64bit_ids(spark, tmp_path):
+    """Review r12 #4: the compressed path's resolve kernel used the
+    SIGN of cross_canon/intra_first as the hit test, so a legitimate
+    negative 64-bit vec_id (half of all 64-bit hash ids) read as "no
+    match" — the compressed path silently diverged from the exact
+    path. Hit tests must read the count columns (intra/cross), whose
+    domain really is non-negative. The chain here is all-negative ids;
+    both decision paths must elect the same negative canonical."""
+    import json as _json
+    import math
+
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    v1, v2, v3 = -(2**62) - 7, -(2**61) - 5, -(2**60) - 3
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0))]
+    # v1 arrives first (most negative — arrival order is by batch,
+    # election by min vec_id within matches); v2 matches v1, v3
+    # matches only v2 → canonical must chain to v1 through hist_canon
+    arrivals = [(v1, 0), (v2, 20), (v3, 40)]
+    books = [
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0.7, 0.7, 0, 0], [0.94, 0.34, 0, 0]],
+        [[0, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0]],
+    ]
+
+    for tag, kw in [
+        ("exact", {}),
+        ("pq", {"compressed": True, "books": books, "eps": 0.3}),
+    ]:
+        spool = tmp_path / f"neg_spool_{tag}"
+        spool.mkdir()
+        dec = str(tmp_path / f"neg_dec_{tag}")
+        for i, (vid, deg) in enumerate(arrivals):
+            with open(spool / f"b{i}.jsonl", "w") as f:
+                f.write(_json.dumps({"vec_id": vid, "e": rot(deg)}) + "\n")
+            q = start_semantic_dedup_stream(
+                spark, str(spool), str(tmp_path / f"neg_idx_{tag}"), dec,
+                str(tmp_path / f"neg_ckpt_{tag}"), centroids, tau=0.9, **kw,
+            )
+            q.awaitTermination(120)
+        got = {
+            r["vec_id"]: (r["is_dup"], r["canonical"])
+            for r in spark.read.parquet(dec).collect()
+        }
+        assert got == {
+            v1: (False, v1), v2: (True, v1), v3: (True, v1),
+        }, (tag, got)
+
+
+def test_compact_index_fold_cadence_defers_sweep(spark, tmp_path):
+    """Review r12 #2: the stream loops call compact_index EVERY
+    trigger, so the default sweep-at-start-of-call cadence deleted a
+    fold's retired dirs one trigger (~5 s) later — an external reader
+    mid-scan on the old manifest snapshot lost its inputs. With
+    sweep_when="fold" (what the loops now pass), retired dirs survive
+    every no-fold call and are swept only by the NEXT fold — a full
+    compaction interval of grace."""
+    import os as _os
+
+    from ballcone_spark.streaming import dedup_stream as ds
+
+    index_dir = str(tmp_path / "index")
+    _index_batches(spark, index_dir, 3)
+    assert ds.compact_index(spark, index_dir, every=3, sweep_when="fold")
+    m = ds._read_manifest(index_dir)
+    assert sorted(m["garbage"]) == ["batch_id=0", "batch_id=1"]
+
+    # no-fold calls (one per trigger in production) must NOT sweep
+    for _ in range(3):
+        assert not ds.compact_index(
+            spark, index_dir, every=999, sweep_when="fold"
+        )
+    assert _os.path.isdir(_os.path.join(index_dir, "batch_id=0"))
+    assert sorted(ds._read_manifest(index_dir)["garbage"]) == [
+        "batch_id=0", "batch_id=1",
+    ]
+
+    # ... the next actual fold sweeps the previous generation
+    for b in (3, 4):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"{BASE} b{b} i{i}") for i in range(3)],
+            "doc_id long, text string",
+        )
+        ds._overwrite_batch_partition(
+            ds._bands(ds.batch_signatures(docs)), index_dir, b
+        )
+    assert ds.compact_index(spark, index_dir, every=3, sweep_when="fold")
+    assert not _os.path.isdir(_os.path.join(index_dir, "batch_id=0"))
+    assert not _os.path.isdir(_os.path.join(index_dir, "batch_id=1"))
+    # the old fold + newly absorbed dirs are this fold's garbage now
+    m = ds._read_manifest(index_dir)
+    assert m["fold_dir"] == "fold-3"
+    assert sorted(m["garbage"]) == ["batch_id=2", "batch_id=3", "fold-1"]
+    # and the default cadence still sweeps on a no-fold call (the
+    # interval-spaced manual-compaction contract, unchanged)
+    assert not ds.compact_index(spark, index_dir, every=999)
+    assert ds._read_manifest(index_dir)["garbage"] == []

@@ -130,19 +130,17 @@ def main() -> None:
     walls: dict[str, float] = {}
     ran: dict[str, bool] = {}
 
-    # wrap each build with a wall clock + the --stop-after kill point
-    def timed(stage: Stage) -> Stage:
-        def build(spark, inputs, _s=stage):
-            t0 = time.monotonic()
-            out = _s.build(spark, inputs)
-            # materialization happens in the runner's write; time the
-            # whole stage from the runner's perspective instead
-            walls[_s.name] = t0
-            return out
-        return Stage(stage.name, build, stage.deps, stage.partition_by,
-                     stage.version)
+    if args.force:
+        # invalidate by removing the manifests ONCE up front, then run
+        # incrementally WITHOUT force — passing force to the
+        # stage-at-a-time loop below would re-run every earlier stage
+        # on each iteration (quadratic recompute)
+        for s in stages:
+            try:
+                os.remove(os.path.join(args.root, s.name, "_stage.json"))
+            except FileNotFoundError:
+                pass
 
-    stages = [timed(s) for s in stages]
     t_total = time.monotonic()
     if args.fresh_sessions:
         factory = lambda: get_spark("corpus_release")  # noqa: E731
@@ -150,18 +148,17 @@ def main() -> None:
     else:
         run_kw = {"spark": get_spark("corpus_release")}
 
-    # run stage-at-a-time so --stop-after can kill between commits
+    # run stage-at-a-time so --stop-after can kill between commits;
+    # completed stages resume from their manifest, so each incremental
+    # call executes at most the one new stage
     done: list[Stage] = []
-    results: dict[str, dict] = {}
     for s in stages:
         done.append(s)
-        res = run_pipeline(args.root, done, force=args.force, **run_kw)
+        t0 = time.monotonic()
+        res = run_pipeline(args.root, done, **run_kw)
         r = res[s.name]
         ran[s.name] = r["ran"]
-        if s.name in walls:
-            walls[s.name] = round(time.monotonic() - walls[s.name], 2)
-        else:
-            walls[s.name] = 0.0  # resumed
+        walls[s.name] = round(time.monotonic() - t0, 2) if r["ran"] else 0.0
         if args.stop_after == s.name:
             print(json.dumps({"stopped_after": s.name,
                               "stage_walls_s": walls, "ran": ran}))
