@@ -133,6 +133,21 @@ def main() -> None:
         "daemon (the reference's deployment shape) doesn't pay per "
         "event; recorded separately as warmup_freshness",
     )
+    ap.add_argument(
+        "--bridge-workers", type=int, default=1,
+        help="run the REAL bridge subprocess with N SO_REUSEPORT "
+        "shards (§6ag) instead of the in-process thread — lifts the "
+        "~50k rows/s single-loop transport ceiling so the demo can "
+        "probe where the loop binds beyond it",
+    )
+    ap.add_argument(
+        "--feeder-procs", type=int, default=1,
+        help="split the offered rate over N sender SUBPROCESSES, each "
+        "with its own socket pool (one socket = one kernel flow = one "
+        "bridge shard). Processes, not threads: the driver's GIL "
+        "(py4j + HTTP server) capped an in-process feeder near "
+        "~35 k rows/s aggregate regardless of thread count",
+    )
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -148,16 +163,35 @@ def main() -> None:
     base = f"http://127.0.0.1:{server.port}"
 
     stop = threading.Event()
-    port_box: dict = {}
-    bridge = threading.Thread(
-        target=run_bridge,
-        args=(spool, port_box, stop, args.roll_seconds),
-        daemon=True,
-    )
-    bridge.start()
-    while "port" not in port_box:
-        time.sleep(0.01)
-    udp_port = port_box["port"]
+    bridge_proc = None
+    if args.bridge_workers > 1:
+        import subprocess
+
+        probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        probe.bind(("127.0.0.1", 0))
+        udp_port = probe.getsockname()[1]
+        probe.close()
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bridge_proc = subprocess.Popen(
+            [sys.executable, "-m", "ballcone_spark.sources.udp_bridge",
+             "--port", str(udp_port), "--spool", spool,
+             "--roll-seconds", str(args.roll_seconds),
+             "--workers", str(args.bridge_workers)],
+            env=dict(os.environ, PYTHONPATH=repo),
+        )
+        time.sleep(2.5)  # spawn-context shard startup
+        bridge = None
+    else:
+        port_box: dict = {}
+        bridge = threading.Thread(
+            target=run_bridge,
+            args=(spool, port_box, stop, args.roll_seconds),
+            daemon=True,
+        )
+        bridge.start()
+        while "port" not in port_box:
+            time.sleep(0.01)
+        udp_port = port_box["port"]
 
     q = start_file_ingest(
         spark, spool, os.path.join(warehouse, "data"),
@@ -168,22 +202,54 @@ def main() -> None:
     send = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     sent = {"rows": 0}
 
-    def feeder() -> None:
-        k = 0
-        chunk = max(1, args.rows_per_sec // 100)  # 10 ms ticks
-        deadline = time.monotonic() + args.seconds
-        while not stop.is_set() and time.monotonic() < deadline:
-            t0 = time.monotonic()
-            for _ in range(chunk):
-                send.sendto(
-                    datagram(f"/load/{k % 512}", k), ("127.0.0.1", udp_port)
-                )
-                k += 1
-            sent["rows"] = k
-            time.sleep(max(0.0, 0.01 - (time.monotonic() - t0)))
+    # background load in SUBPROCESSES: the sender builds the same
+    # datagram shape as datagram() but with a pre-encoded %-template —
+    # in-process feeders shared the driver's GIL with py4j and the HTTP
+    # server and capped near ~35 k rows/s aggregate
+    feeder_src = """
+import socket, time
+socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+         for _ in range(8)]
+tmpl = ({tmpl!r})
+rate, seconds, port = {rate}, {seconds}, {port}
+sent = 0
+t0 = time.monotonic()
+while True:
+    el = time.monotonic() - t0
+    if el >= seconds:
+        break
+    if sent >= min(rate * el, rate * seconds):
+        time.sleep(0.002)
+        continue
+    for _ in range(200):
+        k = sent
+        socks[k % 8].sendto(
+            tmpl % ((k >> 8) & 255, k & 255, k % 512, 100 + k % 900,
+                    k % 100),
+            ("127.0.0.1", port))
+        sent += 1
+print(sent)
+"""
+    tmpl = (
+        f'<190>Jan  1 12:00:00 host nginx: {{"service": "{SERVICE}", '
+        f'"ip": "10.0.%d.%d", '
+        f'"host": "example.com", "path": "/load/%d", "status": "200", '
+        f'"referrer": "", "user_agent": "{UA}", "length": %d, '
+        f'"generation_time_milli": 0.%02d, '
+        f'"date": "2024-01-01T12:00:00+00:00"}}'
+    ).encode()
+    import subprocess as _subprocess
 
-    fd = threading.Thread(target=feeder, daemon=True)
-    fd.start()
+    per = args.rows_per_sec // args.feeder_procs
+    feeders = [
+        _subprocess.Popen(
+            [sys.executable, "-c",
+             feeder_src.format(tmpl=tmpl, rate=per,
+                               seconds=args.seconds, port=udp_port)],
+            stdout=_subprocess.PIPE,
+        )
+        for _ in range(args.feeder_procs)
+    ]
 
     # prober: marker datagrams + /sql visibility polls + route timings
     freshness: list[float] = []
@@ -221,7 +287,8 @@ def main() -> None:
         route_ms["overview"].append(dt * 1000)
         time.sleep(max(0.0, args.marker_every - (time.monotonic() - t_send)))
 
-    fd.join(timeout=10)
+    for f in feeders:
+        sent["rows"] += int(f.communicate(timeout=60)[0])
     # drain the tail before stopping: markers are already all visible
     time.sleep(6)
     prog = [
@@ -236,7 +303,13 @@ def main() -> None:
     ]
     q.stop()
     stop.set()
-    bridge.join(timeout=10)
+    if bridge_proc is not None:
+        import signal as _signal
+
+        bridge_proc.send_signal(_signal.SIGTERM)
+        bridge_proc.wait(timeout=20)
+    else:
+        bridge.join(timeout=10)
 
     # small-file story under live load + row conservation
     data_dir = os.path.join(warehouse, "data")
@@ -276,6 +349,8 @@ def main() -> None:
         "run_seconds": args.seconds,
         "roll_seconds": args.roll_seconds,
         "trigger_seconds": args.trigger_seconds,
+        "bridge_workers": args.bridge_workers,
+        "feeder_procs": args.feeder_procs,
         "markers": len(freshness),
         "markers_lost": markers_lost,
         "udp_loss_pct": round(
