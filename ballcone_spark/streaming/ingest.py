@@ -93,6 +93,8 @@ def start_file_ingest(
     hot_task_cap: int = 64,
     clean_source: str | None = "delete",
     archive_dir: str | None = None,
+    query_name: str = "ballcone_ingest",
+    service_shard: str | None = None,
 ):
     """Start the micro-batch ingest from a spool directory of datagram
     text files (written by the UDP bridge or any log shipper).
@@ -162,6 +164,29 @@ def start_file_ingest(
     raw = reader.load(spool_dir)
     facts = ingest_pipeline(raw, geoip_ranges=geoip_ranges)
 
+    # ``service_shard`` (r12, §6aj): one ingest stream PER SERVICE into
+    # a shared warehouse. Two streams appending to the same sink root
+    # is NOT safe — Hadoop's FileOutputCommitter stages every job under
+    # <root>/_temporary/0/, so one stream's job commit deletes the
+    # other's staging mid-write (measured: FileNotFoundException in
+    # commitJob, the second stream dies). With a shard set, this stream
+    # OWNS <data>/service=<shard>/ — its own _temporary, zero contact
+    # with other shards — partitions by date only, and the directory
+    # name restores the service column on any basePath read, so the
+    # warehouse layout (and every reader) is unchanged. Rows whose
+    # service differs from the shard are dropped (a sharded deployment
+    # routes one service per spool; mislabeling a stray row into this
+    # shard's directory would silently corrupt reads).
+    part_cols = ["service", "date"]
+    if service_shard is not None:
+        facts = facts.where(F.col("service") == service_shard).drop(
+            "service"
+        )
+        warehouse_data_dir = os.path.join(
+            warehouse_data_dir, f"service={service_shard}"
+        )
+        part_cols = ["date"]
+
     def _write_invariant(df: DataFrame) -> None:
         # repartition BY THE PARTITION COLUMNS, not coalesce(1): coalesce
         # has no shuffle boundary, so it collapsed the entire upstream
@@ -172,9 +197,9 @@ def start_file_ingest(
         # one task, preserving the one-file-per-partition-per-batch
         # property the small-file budget depends on).
         (
-            df.repartition("service", "date")
+            df.repartition(*part_cols)
             .write.mode("append")
-            .partitionBy("service", "date")
+            .partitionBy(*part_cols)
             .parquet(warehouse_data_dir)
         )
 
@@ -188,7 +213,7 @@ def start_file_ingest(
         batch_df.persist()
         try:
             counts = (
-                batch_df.groupBy("service", "date").count().collect()
+                batch_df.groupBy(*part_cols).count().collect()
             )  # bounded: #(service,date) keys live in a 5 s batch is tiny
             if hot_partition_rows == "auto":
                 total = sum(r["count"] for r in counts)
@@ -205,9 +230,9 @@ def start_file_ingest(
                 return
             cond = None
             for r in hot:
-                c = (F.col("service") == r["service"]) & (
-                    F.col("date") == F.lit(r["date"])
-                )
+                c = F.col("date") == F.lit(r["date"])
+                if "service" in part_cols:
+                    c = c & (F.col("service") == r["service"])
                 cond = c if cond is None else (cond | c)
             # Hot keys drop the invariant for this batch — spread over
             # ⌈rows/threshold⌉ writer tasks (capped), plain multi-file
@@ -227,12 +252,12 @@ def start_file_ingest(
             # fixed job/commit overhead — measured in the §6w A/B).
             max_rows = max(r["count"] for r in hot)
             n_tasks = int(min(hot_task_cap, -(-max_rows // threshold)))
-            cold_part = batch_df.filter(~cond).repartition("service", "date")
+            cold_part = batch_df.filter(~cond).repartition(*part_cols)
             hot_part = batch_df.filter(cond).repartition(n_tasks)
             (
                 cold_part.unionByName(hot_part)
                 .write.mode("append")
-                .partitionBy("service", "date")
+                .partitionBy(*part_cols)
                 .parquet(warehouse_data_dir)
             )
         finally:
@@ -241,7 +266,7 @@ def start_file_ingest(
     writer = (
         facts.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .queryName("ballcone_ingest")
+        .queryName(query_name)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -1140,3 +1140,86 @@ def test_sharded_bridge_round_trip(tmp_path):
     assert len(lines) == n  # zero loss, zero duplication
     assert prefixes == {"w0", "w1"}  # both shards carried traffic
     assert sorted(int(l.rsplit(" ", 1)[1]) for l in lines) == list(range(n))
+
+
+def test_sharded_ingest_streams_share_one_warehouse(spark, tmp_path):
+    """§6aj: TWO concurrent ingest streams into one warehouse. Plain
+    concurrent appends to the same sink root are unsafe (both jobs
+    stage under <root>/_temporary/0/ — one stream's commit deletes the
+    other's staging; measured FileNotFoundException in commitJob).
+    service_shard gives each stream its own service=<X> root: private
+    staging, date-only partitioning, and the directory name restores
+    the service column on read — layout and readers unchanged. Stray
+    rows of OTHER services in a shard's spool are dropped, never
+    mislabeled."""
+    import os
+    import time as _time
+
+    from ballcone_spark.streaming.ingest import (
+        compact_warehouse,
+        start_file_ingest,
+    )
+
+    def dgram(svc, k):
+        return (
+            f'<190>Jan  1 12:00:00 host nginx: {{"service": "{svc}", '
+            f'"ip": "10.0.0.{k % 255}", "host": "h", "path": "/p/{k}", '
+            f'"status": "200", "referrer": "", "user_agent": "UA", '
+            f'"length": 10, "generation_time_milli": 0.5, '
+            f'"date": "2024-01-01T12:00:00+00:00"}}'
+        )
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    streams, spools = [], {}
+    for svc in ("svc_a", "svc_b"):
+        spool = str(tmp_path / f"spool_{svc}")
+        os.makedirs(spool)
+        spools[svc] = spool
+        streams.append(
+            start_file_ingest(
+                spark, spool, data, str(tmp_path / f"ckpt_{svc}"),
+                trigger_seconds=1, query_name=f"ingest_{svc}",
+                service_shard=svc,
+            )
+        )
+
+    n_batches, rows_per = 6, 400
+    for b in range(n_batches):
+        for svc, spool in spools.items():
+            with open(os.path.join(spool, f"f{b}.log"), "w") as f:
+                for i in range(rows_per):
+                    f.write(dgram(svc, b * rows_per + i) + "\n")
+                if svc == "svc_a":
+                    # a stray row of the OTHER service: must be dropped
+                    f.write(dgram("svc_b", 999_999) + "\n")
+        _time.sleep(1.0)
+
+    deadline = _time.monotonic() + 60
+    expect = n_batches * rows_per
+    while _time.monotonic() < deadline:
+        try:
+            df = spark.read.parquet(data)
+            counts = {
+                r["service"]: r["count"]
+                for r in df.groupBy("service").count().collect()
+            }
+        except Exception:
+            counts = {}
+        if counts.get("svc_a") == expect and counts.get("svc_b") == expect:
+            break
+        _time.sleep(1.0)
+    errs = [q.exception() for q in streams if q.exception()]
+    for q in streams:
+        q.stop()
+    assert not errs, errs[0]
+    assert counts == {"svc_a": expect, "svc_b": expect}
+    # read layout unchanged: service restored from the dir name, and
+    # the per-shard dirs partition by date beneath it
+    assert os.path.isdir(os.path.join(data, "service=svc_a",
+                                      "date=2024-01-01"))
+    # compaction still owns the shared layout
+    df = spark.read.parquet(data)
+    rows_before = df.count()
+    compact_warehouse(spark, data)
+    assert spark.read.parquet(data).count() == rows_before
