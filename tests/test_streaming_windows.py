@@ -1972,3 +1972,95 @@ def test_compact_index_fold_cadence_defers_sweep(spark, tmp_path):
     # interval-spaced manual-compaction contract, unchanged)
     assert not ds.compact_index(spark, index_dir, every=999)
     assert ds._read_manifest(index_dir)["garbage"] == []
+
+
+def test_semantic_index_topk_serves_the_stream_state(spark, tmp_path):
+    """§6ak: the semantic stream's read side — top-k serving over the
+    resident index. Exhaustive routing (nprobe = all cells) must equal
+    a numpy brute-force over every ingested vector; canonical dedup
+    must collapse alias chains to one row naming the chain root; and
+    the read must span folded history (compact_every small enough to
+    fold mid-test)."""
+    import json as _json
+    import math
+
+    import numpy as np
+
+    from ballcone_spark.streaming.semantic_stream import (
+        semantic_index_topk,
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    # two well-separated cells; vectors 1..6 near cell 0, 7..9 near 90°
+    centroids = [(0, rot(0)), (1, rot(90))]
+    vecs = {
+        1: rot(0), 2: rot(5), 3: rot(6),      # 2↔3 dup pair (cos≈1)
+        4: rot(30), 5: rot(35), 6: rot(40),
+        7: rot(85), 8: rot(95), 9: rot(100),
+    }
+    spool = tmp_path / "serve_spool"
+    spool.mkdir()
+    idx, dec = str(tmp_path / "serve_idx"), str(tmp_path / "serve_dec")
+    items = sorted(vecs.items())
+    for b in range(3):  # 3 batches of 3 → compact_every=2 folds mid-run
+        with open(spool / f"b{b}.jsonl", "w") as f:
+            for vid, e in items[b * 3:(b + 1) * 3]:
+                f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+        q = start_semantic_dedup_stream(
+            spark, str(spool), idx, dec,
+            str(tmp_path / "serve_ckpt"), centroids, tau=0.9995,
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+    import os as _os
+    assert _os.path.exists(_os.path.join(idx, "_manifest.json"))  # folded
+
+    queries = spark.createDataFrame(
+        [(100, rot(3)), (200, rot(92))],
+        "query_id long, e array<double>",
+    )
+
+    # exhaustive routing == numpy brute force over ALL ingested vectors
+    got = semantic_index_topk(
+        spark, idx, queries, centroids, k=3, nprobe=2
+    ).collect()
+    V = np.array([vecs[i] for i in sorted(vecs)])
+    Vn = V / np.linalg.norm(V, axis=1)[:, None]
+    ids = np.array(sorted(vecs))
+    for qid, qe in [(100, rot(3)), (200, rot(92))]:
+        qn = np.array(qe) / np.linalg.norm(qe)
+        sims = Vn @ qn
+        order = sorted(zip(-sims, ids))[:3]
+        want = [int(i) for _, i in order]
+        have = [r["neighbor_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )]
+        assert have == want, (qid, have, want)
+
+    # canonical dedup: 3 duplicates 2 and ONLY 2 (tau=0.9995:
+    # cos(5°,6°)≈0.99985 ≥ tau, cos(0°,5°)≈0.9962 < tau) —
+    # with decisions_dir, any hit on 3 must surface canonical 2, and a
+    # query near both must return ONE row for the pair
+    got2 = semantic_index_topk(
+        spark, idx, queries, centroids, k=5, nprobe=2,
+        decisions_dir=dec,
+    ).collect()
+    q100 = [r for r in got2 if r["query_id"] == 100]
+    canons = [r["canonical"] for r in q100]
+    assert 2 in canons and 3 not in canons  # chain collapsed to root
+    assert len(canons) == len(set(canons))  # one row per canonical
+
+    # nprobe=1: query 100 routes to cell 0 only — results ⊆ cell 0 ids
+    got1 = semantic_index_topk(
+        spark, idx, queries, centroids, k=3, nprobe=1
+    ).collect()
+    assert {r["neighbor_id"] for r in got1 if r["query_id"] == 100} <= {
+        1, 2, 3, 4, 5, 6,
+    }
