@@ -1,0 +1,130 @@
+"""Measure semantic_index_topk at corpus scale (§6ak addendum).
+
+Builds a synthetic routed index the stream's shape (batch_id= dirs,
+folded + cluster_id-sorted through the shipped compact_index), then
+serves query batches at several nprobe settings and compares wall +
+result equality against an in-driver numpy brute force.
+
+  python tools/serve_bench.py --n 200000 --dim 64 --cells 16 --queries 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--cells", type=int, default=16)
+    ap.add_argument("--queries", type=int, default=64)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batches", type=int, default=8)
+    args = ap.parse_args()
+
+    import pandas as pd
+
+    from ballcone_spark.session import get_spark
+    from ballcone_spark.streaming.dedup_stream import compact_index
+    from ballcone_spark.streaming.semantic_stream import (
+        semantic_index_topk,
+    )
+
+    spark = get_spark("serve_bench")
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(args.cells, args.dim))
+    C /= np.linalg.norm(C, axis=1)[:, None]
+    centroids = [(i, C[i].tolist()) for i in range(args.cells)]
+
+    # vectors = centroid + noise → realistic cluster occupancy
+    cell = rng.integers(0, args.cells, size=args.n)
+    V = C[cell] + 0.35 * rng.normal(size=(args.n, args.dim))
+    nrm = np.linalg.norm(V, axis=1)
+    # route by TRUE nearest centroid (the stream's rule), not the
+    # generator's label — noise flips some assignments
+    routed = np.argmax((V / nrm[:, None]) @ C.T, axis=1)
+
+    work = tempfile.mkdtemp(prefix="serve_bench_")
+    idx = os.path.join(work, "idx")
+    per = args.n // args.batches
+    t0 = time.monotonic()
+    for b in range(args.batches):
+        lo, hi = b * per, (b + 1) * per if b < args.batches - 1 else args.n
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(lo, hi, dtype=np.int64),
+                "cluster_id": routed[lo:hi].astype(np.int64),
+                "e": list(V[lo:hi]),
+                "nrm": nrm[lo:hi],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            os.path.join(idx, f"batch_id={b}")
+        )
+    build_s = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    compact_index(spark, idx, every=2, sort_col="cluster_id")
+    fold_s = round(time.monotonic() - t0, 2)
+
+    # queries resemble corpus vectors (perturbed members — the real
+    # serving shape); pure-noise queries have no cluster affinity and
+    # make every recall curve meaningless
+    qsrc = rng.integers(0, args.n, size=args.queries)
+    Q = V[qsrc] + 0.1 * rng.normal(size=(args.queries, args.dim))
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": np.arange(args.queries, dtype=np.int64),
+             "e": list(Q)}
+        )
+    )
+
+    # numpy truth (full scan, in driver)
+    t0 = time.monotonic()
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    sims = Qn @ (V / nrm[:, None]).T
+    truth = {
+        q: set(np.argsort(-sims[q])[: args.k].tolist())
+        for q in range(args.queries)
+    }
+    numpy_s = round(time.monotonic() - t0, 3)
+
+    out = {"n": args.n, "cells": args.cells, "queries": args.queries,
+           "k": args.k, "build_s": build_s, "fold_s": fold_s,
+           "numpy_fullscan_s": numpy_s, "arms": []}
+    for nprobe in (1, 2, 4, args.cells):
+        t0 = time.monotonic()
+        got = semantic_index_topk(
+            spark, idx, queries, centroids, k=args.k, nprobe=nprobe
+        ).collect()
+        wall = round(time.monotonic() - t0, 2)
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recall = np.mean(
+            [len(by_q.get(q, set()) & truth[q]) / args.k
+             for q in range(args.queries)]
+        )
+        out["arms"].append(
+            {"nprobe": nprobe, "wall_s": wall,
+             "recall_vs_bruteforce": round(float(recall), 4)}
+        )
+    out["loadavg1"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
