@@ -152,6 +152,18 @@ def start_file_ingest(
             "hot_partition_rows must be an int, None, or 'auto' "
             f"(got {hot_partition_rows!r})"
         )
+    if service_shard is not None:
+        import re
+
+        # same charset the parser enforces on every ingested service
+        # (sources/syslog.py) — anything else would need partition-value
+        # escaping to match what partitionBy('service') writes ('/', '%'
+        # etc. break or silently diverge from partition discovery), so
+        # reject instead of guessing (review r12-b #2)
+        if not re.fullmatch(r"\w+", service_shard):
+            raise ValueError(
+                f"service_shard must match ^\\w+$ (got {service_shard!r})"
+            )
     # shared validation + option wiring with the analytical streams
     # (one copy of the clean_source contract — review r12 #5); only the
     # DEFAULT differs: "delete" here (the warehouse holds the rows),
@@ -179,6 +191,19 @@ def start_file_ingest(
     # shard's directory would silently corrupt reads).
     part_cols = ["service", "date"]
     if service_shard is not None:
+        # observe BEFORE the filter: stray rows of OTHER services are
+        # dropped, and the count surfaces per batch in the query's
+        # observedMetrics so the drop is never silent (review r12-b #4
+        # — e.g. two shard streams mispointed at one spool). Each shard
+        # must OWN its spool dir: clean_source='delete' under a shared
+        # spool deletes files the other stream hasn't read yet.
+        facts = facts.observe(
+            "shard",
+            F.count(F.when(F.col("service") != service_shard, 1)).alias(
+                "stray_rows"
+            ),
+            F.count(F.lit(1)).alias("input_rows"),
+        )
         facts = facts.where(F.col("service") == service_shard).drop(
             "service"
         )

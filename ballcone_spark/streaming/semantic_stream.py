@@ -303,9 +303,16 @@ def semantic_index_topk(
 
     ``decisions_dir``: when given, neighbors that were judged
     duplicates redirect to their canonical (transitively resolved at
-    decision time) and per-query results dedupe on the canonical —
-    exactly what serving against a store that kept only canonicals
-    would return, without rewriting the index. Returns
+    decision time) and results dedupe on the canonical — exactly what
+    serving against a store that kept only canonicals would return,
+    without rewriting the index. The canonical map joins onto the
+    index rows BEFORE the per-cluster top-k (review r12-b #1: truncate
+    first and a cluster whose top-k is all one chain starves the
+    result below k — duplicates are common by construction here);
+    chains never span clusters (decisions are within-cluster), so
+    per-cluster canonical-dedup composes into a correct global top-k.
+    ``neighbor_id`` is the argmax vector of its canonical group — the
+    row whose ``sim`` is reported (review r12-b #3). Returns
     ``(query_id, neighbor_id, canonical, sim, rank)``; None if the
     index is empty."""
     import numpy as np
@@ -341,60 +348,70 @@ def semantic_index_topk(
         entry = qmap.get(int(key[0]))
         if entry is None or not len(pdf):
             return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "sim": []}
+                {"query_id": [], "neighbor_id": [], "canonical": [],
+                 "sim": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64",
-                      "sim": "float64"})
+                      "canonical": "int64", "sim": "float64"})
         q_id, qn = entry
         X = np.array(pdf["e"].tolist(), dtype=np.float64)
         X = X / np.maximum(pdf["nrm"].values, 1e-12)[:, None]
         sims = qn @ X.T  # (q_in_cell, rows)
         nid = pdf["vec_id"].values
-        out_q, out_n, out_s = [], [], []
-        top = min(k, sims.shape[1])
+        can = pdf["canonical"].values
+        out_q, out_n, out_c, out_s = [], [], [], []
         for qi in range(sims.shape[0]):
-            sel = np.argpartition(-sims[qi], top - 1)[:top]
-            out_q.extend([q_id[qi]] * len(sel))
-            out_n.extend(nid[sel])
-            out_s.extend(sims[qi][sel])
+            # canonical-dedup FIRST (argmax row per canonical), THEN
+            # top-k over the surviving canonicals — truncating before
+            # the dedup starves results when a chain dominates a cell
+            best: dict = {}
+            row = sims[qi]
+            for j in range(len(nid)):
+                c = can[j]
+                b = best.get(c)
+                if b is None or row[j] > row[b] or (
+                    row[j] == row[b] and nid[j] < nid[b]
+                ):
+                    best[c] = j
+            js = sorted(
+                best.values(), key=lambda j: (-row[j], can[j])
+            )[:k]
+            out_q.extend([q_id[qi]] * len(js))
+            out_n.extend(int(nid[j]) for j in js)
+            out_c.extend(int(can[j]) for j in js)
+            out_s.extend(float(row[j]) for j in js)
         return pd.DataFrame(
             {"query_id": np.array(out_q, dtype=np.int64),
              "neighbor_id": np.array(out_n, dtype=np.int64),
+             "canonical": np.array(out_c, dtype=np.int64),
              "sim": np.array(out_s, dtype=np.float64)}
         )
 
-    # scan only the probed clusters: the IN filter pushes into the
-    # parquet scan, and the fold's cluster_id sort makes it row-group
-    # tight
-    scored = (
-        hist.where(F.col("cluster_id").isin(probed))
-        .groupBy("cluster_id")
-        .applyInPandas(score, "query_id long, neighbor_id long, sim double")
+    # scan only the probed clusters and only the columns scoring
+    # reads: the IN filter pushes into the parquet scan (fold's
+    # cluster_id sort makes it row-group tight), the projection keeps
+    # codes/batch_id out of the shuffle into the kernel
+    side = hist.where(F.col("cluster_id").isin(probed)).select(
+        "cluster_id", "vec_id", "e", "nrm"
     )
     if decisions_dir is not None:
         dec = read_semantic_decisions(spark, decisions_dir)
         if dec is not None and "canonical" in dec.columns:
             canon = dec.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("canonical").alias("_c"),
+                "vec_id", F.col("canonical").alias("_c")
             )
-            scored = (
-                scored.join(canon, "neighbor_id", "left")
-                .withColumn("canonical", F.coalesce("_c", "neighbor_id"))
+            side = (
+                side.join(canon, "vec_id", "left")
+                .withColumn("canonical", F.coalesce("_c", "vec_id"))
                 .drop("_c")
             )
         else:
-            scored = scored.withColumn("canonical", F.col("neighbor_id"))
-        # a store that kept only canonicals returns each one once:
-        # best sim per (query, canonical), earliest neighbor tie-break
-        scored = (
-            scored.groupBy("query_id", "canonical")
-            .agg(
-                F.max("sim").alias("sim"),
-                F.min("neighbor_id").alias("neighbor_id"),
-            )
-        )
+            side = side.withColumn("canonical", F.col("vec_id"))
     else:
-        scored = scored.withColumn("canonical", F.col("neighbor_id"))
+        side = side.withColumn("canonical", F.col("vec_id"))
+    scored = side.groupBy("cluster_id").applyInPandas(
+        score,
+        "query_id long, neighbor_id long, canonical long, sim double",
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("canonical").asc()
     )

@@ -1210,10 +1210,18 @@ def test_sharded_ingest_streams_share_one_warehouse(spark, tmp_path):
             break
         _time.sleep(1.0)
     errs = [q.exception() for q in streams if q.exception()]
+    # the stray drop is observable, not silent: svc_a's stream saw
+    # n_batches foreign rows, counted in its observed metrics
+    stray_a = sum(
+        p["observedMetrics"]["shard"]["stray_rows"]
+        for p in (streams[0].recentProgress or [])
+        if "shard" in (p.get("observedMetrics") or {})
+    )
     for q in streams:
         q.stop()
     assert not errs, errs[0]
     assert counts == {"svc_a": expect, "svc_b": expect}
+    assert stray_a == n_batches
     # read layout unchanged: service restored from the dir name, and
     # the per-shard dirs partition by date beneath it
     assert os.path.isdir(os.path.join(data, "service=svc_a",
@@ -1223,3 +1231,11 @@ def test_sharded_ingest_streams_share_one_warehouse(spark, tmp_path):
     rows_before = df.count()
     compact_warehouse(spark, data)
     assert spark.read.parquet(data).count() == rows_before
+    # shard names that would break partition-value escaping are refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="service_shard"):
+        start_file_ingest(
+            spark, str(tmp_path / "nope"), data,
+            str(tmp_path / "nope_ck"), service_shard="a/b",
+        )

@@ -2064,3 +2064,61 @@ def test_semantic_index_topk_serves_the_stream_state(spark, tmp_path):
     assert {r["neighbor_id"] for r in got1 if r["query_id"] == 100} <= {
         1, 2, 3, 4, 5, 6,
     }
+
+
+def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
+    """Review r12-b #1/#3: canonical dedup must happen BEFORE the
+    per-cluster top-k truncation. A query whose two nearest raw
+    vectors are one alias chain must still return k DISTINCT
+    canonicals, and each row's neighbor_id must be the argmax vector
+    of its canonical group (the vector whose sim is reported)."""
+    import json as _json
+    import math
+
+    from ballcone_spark.streaming.semantic_stream import (
+        semantic_index_topk,
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0))]
+    # 2↔3 is the only dup pair at tau=0.9995 (1° apart); 1 sits 5° off
+    vecs = {1: rot(0), 2: rot(5), 3: rot(6)}
+    spool = tmp_path / "trunc_spool"
+    spool.mkdir()
+    idx, dec = str(tmp_path / "trunc_idx"), str(tmp_path / "trunc_dec")
+    with open(spool / "b0.jsonl", "w") as f:
+        for vid, e in sorted(vecs.items()):
+            f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+    q = start_semantic_dedup_stream(
+        spark, str(spool), idx, dec, str(tmp_path / "trunc_ckpt"),
+        centroids, tau=0.9995,
+    )
+    q.awaitTermination(120)
+
+    # query at 5.5°: raw nearest two are {2, 3} — one chain. k=2 must
+    # surface TWO canonicals: 2 (the chain, via its argmax member) and 1
+    queries = spark.createDataFrame(
+        [(7, rot(5.5))], "query_id long, e array<double>"
+    )
+    got = sorted(
+        semantic_index_topk(
+            spark, idx, queries, centroids, k=2, nprobe=1,
+            decisions_dir=dec,
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["canonical"] for r in got] == [2, 1]
+    # the chain row reports its argmax member (2 or 3 — whichever is
+    # closer to 5.5° wins; both are 0.5° away, ties break to lower id)
+    assert got[0]["neighbor_id"] in (2, 3)
+    import numpy as np
+    qn = np.array(rot(5.5)); qn /= np.linalg.norm(qn)
+    for r in got:
+        v = np.array(vecs[r["neighbor_id"]]); v /= np.linalg.norm(v)
+        assert abs(r["sim"] - float(qn @ v)) < 1e-9  # sim belongs to the row

@@ -179,7 +179,26 @@ def main() -> None:
              "--workers", str(args.bridge_workers)],
             env=dict(os.environ, PYTHONPATH=repo),
         )
-        time.sleep(2.5)  # spawn-context shard startup
+        # readiness = the port is actually BOUND (a plain bind attempt
+        # fails with EADDRINUSE once a shard holds it via SO_REUSEPORT).
+        # A fixed sleep converted slow shard startup into measured
+        # "UDP loss" — the exact metric this tool exists for.
+        deadline_b = time.monotonic() + 15
+        while True:
+            if bridge_proc.poll() is not None:
+                raise RuntimeError(
+                    f"bridge exited rc={bridge_proc.returncode} at startup"
+                )
+            probe2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            try:
+                probe2.bind(("127.0.0.1", udp_port))
+                probe2.close()  # still free — shards not bound yet
+            except OSError:
+                probe2.close()
+                break  # EADDRINUSE: a shard owns the port
+            if time.monotonic() >= deadline_b:
+                raise RuntimeError("bridge never bound its port")
+            time.sleep(0.2)
         bridge = None
     else:
         port_box: dict = {}
@@ -241,12 +260,13 @@ print(sent)
     import subprocess as _subprocess
 
     per = args.rows_per_sec // args.feeder_procs
+    offered = per * args.feeder_procs  # honest: the remainder is not sent
     feeders = [
         _subprocess.Popen(
             [sys.executable, "-c",
              feeder_src.format(tmpl=tmpl, rate=per,
                                seconds=args.seconds, port=udp_port)],
-            stdout=_subprocess.PIPE,
+            stdout=_subprocess.PIPE,  # stderr inherits → diagnosable
         )
         for _ in range(args.feeder_procs)
     ]
@@ -287,8 +307,16 @@ print(sent)
         route_ms["overview"].append(dt * 1000)
         time.sleep(max(0.0, args.marker_every - (time.monotonic() - t_send)))
 
+    feeder_failures = 0
     for f in feeders:
-        sent["rows"] += int(f.communicate(timeout=60)[0])
+        try:
+            out_b, _ = f.communicate(timeout=60)
+            sent["rows"] += int(out_b)
+        except Exception:
+            # a dead feeder must not discard the run's measurements;
+            # its stderr already went to the console
+            feeder_failures += 1
+            f.kill()
     # drain the tail before stopping: markers are already all visible
     time.sleep(6)
     prog = [
@@ -345,7 +373,8 @@ print(sent)
         "value": round(pct(freshness, 0.5), 2) if freshness else None,
         "unit": "sec",
         "rows_sent": sent["rows"] + k,
-        "offered_rows_per_sec": args.rows_per_sec,
+        "offered_rows_per_sec": offered,
+        "feeder_failures": feeder_failures,
         "run_seconds": args.seconds,
         "roll_seconds": args.roll_seconds,
         "trigger_seconds": args.trigger_seconds,
