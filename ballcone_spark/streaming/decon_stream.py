@@ -1,0 +1,271 @@
+"""Streaming benchmark decontamination — contamination flags maintained
+CONTINUOUSLY while BOTH sides arrive over time.
+
+The batch operator (:func:`ballcone_spark.operators.dedup
+.decontamination_flags`, the driver-checked `docs_decontamination`)
+assumes the benchmark set is fixed. Real pipelines add eval suites
+after training corpora already exist, which creates the asymmetric
+stateful problem this stream solves: a NEW document must be checked
+against every benchmark seen so far, and a NEW benchmark must
+RETRO-SCAN every document seen so far — the contamination that matters
+most is exactly the kind a static pass misses (docs ingested before
+the eval suite existed).
+
+Design (the dedup_stream state conventions throughout):
+
+- **State**: two gram indexes under ``batch_id=<n>/`` partition dirs —
+  ``doc_grams_dir`` (doc_id, h) and ``bench_grams_dir`` (h) — plus an
+  append-only ``flags_dir`` (doc_id, flagged_batch). ``h`` is
+  ``xxhash64`` of the word-8-gram (the §6ab hashed-key license: 8-byte
+  state instead of the gram string; a cross-side collision would
+  false-FLAG one doc at ~2⁻⁶⁴ per pair — conservative direction for a
+  decontamination gate, and the equality test cross-checks against the
+  string-exact batch operator).
+- **Per batch** (one micro-batch may carry both kinds): new-doc grams
+  semi-join the benchmark gram history ∪ this batch's new benchmark
+  grams (bench side broadcasts — eval suites are small by definition);
+  new-benchmark grams broadcast against the DOC gram history for the
+  retro flags (the history side is the big side and never shuffles:
+  broadcast-semi probe, §6aa shape). Flags append under the batch's
+  own partition.
+- **Replay safety**: probes read ``batch_id < current`` only; a
+  replayed batch overwrites its own three partitions (the 5484fde
+  convention). Decisions are monotone (flags only turn on), so replay
+  cannot unflag.
+- **Folds**: all three dirs fold inline through
+  :func:`~ballcone_spark.streaming.dedup_stream.compact_index` with
+  ``sweep_when="fold"`` (§6ah #3); flags fold latest-wins on doc_id so
+  resident flag state is O(contaminated docs), not O(flag events).
+
+Scale shape at 100 TB: the doc-gram index is the corpus-token-scale
+object (that is irreducible — retro-flagging REQUIRES an inverted
+index of corpus grams), but it is only ever the PROBE side of
+broadcast semi-joins keyed by 8-byte hashes, written once per batch
+and never shuffled; per-trigger cost is bounded by the batch's own
+gram count plus one broadcast of the batch's benchmark grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ballcone_spark.operators.dedup import _DECON_NGRAM, shingle_rows_np
+
+__all__ = [
+    "process_decon_batch",
+    "start_decon_stream",
+    "read_contaminated",
+]
+
+
+def _grams(df: DataFrame, n: int) -> DataFrame:
+    return shingle_rows_np(df, n=n).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    ).distinct()
+
+
+def _read_state(spark: SparkSession, root: str, batch_id: int):
+    """History (batch_id < current) through the manifest snapshot —
+    None when the dir doesn't exist yet."""
+    from ballcone_spark.streaming.semantic_stream import _read_folded_dir
+
+    df = _read_folded_dir(spark, root)
+    if df is None:
+        return None
+    return df.where(F.col("batch_id") < F.lit(batch_id))
+
+
+def process_decon_batch(
+    spark: SparkSession,
+    docs: DataFrame | None,
+    bench: DataFrame | None,
+    doc_grams_dir: str,
+    bench_grams_dir: str,
+    flags_dir: str,
+    batch_id: int,
+    n: int = _DECON_NGRAM,
+) -> None:
+    """One micro-batch: index the new docs/benchmarks, flag both
+    directions. ``docs``/``bench``: ``(doc_id, text)`` / ``(bench_id,
+    text)`` or None when the batch carries only one kind."""
+    from ballcone_spark.streaming.dedup_stream import (
+        _overwrite_batch_partition,
+    )
+
+    doc_g = (
+        _grams(docs.select("doc_id", "text"), n)
+        if docs is not None else None
+    )
+    bench_g = (
+        _grams(
+            bench.select(F.col("bench_id").alias("doc_id"), "text"), n
+        ).select("h").distinct()
+        if bench is not None else None
+    )
+    if doc_g is not None:
+        # one execution feeds the index write, the forward probe, and
+        # (as history would) nothing else — checkpoint once
+        doc_g = doc_g.localCheckpoint(eager=True)
+    if bench_g is not None:
+        bench_g = bench_g.localCheckpoint(eager=True)
+
+    flags = []
+    bench_hist = _read_state(spark, bench_grams_dir, batch_id)
+    if doc_g is not None:
+        # forward: new docs vs benchmark history ∪ same-batch benchmarks
+        bench_side = bench_g
+        if bench_hist is not None:
+            b = bench_hist.select("h")
+            bench_side = b if bench_side is None else bench_side.unionByName(b)
+        if bench_side is not None:
+            flags.append(
+                doc_g.join(F.broadcast(bench_side.distinct()), "h", "semi")
+                .select("doc_id")
+            )
+    if bench_g is not None:
+        # retro: new benchmarks vs the DOC gram history — history is
+        # the big side and stays the probe of a broadcast semi-join
+        doc_hist = _read_state(spark, doc_grams_dir, batch_id)
+        if doc_hist is not None:
+            flags.append(
+                doc_hist.join(F.broadcast(bench_g), "h", "semi")
+                .select("doc_id")
+            )
+
+    if flags:
+        out = flags[0]
+        for f in flags[1:]:
+            out = out.unionByName(f)
+        # first-flag-wins: a doc already flagged in history is never
+        # re-emitted, so every doc carries exactly ONE flag row ever —
+        # resident flag state is O(contaminated docs) by construction,
+        # the latest-wins fold degenerates to a no-op for it, and
+        # ``flagged_batch`` stays the EARLIEST flagging batch across
+        # folds (a latest-wins fold would otherwise overwrite it)
+        flag_hist = _read_state(spark, flags_dir, batch_id)
+        out = out.distinct()
+        if flag_hist is not None:
+            out = out.join(
+                F.broadcast(flag_hist.select("doc_id").distinct()),
+                "doc_id",
+                "left_anti",
+            )
+        out = out.withColumn(
+            "flagged_batch", F.lit(batch_id).cast("int")
+        )
+    else:
+        out = spark.createDataFrame(
+            [], "doc_id long, flagged_batch int"
+        )
+    _overwrite_batch_partition(out, flags_dir, batch_id)
+    _overwrite_batch_partition(
+        doc_g if doc_g is not None
+        else spark.createDataFrame([], "doc_id long, h long"),
+        doc_grams_dir,
+        batch_id,
+    )
+    _overwrite_batch_partition(
+        bench_g if bench_g is not None
+        else spark.createDataFrame([], "h long"),
+        bench_grams_dir,
+        batch_id,
+    )
+
+
+def read_contaminated(spark: SparkSession, flags_dir: str):
+    """Distinct contaminated doc_ids with their EARLIEST flagging batch
+    — None before the first batch."""
+    from ballcone_spark.streaming.semantic_stream import _read_folded_dir
+
+    df = _read_folded_dir(spark, flags_dir)
+    if df is None:
+        return None
+    return df.groupBy("doc_id").agg(
+        F.min("flagged_batch").alias("flagged_batch")
+    )
+
+
+def start_decon_stream(
+    spark: SparkSession,
+    doc_spool: str,
+    bench_spool: str,
+    doc_grams_dir: str,
+    bench_grams_dir: str,
+    flags_dir: str,
+    checkpoint_dir: str,
+    n: int = _DECON_NGRAM,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+    compact_every: int | None = 64,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+):
+    """Two spools — documents (``{"doc_id":..,"text":..}``) and
+    benchmark items (``{"bench_id":..,"text":..}``) — UNIONED into one
+    streaming query, so both kinds share a single serialized batch
+    loop over the shared state dirs (two queries would race the state
+    writes; one source union is the safe composition). Returns the
+    StreamingQuery."""
+    from ballcone_spark.streaming.dedup_stream import (
+        _spool_reader,
+        compact_index,
+    )
+
+    docs_raw = (
+        _spool_reader(spark, clean_source, archive_dir)
+        .load(doc_spool)
+        .select(F.lit("doc").alias("kind"), "value")
+    )
+    bench_raw = (
+        _spool_reader(spark, clean_source, archive_dir)
+        .load(bench_spool)
+        .select(F.lit("bench").alias("kind"), "value")
+    )
+    both = docs_raw.unionByName(bench_raw)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        docs = batch_df.where(F.col("kind") == "doc").select(
+            F.get_json_object("value", "$.doc_id").cast("long")
+            .alias("doc_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        bench = batch_df.where(F.col("kind") == "bench").select(
+            F.get_json_object("value", "$.bench_id").cast("long")
+            .alias("bench_id"),
+            F.get_json_object("value", "$.text").alias("text"),
+        ).where(F.col("bench_id").isNotNull() & F.col("text").isNotNull())
+        process_decon_batch(
+            spark,
+            docs if docs.take(1) else None,
+            bench if bench.take(1) else None,
+            doc_grams_dir,
+            bench_grams_dir,
+            flags_dir,
+            batch_id,
+            n=n,
+        )
+        if compact_every is not None:
+            for d in (doc_grams_dir, bench_grams_dir):
+                compact_index(
+                    spark, d, every=compact_every, sort_col="h",
+                    sweep_when="fold",
+                )
+            compact_index(
+                spark, flags_dir, every=compact_every, sort_col=None,
+                latest_wins_key="doc_id", sweep_when="fold",
+            )
+
+    writer = (
+        both.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ballcone_decon_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -2122,3 +2122,99 @@ def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
     for r in got:
         v = np.array(vecs[r["neighbor_id"]]); v /= np.linalg.norm(v)
         assert abs(r["sim"] - float(qn @ v)) < 1e-9  # sim belongs to the row
+
+
+def test_decon_stream_retro_flags_and_matches_batch(spark, tmp_path):
+    """Streaming decontamination (decon_stream.py): benchmarks arriving
+    AFTER a document must retro-flag it; forward flags come from
+    benchmark history; the final flag set equals the string-exact batch
+    operator over the full corpora; flagged_batch records the EARLIEST
+    flagging batch and survives folds; replay is idempotent."""
+    import json as _json
+
+    from ballcone_spark.operators.dedup import decontamination_flags
+    from ballcone_spark.streaming import decon_stream as dcs
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    other = "one two three four five six seven eight nine ten"
+    docs = {
+        1: f"clean doc {other}",
+        2: f"contaminated early {leak} trailing words here",
+        3: f"same batch as bench {leak} more tail",
+        4: f"later arrival {leak} yet more tail",
+        5: f"also clean {other} indeed",
+    }
+    bench = {100: f"eval item {leak} question answer"}
+    # b0: docs 1,2 (no benchmarks exist yet — nothing flags)
+    # b1: bench 100 (retro-flags 2) + doc 3 (forward, same batch)
+    # b2: doc 4 (forward, from history) + doc 5 (clean)
+    batches = [
+        ({1: docs[1], 2: docs[2]}, {}),
+        ({3: docs[3]}, bench),
+        ({4: docs[4], 5: docs[5]}, {}),
+    ]
+
+    def run(root, compact_every):
+        dirs = [str(root / d) for d in ("dg", "bg", "fl")]
+        dspool, bspool = root / "dsp", root / "bsp"
+        dspool.mkdir(), bspool.mkdir()
+        for b, (ds_, bs_) in enumerate(batches):
+            if ds_:
+                with open(dspool / f"d{b}.jsonl", "w") as f:
+                    for i, t in ds_.items():
+                        f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+            if bs_:
+                with open(bspool / f"b{b}.jsonl", "w") as f:
+                    for i, t in bs_.items():
+                        f.write(_json.dumps({"bench_id": i, "text": t})
+                                + "\n")
+            q = dcs.start_decon_stream(
+                spark, str(dspool), str(bspool), *dirs,
+                str(root / "ckpt"), available_now=True,
+                compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+        return dirs
+
+    root = tmp_path / "plain"
+    root.mkdir()
+    dirs = run(root, compact_every=None)
+    got = {
+        r["doc_id"]: r["flagged_batch"]
+        for r in dcs.read_contaminated(spark, dirs[2]).collect()
+    }
+    # equality with the batch operator over the full corpora
+    all_docs = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    all_bench = spark.createDataFrame(
+        list(bench.items()), "doc_id long, text string"
+    )
+    want = {r["doc_id"] for r in
+            decontamination_flags(all_docs, all_bench).collect()}
+    assert set(got) == want == {2, 3, 4}
+    # retro flag carries the BENCHMARK's batch; forward flags theirs
+    assert got == {2: 1, 3: 1, 4: 2}
+
+    # replay: re-running the last batch leaves state bit-identical
+    last_docs = spark.createDataFrame(
+        [(4, docs[4]), (5, docs[5])], "doc_id long, text string"
+    )
+    dcs.process_decon_batch(spark, last_docs, None, *dirs, batch_id=2)
+    got2 = {
+        r["doc_id"]: r["flagged_batch"]
+        for r in dcs.read_contaminated(spark, dirs[2]).collect()
+    }
+    assert got2 == got
+
+    # folded twin (every state dir folds mid-run) reads identically
+    froot = tmp_path / "folded"
+    froot.mkdir()
+    fdirs = run(froot, compact_every=2)
+    import os as _os
+    assert _os.path.exists(_os.path.join(fdirs[0], "_manifest.json"))
+    fgot = {
+        r["doc_id"]: r["flagged_batch"]
+        for r in dcs.read_contaminated(spark, fdirs[2]).collect()
+    }
+    assert fgot == got
