@@ -40,6 +40,7 @@ import ballcone_spark.operators.similarity  # noqa: E402,F401
 import ballcone_spark.operators.span_dedup  # noqa: E402,F401
 import ballcone_spark.operators.text_analysis  # noqa: E402,F401
 import ballcone_spark.streaming.alias_stream  # noqa: E402,F401
+import ballcone_spark.streaming.decon_stream  # noqa: E402,F401
 import ballcone_spark.streaming.dedup_stream  # noqa: E402,F401
 
 

@@ -269,3 +269,62 @@ def start_decon_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# --------------------------------------------------------------------- #
+# oracle-checked query: the stream's flag rule replayed as one batch     #
+# --------------------------------------------------------------------- #
+
+from ballcone_spark.operators.dedup import (  # noqa: E402
+    _duck_decon_shingles,
+    decontamination_flags,
+)
+from ballcone_spark.queries import _query, load_table  # noqa: E402
+
+#: deterministic arrival assignment for the replay: corpus docs arrive
+#: at batch doc_id mod 3; the benchmark set (src0, the same
+#: pseudo-benchmark as docs_decontamination) arrives at batch 1 — so
+#: batch-0 docs are flagged RETROACTIVELY, batch-1 docs in-batch, and
+#: batch-2 docs forward from history: all three stream paths in one
+#: SQL-expressible rule, flagged_batch = GREATEST(doc_batch, 1).
+_N_ARRIVAL = 3
+_BENCH_ARRIVAL = 1
+
+
+@_query(
+    "docs_decon_arrival",
+    f"""
+    WITH corpus_sh AS ({_duck_decon_shingles("WHERE source != 'src0'", 8)}),
+    bench AS (SELECT DISTINCT s
+              FROM ({_duck_decon_shingles("WHERE source = 'src0'", 8)})),
+    hits AS (SELECT DISTINCT c.doc_id FROM corpus_sh c
+             JOIN bench b ON c.s = b.s)
+    SELECT doc_id,
+           CAST(GREATEST(doc_id % {_N_ARRIVAL}, {_BENCH_ARRIVAL}) AS INT)
+               AS flagged_batch
+    FROM hits ORDER BY doc_id
+    """,
+    driver=False,
+)
+def docs_decon_arrival(spark, sf_dir):
+    """The streaming decontamination's flag attribution replayed as one
+    batch query: a corpus doc (arrival batch = doc_id mod 3) is flagged
+    the first moment BOTH it and a colliding benchmark (src0, arriving
+    at batch 1) are present — GREATEST(doc_batch, 1). Covers the
+    stream's three flag paths (retro / same-batch / forward) in one
+    deterministic rule; the stream-vs-replay equality on the real
+    corpus is pinned by test_decon_stream_arrival_matches_registry."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    return (
+        decontamination_flags(corpus, bench)
+        .select(
+            "doc_id",
+            F.greatest(
+                (F.col("doc_id") % _N_ARRIVAL).cast("int"),
+                F.lit(_BENCH_ARRIVAL),
+            ).alias("flagged_batch"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2218,3 +2218,41 @@ def test_decon_stream_retro_flags_and_matches_batch(spark, tmp_path):
         for r in dcs.read_contaminated(spark, fdirs[2]).collect()
     }
     assert fgot == got
+
+
+def test_decon_stream_arrival_matches_registry(spark, tmp_path):
+    """The REAL decon stream, fed the sf0.001 corpus in the registry
+    query's arrival order (corpus docs at batch doc_id%3, src0 as the
+    benchmark set arriving at batch 1), must converge to exactly the
+    rows docs_decon_arrival computes — the oracle-checked batch replay
+    anchors the stream end-to-end on real data."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming import decon_stream as dcs
+    from ballcone_spark.streaming.decon_stream import docs_decon_arrival
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.where(F.col("source") != "src0").select("doc_id", "text")
+    bench = docs.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    dirs = [str(tmp_path / d) for d in ("dg", "bg", "fl")]
+    for b in range(3):
+        dcs.process_decon_batch(
+            spark,
+            corpus.where(F.col("doc_id") % 3 == b),
+            bench if b == 1 else None,
+            *dirs,
+            batch_id=b,
+        )
+    got = sorted(
+        (r["doc_id"], r["flagged_batch"])
+        for r in dcs.read_contaminated(spark, dirs[2]).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["flagged_batch"])
+        for r in docs_decon_arrival(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0  # non-vacuous: planted
+    # cross-source near-dups exist at sf0.001
