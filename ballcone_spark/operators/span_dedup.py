@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.lm_quality import _gram_rows
 from ballcone_spark.queries import _query, load_table
 
-__all__ = ["exact_span_pairs", "dup_span_coverage"]
+__all__ = [
+    "exact_span_pairs",
+    "dup_span_coverage",
+    "qualifying_spans",
+    "span_deduped_corpus",
+]
 
 #: k-gram width: wide enough that random token collisions are
 #: negligible, narrow enough that spans only slightly longer than the
@@ -183,6 +188,22 @@ def _qualifying_spans(
         .where(F.col("span") >= min_span)
         .drop("_grp")
     )
+
+
+def qualifying_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_span: int = MIN_SPAN,
+    max_df: int = SPAN_MAX_DF,
+    text_col: str = "text",
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """Public form of :func:`_qualifying_spans` with the family's
+    defaults — the materialization point for a checkpointed release
+    pipeline (the gram self-join is the expensive stage; persist this
+    frame, then feed it to ``span_deduped_corpus(docs, spans=...)``)."""
+    return _qualifying_spans(docs, k, min_span, max_df, text_col,
+                             pair_budget)
 
 
 def dup_span_coverage(
@@ -492,6 +513,7 @@ def span_deduped_corpus(
     max_df: int = SPAN_MAX_DF,
     text_col: str = "text",
     pair_budget: int | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, removed_tokens, kept_tokens, new_text) — the
     corpus AFTER the Lee et al. deletion transform: for every
@@ -510,8 +532,19 @@ def span_deduped_corpus(
 
     Conservation holds by construction (kept = n − Σ merged widths,
     merged intervals disjoint) and is independently pinned by test
-    against interval arithmetic and a planted construction."""
-    spans = _qualifying_spans(docs, k, min_span, max_df, text_col, pair_budget)
+    against interval arithmetic and a planted construction.
+
+    ``spans`` (r12): pass the `_qualifying_spans` frame precomputed —
+    the natural super-stage boundary for a checkpointed release
+    pipeline (plans/pipeline.py): the gram self-join is the expensive
+    disk-heavy stage, so materializing it lets a killed release resume
+    into the deletion transform without re-pairing. Schema must be
+    `_qualifying_spans`'s (b_id, start_a, d, span, ...); None computes
+    it inline (identical result, pinned by test)."""
+    if spans is None:
+        spans = _qualifying_spans(
+            docs, k, min_span, max_df, text_col, pair_budget
+        )
     iv = spans.select(
         F.col("b_id").alias("doc_id"),
         (F.col("start_a") - F.col("d")).alias("s"),

@@ -336,3 +336,52 @@ def test_pipeline_forced_rerun_crash_keeps_old_output(spark, tmp_path,
     res = run_pipeline(str(tmp_path), stages, spark=spark)
     assert not any(v["ran"] for v in res.values())
     assert _rows(stage_output(spark, str(tmp_path), "raw")) == before
+
+
+def test_staged_span_release_matches_direct(spark, tmp_path):
+    """The span-release pipeline variant: materializing the expensive
+    gram-self-join stage (qualifying_spans) through parquet and
+    feeding it back via span_deduped_corpus(spans=...) must reproduce
+    the direct single-plan composition byte-for-byte, and packing the
+    rewritten corpus completes the staged release."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.operators.packing import pack_sequences
+    from ballcone_spark.operators.span_dedup import (
+        qualifying_spans,
+        span_deduped_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+    def spans(spark_, inputs):
+        return qualifying_spans(docs)
+
+    def deduped(spark_, inputs):
+        return span_deduped_corpus(docs, spans=inputs["spans"])
+
+    def packed(spark_, inputs):
+        return pack_sequences(
+            inputs["deduped"].where(F.col("kept_tokens") > 0),
+            seq_len=128, text_col="new_text",
+        )
+
+    res = run_pipeline(
+        str(tmp_path),
+        [
+            Stage("spans", spans),
+            Stage("deduped", deduped, deps=("spans",)),
+            Stage("packed", packed, deps=("deduped",)),
+        ],
+        spark=spark,
+    )
+    assert all(v["ran"] for v in res.values())
+
+    staged = stage_output(spark, str(tmp_path), "deduped")
+    direct = span_deduped_corpus(docs)
+    assert _rows(staged) == _rows(direct)  # incl. new_text bytes
+    n_spans = stage_output(spark, str(tmp_path), "spans").count()
+    assert n_spans > 0  # non-vacuous: sf0.001 has planted span dups
+    assert stage_output(spark, str(tmp_path), "packed").count() > 0

@@ -103,6 +103,45 @@ def build_stages(sf_dir: str) -> list[Stage]:
     ]
 
 
+def build_span_stages(sf_dir: str) -> list[Stage]:
+    """The span-release variant: qualifying spans (the expensive gram
+    self-join — the §6ac disk-heavy super-stage) → Lee et al. deletion
+    transform → sequence packing of the rewritten corpus. A killed
+    release resumes into the deletion without re-pairing."""
+    from ballcone_spark.operators.packing import pack_sequences
+    from ballcone_spark.operators.span_dedup import (
+        qualifying_spans,
+        span_deduped_corpus,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def spans(spark, inputs):
+        docs = spark.read.parquet(docs_path).where(
+            F.col("text").isNotNull()
+        )
+        return qualifying_spans(docs)
+
+    def deduped(spark, inputs):
+        docs = spark.read.parquet(docs_path).where(
+            F.col("text").isNotNull()
+        )
+        return span_deduped_corpus(docs, spans=inputs["spans"])
+
+    def packed(spark, inputs):
+        return pack_sequences(
+            inputs["deduped"].where(F.col("kept_tokens") > 0),
+            seq_len=128,
+            text_col="new_text",
+        )
+
+    return [
+        Stage("spans", spans),
+        Stage("deduped", deduped, deps=("spans",)),
+        Stage("packed", packed, deps=("deduped",)),
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -115,12 +154,17 @@ def main() -> None:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--status", action="store_true",
                     help="print what a run would skip vs redo, then exit")
+    ap.add_argument("--variant", default="curation",
+                    choices=["curation", "span"],
+                    help="curation = gate/dedup/budget-fill; span = "
+                         "qualifying-spans/deletion/packing")
     ap.add_argument("--stop-after", default=None,
                     help="(testing) exit after this stage commits — "
                          "simulates a killed deployment for resume runs")
     args = ap.parse_args()
 
-    stages = build_stages(args.sf_dir)
+    builder = build_stages if args.variant == "curation" else build_span_stages
+    stages = builder(args.sf_dir)
     if args.status:
         print(json.dumps(pipeline_status(args.root, stages)))
         return
@@ -165,14 +209,16 @@ def main() -> None:
             return
 
     spark = run_kw.get("spark") or get_spark("corpus_release")
-    out = stage_output(spark, args.root, "fill")
+    final = stages[-1].name
+    out = stage_output(spark, args.root, final)
     n = out.count()
     print(json.dumps({
         "stages": [s.name for s in stages],
         "ran": ran,
         "stage_walls_s": walls,
         "total_wall_s": round(time.monotonic() - t_total, 2),
-        "fill_rows": n,
+        "final_stage": final,
+        "final_rows": n,
         "sf_dir": args.sf_dir,
         "fresh_sessions": bool(args.fresh_sessions),
     }))
