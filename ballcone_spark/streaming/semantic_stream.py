@@ -283,6 +283,9 @@ def semantic_index_topk(
     k: int = 5,
     nprobe: int = 1,
     decisions_dir: str | None = None,
+    books=None,
+    eps: float = 0.1,
+    screen_factor: int = 4,
 ):
     """Top-k cosine serving over the stream's OWN state — the read side
     that makes the semantic stream a vector store: route each query to
@@ -314,7 +317,21 @@ def semantic_index_topk(
     ``neighbor_id`` is the argmax vector of its canonical group — the
     row whose ``sim`` is reported (review r12-b #3). Returns
     ``(query_id, neighbor_id, canonical, sim, rank)``; None if the
-    index is empty."""
+    index is empty.
+
+    ``books`` (r12): COMPRESSED-DOMAIN serving against an index the
+    stream wrote in compressed mode — the petabyte path. The probed
+    clusters are scanned reading ONLY ``(vec_id, cluster_id, codes)``
+    (the 64–128× I/O cut PQ exists for; ``e``/``nrm`` never enter the
+    scan or shuffle), candidates screen per cluster by ADC (the
+    stream's `_adc_sims` LUT kernel), and only the O(candidates) rows
+    surviving ``adc ≥ (screen_factor·k)-th best − eps`` pull their
+    exact vectors back through a vec_id join for the exact rerank —
+    the `_decide_compressed` shape, serving-side. Exact-equal to the
+    uncompressed path whenever ADC error stays within ``eps`` and the
+    per-cluster candidate pool (``screen_factor·k``) covers the true
+    top-k after canonical dedup (chain-heavy cells may need a larger
+    ``screen_factor`` — same bound class as IVF's nprobe recall)."""
     import numpy as np
     import pandas as pd
 
@@ -386,6 +403,100 @@ def semantic_index_topk(
              "sim": np.array(out_s, dtype=np.float64)}
         )
 
+    def _with_canonical(df, id_col):
+        if decisions_dir is not None:
+            dec = read_semantic_decisions(spark, decisions_dir)
+            if dec is not None and "canonical" in dec.columns:
+                canon = dec.select(
+                    F.col("vec_id").alias(id_col),
+                    F.col("canonical").alias("_c"),
+                )
+                return (
+                    df.join(canon, id_col, "left")
+                    .withColumn("canonical", F.coalesce("_c", id_col))
+                    .drop("_c")
+                )
+        return df.withColumn("canonical", F.col(id_col))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("canonical").asc()
+    )
+
+    if books is not None:
+        # compressed-domain: scan codes only, ADC-screen per cluster,
+        # exact-rerank the surviving candidates via a narrow vec_id
+        # join (the _decide_compressed shape, serving-side)
+        B = np.array(books, dtype=np.float64)
+        pool = max(k * screen_factor, k + 8)
+        cside = hist.where(F.col("cluster_id").isin(probed)).select(
+            "cluster_id", "vec_id", "codes"
+        )
+
+        def screen(key, pdf):
+            entry = qmap.get(int(key[0]))
+            empty = pd.DataFrame(
+                {"query_id": [], "neighbor_id": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64"})
+            if entry is None or not len(pdf):
+                return empty
+            if pdf["codes"].iloc[0] is None:
+                return empty  # exact-mode rows carry no codes
+            q_id, qn = entry
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            adc = _adc_sims(qn, codes, B)
+            nid = pdf["vec_id"].values
+            oq, on = [], []
+            for qi in range(adc.shape[0]):
+                row = adc[qi]
+                p = min(pool, len(row))
+                kth = np.sort(row)[::-1][p - 1]
+                keep = np.flatnonzero(row >= kth - eps)
+                oq.extend([q_id[qi]] * len(keep))
+                on.extend(int(x) for x in nid[keep])
+            return pd.DataFrame(
+                {"query_id": np.array(oq, dtype=np.int64),
+                 "neighbor_id": np.array(on, dtype=np.int64)}
+            )
+
+        cand = cside.groupBy("cluster_id").applyInPandas(
+            screen, "query_id long, neighbor_id long"
+        )
+        qlit = spark.createDataFrame(
+            pd.DataFrame({"query_id": qids, "qe": list(Qn)})
+        )
+        vecs = hist.select(
+            F.col("vec_id").alias("neighbor_id"), "e", "nrm"
+        )
+        dot = F.aggregate(
+            F.zip_with("e", "qe", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # candidates are O(queries·pool) — broadcast them onto the
+        # index scan so the full-vector pull is exchange-free on the
+        # big side; the interpreted HOF dot is fine at candidate scale
+        exact = (
+            vecs.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qlit), "query_id")
+            .select(
+                "query_id", "neighbor_id",
+                (dot / F.col("nrm")).alias("sim"),
+            )
+        )
+        exact = _with_canonical(exact, "neighbor_id")
+        best = exact.groupBy("query_id", "canonical").agg(
+            F.max("sim").alias("sim"),
+            F.max_by(
+                "neighbor_id",
+                F.struct(F.col("sim"), (-F.col("neighbor_id")).alias("_n")),
+            ).alias("neighbor_id"),
+        )
+        return (
+            best.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "canonical", "sim", "rank")
+        )
+
     # scan only the probed clusters and only the columns scoring
     # reads: the IN filter pushes into the parquet scan (fold's
     # cluster_id sort makes it row-group tight), the projection keeps
@@ -393,27 +504,10 @@ def semantic_index_topk(
     side = hist.where(F.col("cluster_id").isin(probed)).select(
         "cluster_id", "vec_id", "e", "nrm"
     )
-    if decisions_dir is not None:
-        dec = read_semantic_decisions(spark, decisions_dir)
-        if dec is not None and "canonical" in dec.columns:
-            canon = dec.select(
-                "vec_id", F.col("canonical").alias("_c")
-            )
-            side = (
-                side.join(canon, "vec_id", "left")
-                .withColumn("canonical", F.coalesce("_c", "vec_id"))
-                .drop("_c")
-            )
-        else:
-            side = side.withColumn("canonical", F.col("vec_id"))
-    else:
-        side = side.withColumn("canonical", F.col("vec_id"))
+    side = _with_canonical(side, "vec_id")
     scored = side.groupBy("cluster_id").applyInPandas(
         score,
         "query_id long, neighbor_id long, canonical long, sim double",
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("canonical").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2256,3 +2256,61 @@ def test_decon_stream_arrival_matches_registry(spark, tmp_path):
     )
     assert got == want and len(got) > 0  # non-vacuous: planted
     # cross-source near-dups exist at sf0.001
+
+
+def test_semantic_index_topk_compressed_matches_exact(spark, tmp_path):
+    """Compressed-domain serving (books=): codes-only scan + ADC screen
+    + exact rerank must return exactly the uncompressed path's rows on
+    a compressed-mode index (the stream's own test geometry, where ADC
+    error < eps), including canonical dedup through the decisions."""
+    import json as _json
+    import math
+
+    from ballcone_spark.streaming.semantic_stream import (
+        semantic_index_topk,
+        start_semantic_dedup_stream,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0)), (1, rot(90))]
+    books = [
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0.7, 0.7, 0, 0], [0.94, 0.34, 0, 0]],
+        [[0, 0, 0, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0]],
+    ]
+    vecs = {1: rot(0), 2: rot(5), 3: rot(6), 4: rot(30), 5: rot(40),
+            7: rot(85), 8: rot(95)}
+    spool = tmp_path / "cs_spool"
+    spool.mkdir()
+    idx, dec = str(tmp_path / "cs_idx"), str(tmp_path / "cs_dec")
+    with open(spool / "b0.jsonl", "w") as f:
+        for vid, e in sorted(vecs.items()):
+            f.write(_json.dumps({"vec_id": vid, "e": e}) + "\n")
+    q = start_semantic_dedup_stream(
+        spark, str(spool), idx, dec, str(tmp_path / "cs_ckpt"),
+        centroids, tau=0.9995, compressed=True, books=books, eps=0.3,
+    )
+    q.awaitTermination(120)
+
+    queries = spark.createDataFrame(
+        [(10, rot(4)), (20, rot(91))], "query_id long, e array<double>"
+    )
+    for dec_dir in (None, dec):
+        exact = sorted(
+            tuple(r) for r in semantic_index_topk(
+                spark, idx, queries, centroids, k=3, nprobe=2,
+                decisions_dir=dec_dir,
+            ).collect()
+        )
+        comp = sorted(
+            tuple(r) for r in semantic_index_topk(
+                spark, idx, queries, centroids, k=3, nprobe=2,
+                decisions_dir=dec_dir, books=books, eps=0.5,
+            ).collect()
+        )
+        assert comp == exact, (dec_dir, comp, exact)
+        assert len(comp) > 0
