@@ -86,6 +86,7 @@ __all__ = [
     "start_chunk_alias_stream",
     "process_alias_batch",
     "read_alias_map",
+    "resolve_chunk_aliases",
     "compact_alias_state",
 ]
 
@@ -170,6 +171,36 @@ def read_alias_map(
         upd.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("chunk_fp", "canonical_fp", "is_canonical")
+    )
+
+
+def resolve_chunk_aliases(
+    spark: SparkSession,
+    alias_dir: str,
+    refs: DataFrame,
+    fp_col: str = "chunk_fp",
+) -> DataFrame:
+    """The redirect applied — the alias map's read side: any frame
+    carrying chunk fingerprints (retrieval hits, an embedding queue, a
+    citation list) gets ``canonical_fp`` (the stored redirect, self
+    when absent) and ``is_redirected``. The alias map is O(aliased
+    chunks) — small relative to any referencing corpus — so it
+    BROADCASTS onto the refs scan: zero shuffle of the caller's frame,
+    whatever its size. Returns ``refs`` + the two columns."""
+    m = read_alias_map(spark, alias_dir)
+    if m is None:
+        return refs.withColumn(
+            "canonical_fp", F.col(fp_col)
+        ).withColumn("is_redirected", F.lit(False))
+    redirect = m.where(~F.col("is_canonical")).select(
+        F.col("chunk_fp").alias(fp_col),
+        F.col("canonical_fp").alias("_cf"),
+    )
+    return (
+        refs.join(F.broadcast(redirect), fp_col, "left")
+        .withColumn("canonical_fp", F.coalesce("_cf", F.col(fp_col)))
+        .withColumn("is_redirected", F.col("_cf").isNotNull())
+        .drop("_cf")
     )
 
 

@@ -2314,3 +2314,54 @@ def test_semantic_index_topk_compressed_matches_exact(spark, tmp_path):
         )
         assert comp == exact, (dec_dir, comp, exact)
         assert len(comp) > 0
+
+
+def test_resolve_chunk_aliases_broadcasts_and_defaults_self(spark, tmp_path):
+    """The alias map's read side: a refs frame gets canonical_fp
+    (redirect when stored, self otherwise) with the SMALL alias side
+    broadcast — the refs side never shuffles. Works before any alias
+    state exists too."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming.alias_stream import (
+        process_alias_batch,
+        resolve_chunk_aliases,
+    )
+
+    refs0 = spark.createDataFrame(
+        [("fp_x", 1)], "chunk_fp string, hit int"
+    )
+    out0 = resolve_chunk_aliases(
+        spark, str(tmp_path / "nothing"), refs0
+    ).collect()
+    assert out0[0]["canonical_fp"] == "fp_x"
+    assert out0[0]["is_redirected"] is False
+
+    # real state: two near-dup docs → one alias pair
+    toks = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+            "golf", "hotel", "india", "juliett", "kilo", "lima"]
+    a = " ".join(toks)
+    a2 = " ".join(toks[:-2] + [toks[-1], toks[-2]])
+    dirs = [str(tmp_path / d) for d in ("chunks", "grams", "alias")]
+    df = spark.createDataFrame([(1, a), (2, a2)],
+                               "doc_id long, text string")
+    process_alias_batch(spark, df, *dirs, batch_id=0)
+
+    from ballcone_spark.streaming.alias_stream import read_alias_map
+    m = read_alias_map(spark, dirs[2])
+    assert m is not None
+    aliased = [r for r in m.collect() if not r["is_canonical"]]
+    assert aliased  # the near-dup pair produced a redirect
+    fp, canon = aliased[0]["chunk_fp"], aliased[0]["canonical_fp"]
+
+    refs = spark.createDataFrame(
+        [(fp, 1), ("fp_unknown", 2)], "chunk_fp string, hit int"
+    )
+    resolved = resolve_chunk_aliases(spark, dirs[2], refs)
+    got = {r["chunk_fp"]: (r["canonical_fp"], r["is_redirected"])
+           for r in resolved.collect()}
+    assert got[fp] == (canon, True)
+    assert got["fp_unknown"] == ("fp_unknown", False)
+    # plan: the alias side broadcasts; the refs side has no Exchange
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
