@@ -66,14 +66,9 @@ def _grams(df: DataFrame, n: int) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, root: str, batch_id: int):
-    """History (batch_id < current) through the manifest snapshot —
-    None when the dir doesn't exist yet."""
-    from ballcone_spark.streaming.semantic_stream import _read_folded_dir
+    from ballcone_spark.streaming.semantic_stream import read_state_before
 
-    df = _read_folded_dir(spark, root)
-    if df is None:
-        return None
-    return df.where(F.col("batch_id") < F.lit(batch_id))
+    return read_state_before(spark, root, batch_id)
 
 
 def process_decon_batch(
@@ -197,6 +192,7 @@ def start_decon_stream(
     n: int = _DECON_NGRAM,
     trigger_seconds: int = 5,
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
@@ -212,15 +208,19 @@ def start_decon_stream(
         compact_index,
     )
 
-    docs_raw = (
-        _spool_reader(spark, clean_source, archive_dir)
-        .load(doc_spool)
-        .select(F.lit("doc").alias("kind"), "value")
-    )
-    bench_raw = (
-        _spool_reader(spark, clean_source, archive_dir)
-        .load(bench_spool)
-        .select(F.lit("bench").alias("kind"), "value")
+    def _rd(spool):
+        r = _spool_reader(spark, clean_source, archive_dir)
+        if max_files_per_trigger is not None:
+            # the ingest backpressure knob: decon's stated use case is
+            # a corpus that EXISTS before the stream starts, i.e. a
+            # spool backlog on first start — unbounded, that backlog
+            # becomes one giant micro-batch (review r12-c #4)
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.load(spool)
+
+    docs_raw = _rd(doc_spool).select(F.lit("doc").alias("kind"), "value")
+    bench_raw = _rd(bench_spool).select(
+        F.lit("bench").alias("kind"), "value"
     )
     both = docs_raw.unionByName(bench_raw)
 

@@ -258,6 +258,17 @@ def _adc_sims(q, codes, B):
     return dots / np.sqrt(rn2)[None, :]  # |q| = 1 by construction
 
 
+def read_state_before(spark: SparkSession, root: str, batch_id: int):
+    """History rows with ``batch_id < current`` through the manifest
+    snapshot (None before the first batch) — THE shared
+    replay-safe state reader (review r12-c #3: decon/alias each grew a
+    private copy of the same contract)."""
+    df = _read_folded_dir(spark, root)
+    if df is None:
+        return None
+    return df.where(F.col("batch_id") < F.lit(batch_id))
+
+
 def read_semantic_decisions(spark: SparkSession, decisions_dir: str):
     """Every decision row ``(vec_id, cluster_id, is_dup, n_matches
     [, canonical], batch_id)``, or None before the first batch — THE
@@ -428,8 +439,17 @@ def semantic_index_topk(
         # join (the _decide_compressed shape, serving-side)
         B = np.array(books, dtype=np.float64)
         pool = max(k * screen_factor, k + 8)
-        cside = hist.where(F.col("cluster_id").isin(probed)).select(
-            "cluster_id", "vec_id", "codes"
+        # rows without codes (written before a compression upgrade, or
+        # an exact-mode index served with books= by mistake) are
+        # excluded HERE, relationally — a kernel-side first-row guess
+        # would crash on mixed groups and silently drop clusters whose
+        # first row happened to be exact-mode (review r12-c #1).
+        # Pre-upgrade rows are therefore not screened: re-encode
+        # history (fold-time) to serve them compressed.
+        cside = (
+            hist.where(F.col("cluster_id").isin(probed))
+            .where(F.col("codes").isNotNull())
+            .select("cluster_id", "vec_id", "codes")
         )
 
         def screen(key, pdf):
@@ -439,8 +459,6 @@ def semantic_index_topk(
             ).astype({"query_id": "int64", "neighbor_id": "int64"})
             if entry is None or not len(pdf):
                 return empty
-            if pdf["codes"].iloc[0] is None:
-                return empty  # exact-mode rows carry no codes
             q_id, qn = entry
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
             adc = _adc_sims(qn, codes, B)
@@ -464,7 +482,11 @@ def semantic_index_topk(
         qlit = spark.createDataFrame(
             pd.DataFrame({"query_id": qids, "qe": list(Qn)})
         )
-        vecs = hist.select(
+        # candidates can only reference probed clusters, so the
+        # full-vector pull scans ONLY them (review r12-c #2: without
+        # this filter the rerank read e/nrm across the whole index —
+        # undoing the codes-only scan cut on the unprobed majority)
+        vecs = hist.where(F.col("cluster_id").isin(probed)).select(
             F.col("vec_id").alias("neighbor_id"), "e", "nrm"
         )
         dot = F.aggregate(
