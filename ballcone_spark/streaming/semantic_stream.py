@@ -133,6 +133,19 @@ def _read_folded_dir(
             n for n in names
             if n.startswith("batch_id=")
             and int(n.split("=", 1)[1]) > m["folded_hi"]
+            # commit gate (r12): a LIVE stream may be mid-write in the
+            # newest dir — no parquet footers yet, and a raw read dies
+            # with UNABLE_TO_INFER_SCHEMA (hit by the vector live demo
+            # serving mid-trigger). Spark's own _SUCCESS marker is the
+            # job-commit signal; an uncommitted dir is invisible, read
+            # on the next poll. The streams' internal batch_id<current
+            # reads only ever see committed dirs, so this gates
+            # EXTERNAL readers only.
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    root + "/" + n + "/_SUCCESS"
+                )
+            )
         ),
         key=lambda n: int(n.split("=", 1)[1]),
     )
@@ -866,6 +879,7 @@ def start_semantic_dedup_stream(
     centroids: list[tuple[int, list[float]]],
     tau: float = TAU,
     available_now: bool = True,
+    trigger_seconds: int = 5,
     compressed: bool = False,
     books=None,
     eps: float = 0.15,
@@ -972,4 +986,11 @@ def start_semantic_dedup_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    else:
+        # continuous deployment mode (the vector live demo's shape) —
+        # previously the non-availableNow path ran with the default
+        # unthrottled trigger
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds} seconds"
+        )
     return writer.start()
