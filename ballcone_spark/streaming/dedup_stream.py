@@ -397,13 +397,22 @@ def _write_manifest(index_dir: str, manifest: dict) -> None:
 
 def _live_batch_parts(index_dir: str, folded_hi: int) -> list[str]:
     """Per-batch partition dirs NOT yet absorbed by a fold, in batch-id
-    order (numeric — lexicographic would put batch_id=10 before 9)."""
+    order (numeric — lexicographic would put batch_id=10 before 9).
+
+    Committed dirs only (r12): a dir the stream is MID-WRITING has no
+    parquet footers yet, so listing it kills an external reader with
+    UNABLE_TO_INFER_SCHEMA (found live by the vector demo's serve
+    polls, §6an) — and a fold must never absorb one either. Spark's
+    ``_SUCCESS`` job-commit marker is the gate; the streams' own
+    ``batch_id < current`` reads only ever see committed dirs, so
+    internal behavior is unchanged."""
     return sorted(
         (
             e.name
             for e in os.scandir(index_dir)
             if e.name.startswith("batch_id=")
             and int(e.name.split("=", 1)[1]) > folded_hi
+            and os.path.exists(os.path.join(e.path, "_SUCCESS"))
         ),
         key=lambda p: int(p.split("=", 1)[1]),
     )
@@ -446,8 +455,10 @@ def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def read_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
+    # committed dirs only — the same mid-write exposure as read_index
+    parts = _live_batch_parts(decisions_dir, -1)
     return spark.read.option("basePath", decisions_dir).parquet(
-        os.path.join(decisions_dir, "batch_id=*")
+        *[os.path.join(decisions_dir, p) for p in parts]
     )
 
 
