@@ -840,3 +840,43 @@ def test_classifier_gd_reads_checkpointed_input(spark):
     for p in captured:
         assert "ExistingRDD" in p or "LogicalRDD" in p, p
         assert "parquet" not in p.lower(), p
+
+
+def test_semantic_serving_scan_pushes_cluster_filter(spark, tmp_path):
+    """§6ak scan claim, mechanically: the serving path's probed-cluster
+    filter must reach the parquet scan as a PushedFilter on BOTH the
+    fold and the live dirs (the fold's cluster_id sort then prunes row
+    groups), and the projection must exclude codes/batch_id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming.dedup_stream import compact_index
+    from ballcone_spark.streaming.semantic_stream import (
+        read_semantic_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    rng = np.random.default_rng(3)
+    for b in range(3):
+        pdf = pd.DataFrame({
+            "vec_id": np.arange(b * 50, b * 50 + 50, dtype=np.int64),
+            "cluster_id": (np.arange(50) % 4).astype(np.int64),
+            "e": list(rng.normal(size=(50, 8))),
+            "nrm": np.ones(50),
+        })
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{idx}/batch_id={b}"
+        )
+    assert compact_index(spark, idx, every=2, sort_col="cluster_id")
+
+    hist = read_semantic_index(spark, idx)
+    side = hist.where(F.col("cluster_id").isin([1])).select(
+        "cluster_id", "vec_id", "e", "nrm"
+    )
+    plan = side._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) >= 2  # fold + live dirs both scan
+    for ln in scans:
+        assert "EqualTo(cluster_id,1)" in ln or "In(cluster_id" in ln, ln
+        assert "codes" not in ln.split("ReadSchema")[-1]
