@@ -39,8 +39,16 @@ most cluster filesystems qualify; S3 needs a pointer object instead,
 documented boundary).
 
 Single-writer assumption (same as ``compact_index``): one runner per
-pipeline root at a time. Readers (``stage_output``) are safe during a
-run — they resolve through the committed manifest only.
+pipeline root at a time. Readers (``stage_output``) resolve through the
+committed manifest only, and get the fold protocol's deferred-garbage
+grace: when a re-run RETIRES a previously committed data dir, the dir
+is recorded as manifest garbage and deleted on the NEXT run, not at
+commit — a reader that resolved the old token keeps scanning intact
+files (contract: a read completes within one run interval, the
+``compact_index`` rule). Crashed-attempt orphans — never referenced by
+any manifest — still die immediately. The price is one retired dir per
+re-run stage held until the next run; the §6ac disk argument is about
+SHUFFLE footprint (per-stage sessions), which this does not change.
 
 Why per-stage SESSIONS matter at scale: passing ``session_factory``
 runs each pending stage in its own SparkSession and stops it
@@ -92,6 +100,9 @@ class _StageState:
     token: str | None = None
     version: str | None = None
     dep_tokens: dict = field(default_factory=dict)
+    #: tokens of RETIRED committed data dirs awaiting next-run deletion
+    #: (the deferred-garbage reader grace — see module docstring)
+    garbage: list = field(default_factory=list)
 
     @property
     def committed(self) -> bool:
@@ -106,7 +117,10 @@ def _read_state(root: str, name: str) -> _StageState:
     try:
         with open(os.path.join(_stage_dir(root, name), _MANIFEST)) as f:
             m = json.load(f)
-        return _StageState(m["token"], m["version"], m["dep_tokens"])
+        return _StageState(
+            m["token"], m["version"], m["dep_tokens"],
+            m.get("garbage", []),
+        )
     except (OSError, ValueError, KeyError):
         return _StageState()
 
@@ -117,21 +131,22 @@ def _commit_state(root: str, name: str, st: _StageState) -> None:
     with open(tmp, "w") as f:
         json.dump(
             {"token": st.token, "version": st.version,
-             "dep_tokens": st.dep_tokens},
+             "dep_tokens": st.dep_tokens, "garbage": st.garbage},
             f,
         )
     os.replace(tmp, os.path.join(d, _MANIFEST))
 
 
-def _sweep_orphans(root: str, name: str, keep_token: str | None) -> None:
-    """Delete data dirs not referenced by the committed manifest —
-    crashed attempts (rule 1). Failed unlinks retry next run."""
+def _sweep_orphans(root: str, name: str, keep_tokens) -> None:
+    """Delete data dirs whose token is not in ``keep_tokens`` — crashed
+    attempts (rule 1) and expired garbage. Failed unlinks retry next
+    run."""
     d = _stage_dir(root, name)
     if not os.path.isdir(d):
         return
-    keep = f"data-{keep_token}" if keep_token else None
+    keep = {f"data-{t}" for t in keep_tokens if t}
     for e in os.scandir(d):
-        if e.is_dir() and e.name.startswith("data-") and e.name != keep:
+        if e.is_dir() and e.name.startswith("data-") and e.name not in keep:
             shutil.rmtree(e.path, ignore_errors=True)
 
 
@@ -218,7 +233,12 @@ def run_pipeline(
     for s in stages:
         st = _read_state(root, s.name)
         if not force and _current(st, s, states):
-            _sweep_orphans(root, s.name, st.token)
+            # a previous run's retired dirs have outlived their one-run
+            # reader grace — delete them and clear the manifest record
+            _sweep_orphans(root, s.name, [st.token])
+            if st.garbage:
+                st = _StageState(st.token, st.version, st.dep_tokens)
+                _commit_state(root, s.name, st)
             states[s.name] = st
             results[s.name] = {
                 "path": _data_path(root, s.name, st.token), "ran": False,
@@ -229,9 +249,10 @@ def run_pipeline(
         # still references it, so deleting it now would strand a
         # crash-before-commit in a "current"-looking state pointing at
         # missing data, and would yank the floor from under any
-        # concurrent stage_output reader. Only uncommitted orphans go;
-        # the old committed dir is retired by the post-commit sweep.
-        _sweep_orphans(root, s.name, st.token if st.committed else None)
+        # concurrent stage_output reader. Only uncommitted orphans and
+        # grace-expired garbage go; the old committed dir is RETIRED at
+        # commit (recorded as garbage) and deleted by the NEXT run.
+        _sweep_orphans(root, s.name, [st.token] if st.committed else [])
         sess = spark if spark is not None else session_factory()
         try:
             inputs = {
@@ -251,12 +272,15 @@ def run_pipeline(
                 token,
                 s.version,
                 {d: states[d].token for d in s.deps},
+                # retire, don't delete: a concurrent stage_output reader
+                # holding the old token keeps its grace interval
+                [st.token] if st.committed else [],
             )
             _commit_state(root, s.name, new_st)
         finally:
             if spark is None:
                 sess.stop()
-        _sweep_orphans(root, s.name, token)
+        _sweep_orphans(root, s.name, [token] + new_st.garbage)
         states[s.name] = new_st
         results[s.name] = {
             "path": _data_path(root, s.name, token), "ran": True,

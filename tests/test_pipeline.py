@@ -338,6 +338,46 @@ def test_pipeline_forced_rerun_crash_keeps_old_output(spark, tmp_path,
     assert _rows(stage_output(spark, str(tmp_path), "raw")) == before
 
 
+def test_pipeline_retired_dir_survives_one_run(spark, tmp_path):
+    """Deferred-garbage reader grace (review r12-d): a re-run RETIRES
+    the old committed data dir instead of deleting it at commit — a
+    concurrent stage_output reader that resolved the old token keeps
+    scanning intact files (the compact_index one-interval contract).
+    The retired dir is recorded as manifest garbage and deleted on the
+    NEXT run; crashed-attempt orphans still die immediately."""
+    stages = _diamond([])
+    run_pipeline(str(tmp_path), stages, spark=spark)
+
+    # a reader resolves 'raw' BEFORE the re-run (lazy — not collected)
+    old_reader = stage_output(spark, str(tmp_path), "raw")
+    with open(tmp_path / "raw" / "_stage.json") as f:
+        old_tok = json.load(f)["token"]
+
+    bumped = [
+        Stage(s.name, s.build, s.deps, s.partition_by, "2")
+        if s.name == "raw" else s
+        for s in stages
+    ]
+    run_pipeline(str(tmp_path), bumped, spark=spark)
+
+    with open(tmp_path / "raw" / "_stage.json") as f:
+        m = json.load(f)
+    assert m["token"] != old_tok
+    assert m["garbage"] == [old_tok]
+    # the old dir is intact: the pre-re-run reader still collects
+    assert os.path.isdir(tmp_path / "raw" / f"data-{old_tok}")
+    assert len(old_reader.collect()) == 100
+
+    # the NEXT run (nothing stale) expires the grace: garbage dir gone,
+    # manifest record cleared, current output untouched
+    res = run_pipeline(str(tmp_path), bumped, spark=spark)
+    assert not any(v["ran"] for v in res.values())
+    assert not os.path.isdir(tmp_path / "raw" / f"data-{old_tok}")
+    with open(tmp_path / "raw" / "_stage.json") as f:
+        assert json.load(f)["garbage"] == []
+    assert len(stage_output(spark, str(tmp_path), "raw").collect()) == 100
+
+
 def test_staged_span_release_matches_direct(spark, tmp_path):
     """The span-release pipeline variant: materializing the expensive
     gram-self-join stage (qualifying_spans) through parquet and
