@@ -2312,7 +2312,18 @@ def test_semantic_index_topk_compressed_matches_exact(spark, tmp_path):
                 decisions_dir=dec_dir, books=books, eps=0.5,
             ).collect()
         )
-        assert comp == exact, (dec_dir, comp, exact)
+        # ids/canonicals/ranks must be EXACTLY the uncompressed path's;
+        # sim is ULP-tolerant — the exact rerank runs the same kernel
+        # but over the screened candidate subset, and numpy matmul
+        # blocking over a different matrix shape legitimately moves the
+        # last bit of the summation (observed once in ~20 runs)
+        assert [(r[0], r[1], r[2], r[4]) for r in comp] == [
+            (r[0], r[1], r[2], r[4]) for r in exact
+        ], (dec_dir, comp, exact)
+        for c, e in zip(comp, exact):
+            assert math.isclose(c[3], e[3], rel_tol=1e-9, abs_tol=1e-12), (
+                dec_dir, c, e,
+            )
         assert len(comp) > 0
 
 
