@@ -747,7 +747,8 @@ st AS (SELECT doc_id, w,
               unnest(generate_series(0, len(w) - 1, {CHUNK_STRIDE}))
                   AS tok_start
        FROM ws),
-ch AS (SELECT w[tok_start + 1 : tok_start + {CHUNK_WINDOW}] AS toks,
+ch AS (SELECT doc_id,
+              w[tok_start + 1 : tok_start + {CHUNK_WINDOW}] AS toks,
               md5(list_aggregate(
                   w[tok_start + 1 : tok_start + {CHUNK_WINDOW}],
                   'string_agg', ' ')) AS chunk_fp
@@ -862,20 +863,25 @@ def chunk_alias_map(
     ).orderBy("chunk_fp")
 
 
-def _duck_chunk_alias(dim: int, tau: float) -> str:
-    """Oracle: the shared vp CTE + the repo's recursive-closure
-    components pattern (dedup.py:_cluster_labels_cte) over chunk
-    fingerprints — min reachable fp per node is exactly the min-label
-    fixpoint the Spark side converges to."""
-    return f"""
-    WITH RECURSIVE {_duck_chunk_vp_ctes(dim, tau)},
+#: recursive-closure components over vp (dedup.py:_cluster_labels_cte
+#: pattern) ending in ``labels(id, canonical)`` — min reachable fp per
+#: node is exactly the min-label fixpoint the Spark side converges to.
+#: Shared by the alias-map oracle and the alias-resolve oracle (the r9
+#: review's no-duplicated-SQL rule).
+_DUCK_ALIAS_LABELS = """
     edges AS (SELECT a_fp AS src, b_fp AS dst FROM vp
               UNION SELECT b_fp, a_fp FROM vp),
     reach(id, r) AS (
         SELECT DISTINCT src, src FROM edges
         UNION
         SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
-    labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+    labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)"""
+
+
+def _duck_chunk_alias(dim: int, tau: float) -> str:
+    """Oracle: the shared vp CTE + the recursive-closure components."""
+    return f"""
+    WITH RECURSIVE {_duck_chunk_vp_ctes(dim, tau)},{_DUCK_ALIAS_LABELS}
     SELECT id AS chunk_fp, canonical AS canonical_fp,
            id = canonical AS is_canonical
     FROM labels ORDER BY chunk_fp
@@ -896,3 +902,83 @@ def docs_chunk_alias_map(spark, sf_dir):
     the doc-dedup keep rules carry."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_alias_map(docs)
+
+
+def apply_alias_map(
+    refs: DataFrame, alias_map: DataFrame, fp_col: str = "chunk_fp"
+) -> DataFrame:
+    """The redirect APPLIED (r12): any frame carrying chunk
+    fingerprints gains ``canonical_fp`` (the stored redirect, self when
+    absent) and ``is_redirected``. The alias map is O(aliased chunks) —
+    small relative to any referencing corpus — so its non-canonical
+    rows BROADCAST onto the refs scan: zero shuffle of the caller's
+    frame, whatever its size. This is the single join definition behind
+    both the streaming read side
+    (:func:`ballcone_spark.streaming.alias_stream
+    .resolve_chunk_aliases`) and the batch oracle query
+    ``docs_chunk_alias_resolve`` — one implementation, two checkers."""
+    redirect = alias_map.where(~F.col("is_canonical")).select(
+        F.col("chunk_fp").alias(fp_col),
+        F.col("canonical_fp").alias("_cf"),
+    )
+    return (
+        refs.join(F.broadcast(redirect), fp_col, "left")
+        .withColumn("canonical_fp", F.coalesce("_cf", F.col(fp_col)))
+        .withColumn("is_redirected", F.col("_cf").isNotNull())
+        .drop("_cf")
+    )
+
+
+def _duck_alias_resolve(dim: int, tau: float) -> str:
+    """Oracle: per-doc chunk instances (the ``ch`` CTE, which carries
+    doc_id) redirected through the recursive-closure labels, then the
+    per-doc rollup. SUMs over ints CAST to BIGINT (HUGEINT lint)."""
+    return f"""
+    WITH RECURSIVE {_duck_chunk_vp_ctes(dim, tau)},{_DUCK_ALIAS_LABELS},
+    refs AS (SELECT doc_id, chunk_fp FROM ch),
+    resolved AS (
+        SELECT r.doc_id,
+               COALESCE(l.canonical, r.chunk_fp) AS canonical_fp,
+               l.canonical IS NOT NULL AS is_redirected
+        FROM refs r
+        LEFT JOIN (SELECT id, canonical FROM labels
+                   WHERE id != canonical) l
+          ON r.chunk_fp = l.id)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_redirected THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_redirected,
+           CAST(count(DISTINCT canonical_fp) AS BIGINT) AS n_canonicals
+    FROM resolved GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_query(
+    "docs_chunk_alias_resolve",
+    _duck_alias_resolve(CHUNK_EMB_DIM, CHUNK_COS_T),
+    driver=False,
+    cacheable=("documents",),
+)
+def docs_chunk_alias_resolve(spark, sf_dir):
+    """The alias map's APPLY side as an oracle-bearing batch query
+    (r12): every chunk instance of every document redirected through
+    :func:`chunk_alias_map` via :func:`apply_alias_map` (the exact
+    join the streaming ``resolve_chunk_aliases`` read side runs), then
+    rolled up per doc — total chunk refs, how many were redirected,
+    and how many distinct canonical vectors the doc now points at (the
+    index-space the redirect saves, per doc). Independent engine
+    replays the redirect through the recursive-closure labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    refs = chunk_documents(docs).select("doc_id", "chunk_fp")
+    resolved = apply_alias_map(refs, chunk_alias_map(docs))
+    return (
+        resolved.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_redirected").cast("long")).alias(
+                "n_redirected"
+            ),
+            F.count_distinct("canonical_fp").alias("n_canonicals"),
+        )
+        .orderBy("doc_id")
+    )

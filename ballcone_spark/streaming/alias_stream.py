@@ -186,22 +186,19 @@ def resolve_chunk_aliases(
     when absent) and ``is_redirected``. The alias map is O(aliased
     chunks) — small relative to any referencing corpus — so it
     BROADCASTS onto the refs scan: zero shuffle of the caller's frame,
-    whatever its size. Returns ``refs`` + the two columns."""
+    whatever its size. Returns ``refs`` + the two columns. The join
+    itself is :func:`ballcone_spark.operators.packing.apply_alias_map`
+    — the same definition the oracle-checked batch query
+    ``docs_chunk_alias_resolve`` replays against DuckDB, so the stream
+    read side inherits that independent check (r12)."""
+    from ballcone_spark.operators.packing import apply_alias_map
+
     m = read_alias_map(spark, alias_dir)
     if m is None:
         return refs.withColumn(
             "canonical_fp", F.col(fp_col)
         ).withColumn("is_redirected", F.lit(False))
-    redirect = m.where(~F.col("is_canonical")).select(
-        F.col("chunk_fp").alias(fp_col),
-        F.col("canonical_fp").alias("_cf"),
-    )
-    return (
-        refs.join(F.broadcast(redirect), fp_col, "left")
-        .withColumn("canonical_fp", F.coalesce("_cf", F.col(fp_col)))
-        .withColumn("is_redirected", F.col("_cf").isNotNull())
-        .drop("_cf")
-    )
+    return apply_alias_map(refs, m, fp_col)
 
 
 def process_alias_batch(
