@@ -614,6 +614,7 @@ def chunk_semantic_pairs(
     stride: int = CHUNK_STRIDE,
     dim: int = CHUNK_EMB_DIM,
     text_col: str = "text",
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """(a_fp, b_fp, cos) — chunk-level SemDeDup over the chunk
     embeddings: distinct chunks that share a rare (sub-df-cut) token
@@ -649,8 +650,18 @@ def chunk_semantic_pairs(
     for an eager materialization to blow (the reason the same trick
     was REVERTED in dup_span_coverage/dedup_clusters). The merge hints
     stay mandatory: checkpoint RDDs propagate the same bogus-small
-    estimates the aggregates always had."""
-    ch = chunk_documents(docs, window, stride, text_col, with_tokens=True)
+    estimates the aggregates always had.
+
+    ``chunks`` (ADVICE r12): a caller that already built the
+    ``chunk_documents(..., with_tokens=True)`` frame (the alias-resolve
+    query needs it for its refs side too) feeds it in instead of
+    re-running the chunker — the chunker is shuffle-free, so the two
+    uses would NOT share work via ReusedExchange on their own."""
+    ch = (
+        chunks
+        if chunks is not None
+        else chunk_documents(docs, window, stride, text_col, with_tokens=True)
+    )
     dch = (
         ch.select("chunk_fp", "chunk_toks")
         .distinct()
@@ -830,6 +841,7 @@ def chunk_alias_map(
     stride: int = CHUNK_STRIDE,
     dim: int = CHUNK_EMB_DIM,
     text_col: str = "text",
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """(chunk_fp, canonical_fp, is_canonical) — the chunk-pair signal
     ACTING (the span family's r9 lesson applied to the RAG loop): fold
@@ -850,7 +862,9 @@ def chunk_alias_map(
     canonical)."""
     from ballcone_spark.operators.dedup import dedup_clusters
 
-    pairs = chunk_semantic_pairs(docs, tau, window, stride, dim, text_col)
+    pairs = chunk_semantic_pairs(
+        docs, tau, window, stride, dim, text_col, chunks=chunks
+    )
     clusters = dedup_clusters(
         pairs.select(
             F.col("a_fp").alias("a_id"), F.col("b_fp").alias("b_id")
@@ -916,7 +930,24 @@ def apply_alias_map(
     both the streaming read side
     (:func:`ballcone_spark.streaming.alias_stream
     .resolve_chunk_aliases`) and the batch oracle query
-    ``docs_chunk_alias_resolve`` — one implementation, two checkers."""
+    ``docs_chunk_alias_resolve`` — one implementation, two checkers.
+
+    Output columns ``canonical_fp`` and ``is_redirected`` (plus the
+    join-temporary ``_cf``) are RESERVED (ADVICE r12): a refs frame
+    already carrying any of them — e.g. the output of a prior resolve
+    — would be silently clobbered or die with an ambiguous-column
+    error mid-join, so the guard raises up front with the fix."""
+    clash = [
+        c
+        for c in refs.columns
+        if c in ("canonical_fp", "is_redirected", "_cf")
+    ]
+    if clash:
+        raise ValueError(
+            f"apply_alias_map writes reserved columns {clash}; drop or "
+            "rename them on the refs frame before resolving (a frame "
+            "that went through apply_alias_map once is already resolved)"
+        )
     redirect = alias_map.where(~F.col("is_canonical")).select(
         F.col("chunk_fp").alias(fp_col),
         F.col("canonical_fp").alias("_cf"),
@@ -956,7 +987,10 @@ def _duck_alias_resolve(dim: int, tau: float) -> str:
 @_query(
     "docs_chunk_alias_resolve",
     _duck_alias_resolve(CHUNK_EMB_DIM, CHUNK_COS_T),
-    driver=False,
+    # promoted r13 (VERDICT r12 #2): the alias map's apply side gains a
+    # driver CORRECTNESS row; events_overview demoted (its shape is
+    # inside events_grouping_sets_profile, the events_dashboard
+    # argument from r9)
     cacheable=("documents",),
 )
 def docs_chunk_alias_resolve(spark, sf_dir):
@@ -967,10 +1001,17 @@ def docs_chunk_alias_resolve(spark, sf_dir):
     rolled up per doc — total chunk refs, how many were redirected,
     and how many distinct canonical vectors the doc now points at (the
     index-space the redirect saves, per doc). Independent engine
-    replays the redirect through the recursive-closure labels."""
+    replays the redirect through the recursive-closure labels.
+
+    The chunker runs ONCE (ADVICE r12): the refs side and the alias
+    map's pair pipeline share one lazily-checkpointed chunk frame —
+    chunk_documents has no shuffle, so without the shared checkpoint
+    the two branches would each re-run the chunker over the scan
+    (no ReusedExchange to rescue a shuffle-free subtree)."""
     docs = load_table(spark, sf_dir, "documents")
-    refs = chunk_documents(docs).select("doc_id", "chunk_fp")
-    resolved = apply_alias_map(refs, chunk_alias_map(docs))
+    ch = chunk_documents(docs, with_tokens=True).localCheckpoint(eager=False)
+    refs = ch.select("doc_id", "chunk_fp")
+    resolved = apply_alias_map(refs, chunk_alias_map(docs, chunks=ch))
     return (
         resolved.groupBy("doc_id")
         .agg(

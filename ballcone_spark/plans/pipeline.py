@@ -45,8 +45,13 @@ grace: when a re-run RETIRES a previously committed data dir, the dir
 is recorded as manifest garbage and deleted on the NEXT run, not at
 commit — a reader that resolved the old token keeps scanning intact
 files (contract: a read completes within one run interval, the
-``compact_index`` rule). Crashed-attempt orphans — never referenced by
-any manifest — still die immediately. The price is one retired dir per
+``compact_index`` rule). Precisely (ADVICE r12): the grace runs from
+the retiring run's commit to the next run's FIRST sweep of that stage
+— the pre-run sweep deletes grace-expired garbage BEFORE the
+(possibly hours-long) rebuild, so back-to-back launches shrink the
+window to the gap between runs, not "through the next run". Size run
+spacing to the longest external read. Crashed-attempt orphans — never
+referenced by any manifest — still die immediately. The price is one retired dir per
 re-run stage held until the next run; the §6ac disk argument is about
 SHUFFLE footprint (per-stage sessions), which this does not change.
 

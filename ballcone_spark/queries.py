@@ -432,6 +432,12 @@ def events_dashboard(spark, sf_dir):
            count(DISTINCT user_id) AS unique_users
     FROM events GROUP BY date ORDER BY date
     """,
+    driver=False,  # demoted r13 (VERDICT r12 #2's suggested swap): its
+    # count+countDistinct-per-day shape is strictly inside
+    # events_grouping_sets_profile (the same argument that retired
+    # events_dashboard in r9); the freed driver slot went to
+    # docs_chunk_alias_resolve (the alias map's apply side). Still
+    # oracle-checked locally by tests/test_oracle_diff.py.
 )
 def events_overview(spark, sf_dir):
     """A2 overview pivot: visits + uniques per day in ONE pass (the

@@ -43,9 +43,29 @@ index of corpus grams), but it is only ever the PROBE side of
 broadcast semi-joins keyed by 8-byte hashes, written once per batch
 and never shuffled; per-trigger cost is bounded by the batch's own
 gram count plus one broadcast of the batch's benchmark grams.
+
+Retro-scan bound (r13, VERDICT r12 #3): the doc-gram history is
+HASH-BUCKET PARTITIONED — every gram row carries ``hb = pmod(h,
+hash_buckets)`` and lands under ``batch_id=<n>/hb=<k>/`` (folds keep
+the bucketing via ``compact_index(partition_col="hb")``). A benchmark
+arrival first computes the ≤ ``hash_buckets`` distinct buckets its own
+grams occupy (one bounded collect) and pushes ``hb IN (...)`` into the
+history scan as a PARTITION filter — so a small benchmark update
+(the steady-state arrival shape once the initial suites are loaded)
+scans only the touched fraction of the corpus-sized history instead of
+all of it, and within each bucket the fold's ``h``-sorted row groups
+prune further on min/max stats. A full-suite backfill still touches
+every bucket — that cost is irreducible (every gram must be checked)
+and paid once per suite, not per trigger. ``hash_buckets`` is part of
+the index dir's FIXED GEOMETRY (the dedup_stream convention): the
+first write persists it to ``_geometry.json`` and every later write
+and probe uses the stored value, so a changed constructor argument can
+never misprune a mixed-geometry history into missed contamination.
 """
 
 from __future__ import annotations
+
+import json as _json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +77,59 @@ __all__ = [
     "start_decon_stream",
     "read_contaminated",
 ]
+
+#: default doc-gram history bucket count — the retro-scan prune factor
+#: for single-benchmark arrivals; also the per-batch file fan-out, so
+#: keep it well under ROWS_PER_FILE-scale batch sizes
+DECON_HASH_BUCKETS = 16
+
+#: fixed-geometry marker (leading underscore: never read as data)
+_GEOMETRY = "_geometry.json"
+
+
+def _read_geometry(spark: SparkSession, root: str) -> int | None:
+    """The dir's persisted ``hash_buckets``, or None when the dir was
+    written before bucketing shipped (probes then skip pruning)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root + "/" + _GEOMETRY)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
+        return int(_json.loads(out.toString("UTF-8"))["hash_buckets"])
+    finally:
+        stream.close()
+
+
+def _ensure_geometry(
+    spark: SparkSession, root: str, hash_buckets: int | None
+) -> int | None:
+    """Persist ``hash_buckets`` on first contact with the dir; later
+    calls return the STORED value regardless of the argument — bucket
+    count is index geometry, and pruning with a different modulus than
+    the writes used would silently drop true contamination hits."""
+    stored = _read_geometry(spark, root)
+    if stored is not None:
+        return stored
+    if not hash_buckets:
+        return None
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root + "/" + _GEOMETRY)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(path.getParent())
+    stream = fs.create(path, True)
+    try:
+        stream.write(
+            bytearray(
+                _json.dumps({"hash_buckets": int(hash_buckets)}), "utf-8"
+            )
+        )
+    finally:
+        stream.close()
+    return int(hash_buckets)
 
 
 def _grams(df: DataFrame, n: int) -> DataFrame:
@@ -71,6 +144,36 @@ def _read_state(spark: SparkSession, root: str, batch_id: int):
     return read_state_before(spark, root, batch_id)
 
 
+def _pruned_doc_history(
+    spark: SparkSession,
+    doc_grams_dir: str,
+    batch_id: int,
+    bench_g: DataFrame,
+) -> DataFrame | None:
+    """The retro probe's history side, bucket-pruned: only the hash
+    buckets the arriving benchmark's own grams occupy can contain a
+    colliding doc gram (same ``h`` ⇒ same ``pmod(h, N)``), so the
+    ``hb IN (...)`` filter loses nothing while pruning the partition
+    scan. The bucket-list collect is bounded by the stored geometry
+    (≤ N rows). History written before bucketing shipped has no ``hb``
+    column and is scanned whole, exactly as before."""
+    doc_hist = _read_state(spark, doc_grams_dir, batch_id)
+    if doc_hist is None:
+        return None
+    n_buckets = _read_geometry(spark, doc_grams_dir)
+    if n_buckets and "hb" in doc_hist.columns:
+        hbs = sorted(
+            r["hb"]
+            for r in bench_g.select(
+                F.pmod("h", F.lit(n_buckets)).cast("int").alias("hb")
+            )
+            .distinct()
+            .collect()
+        )
+        doc_hist = doc_hist.where(F.col("hb").isin(hbs))
+    return doc_hist
+
+
 def process_decon_batch(
     spark: SparkSession,
     docs: DataFrame | None,
@@ -80,18 +183,26 @@ def process_decon_batch(
     flags_dir: str,
     batch_id: int,
     n: int = _DECON_NGRAM,
+    hash_buckets: int | None = DECON_HASH_BUCKETS,
 ) -> None:
     """One micro-batch: index the new docs/benchmarks, flag both
     directions. ``docs``/``bench``: ``(doc_id, text)`` / ``(bench_id,
-    text)`` or None when the batch carries only one kind."""
+    text)`` or None when the batch carries only one kind.
+    ``hash_buckets`` applies to the dir's FIRST write only — after
+    that the persisted geometry wins (see module docstring)."""
     from ballcone_spark.streaming.dedup_stream import (
         _overwrite_batch_partition,
     )
 
+    n_buckets = _ensure_geometry(spark, doc_grams_dir, hash_buckets)
     doc_g = (
         _grams(docs.select("doc_id", "text"), n)
         if docs is not None else None
     )
+    if doc_g is not None and n_buckets:
+        doc_g = doc_g.withColumn(
+            "hb", F.pmod("h", F.lit(n_buckets)).cast("int")
+        )
     bench_g = (
         _grams(
             bench.select(F.col("bench_id").alias("doc_id"), "text"), n
@@ -120,8 +231,11 @@ def process_decon_batch(
             )
     if bench_g is not None:
         # retro: new benchmarks vs the DOC gram history — history is
-        # the big side and stays the probe of a broadcast semi-join
-        doc_hist = _read_state(spark, doc_grams_dir, batch_id)
+        # the big side and stays the probe of a broadcast semi-join,
+        # bucket-pruned to the benchmark's own hash buckets (r13)
+        doc_hist = _pruned_doc_history(
+            spark, doc_grams_dir, batch_id, bench_g
+        )
         if doc_hist is not None:
             flags.append(
                 doc_hist.join(F.broadcast(bench_g), "h", "semi")
@@ -154,11 +268,15 @@ def process_decon_batch(
             [], "doc_id long, flagged_batch int"
         )
     _overwrite_batch_partition(out, flags_dir, batch_id)
+    empty_doc_schema = "doc_id long, h long" + (
+        ", hb int" if n_buckets else ""
+    )
     _overwrite_batch_partition(
         doc_g if doc_g is not None
-        else spark.createDataFrame([], "doc_id long, h long"),
+        else spark.createDataFrame([], empty_doc_schema),
         doc_grams_dir,
         batch_id,
+        partition_col="hb" if n_buckets else None,
     )
     _overwrite_batch_partition(
         bench_g if bench_g is not None
@@ -196,6 +314,7 @@ def start_decon_stream(
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
+    hash_buckets: int | None = DECON_HASH_BUCKETS,
 ):
     """Two spools — documents (``{"doc_id":..,"text":..}``) and
     benchmark items (``{"bench_id":..,"text":..}``) — UNIONED into one
@@ -247,13 +366,19 @@ def start_decon_stream(
             flags_dir,
             batch_id,
             n=n,
+            hash_buckets=hash_buckets,
         )
         if compact_every is not None:
-            for d in (doc_grams_dir, bench_grams_dir):
-                compact_index(
-                    spark, d, every=compact_every, sort_col="h",
-                    sweep_when="fold",
-                )
+            # the doc-gram fold keeps the hb bucketing so retro-probe
+            # partition pruning survives compaction (r13)
+            compact_index(
+                spark, doc_grams_dir, every=compact_every, sort_col="h",
+                sweep_when="fold", partition_col="hb",
+            )
+            compact_index(
+                spark, bench_grams_dir, every=compact_every, sort_col="h",
+                sweep_when="fold",
+            )
             compact_index(
                 spark, flags_dir, every=compact_every, sort_col=None,
                 latest_wins_key="doc_id", sweep_when="fold",

@@ -344,12 +344,23 @@ MAX_FILES_PER_BATCH = 64
 
 
 def _overwrite_batch_partition(
-    df: DataFrame, root: str, batch_id: int, n_rows: int | None = None
+    df: DataFrame,
+    root: str,
+    batch_id: int,
+    n_rows: int | None = None,
+    partition_col: str | None = None,
 ) -> None:
     """Idempotent per-batch write: replayed batches overwrite their own
     ``batch_id=<n>`` dir and only that dir. ``n_rows`` (when the caller
     already knows it) scales the file count so backfill-sized batches
-    are not single-writer-bottlenecked (VERDICT r4 #5)."""
+    are not single-writer-bottlenecked (VERDICT r4 #5).
+
+    ``partition_col`` (r13): hash-bucket sub-partitioning below the
+    batch dir (``batch_id=<n>/<col>=<v>/``), so probes that know their
+    key buckets prune the scan (the decon retro-scan's history bound —
+    VERDICT r12 #3). An EMPTY partitioned write emits no data files at
+    all (only ``_SUCCESS``); readers must tolerate file-less committed
+    dirs (see ``semantic_stream._read_folded_dir``)."""
     n_files = (
         1
         if n_rows is None
@@ -358,9 +369,10 @@ def _overwrite_batch_partition(
     # coalesce can only narrow; widening a backfill batch (which often
     # arrives as few input partitions) needs a real repartition
     shaped = df.coalesce(1) if n_files == 1 else df.repartition(n_files)
-    shaped.write.mode("overwrite").parquet(
-        os.path.join(root, f"batch_id={batch_id}")
-    )
+    writer = shaped.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(os.path.join(root, f"batch_id={batch_id}"))
 
 
 #: manifest file name — the leading underscore keeps Spark's file index
@@ -416,6 +428,18 @@ def _live_batch_parts(index_dir: str, folded_hi: int) -> list[str]:
         ),
         key=lambda p: int(p.split("=", 1)[1]),
     )
+
+
+def _dir_has_data(d: str) -> bool:
+    """True if the dir tree holds at least one data file (not _SUCCESS /
+    dot-temp). Empty PARTITIONED batch writes commit no data files at
+    all (r13), and parquet schema inference dies on a file-less path —
+    readers and folds skip such dirs instead."""
+    for _root, _dirs, files in os.walk(d):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                return True
+    return False
 
 
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -743,6 +767,7 @@ def compact_index(
     latest_wins_key: str | None = None,
     merge_schema: bool = False,
     sweep_when: str = "always",
+    partition_col: str | None = None,
 ) -> bool:
     """Fold per-batch partition dirs into one ``fold-<hi>`` dir when the
     live dir count reaches ``every`` — the signature-index version of
@@ -788,6 +813,13 @@ def compact_index(
        crash before the manifest swap leaves an unreferenced fold dir
        that the next sweep discards; sources are untouched.
 
+    ``partition_col`` (r13, VERDICT r12 #3): carry a hash-bucket
+    partition column through the fold (``fold-<hi>/<col>=<v>/``), so
+    bucket-pruned probes keep their pruning across folds — the decon
+    doc-gram history's retro-scan bound. Applied only when the column
+    is actually present in the folded schema (a dir written before the
+    bucketing shipped folds unpartitioned, no read breaks).
+
     ``sweep_when`` (r12, review #2) picks the sweep cadence to match
     the CALL cadence, so the reader grace window is one compaction
     interval either way: ``"always"`` (default) sweeps at the start of
@@ -818,19 +850,38 @@ def compact_index(
         # external reader's window to one trigger (~5 s; review r12 #2)
         m = _sweep_garbage(index_dir, m)
     hi = int(foldable[-1].split("=", 1)[1])
+    # empty partitioned batch writes commit no data files at all (just
+    # _SUCCESS); reading a file-less dir dies on schema inference, so
+    # fold only the file-bearing dirs — the empty ones carry nothing
+    # and are still absorbed (recorded as garbage) below
+    readable = [p for p in foldable if _dir_has_data(os.path.join(index_dir, p))]
+    if not readable and not m["fold_dir"]:
+        # nothing to materialize: commit a fold-less manifest that
+        # still advances folded_hi, so the empty dirs retire normally
+        _write_manifest(
+            index_dir,
+            {"folded_hi": hi, "fold_dir": None, "garbage": foldable},
+        )
+        return True
     reader = spark.read.option("basePath", index_dir)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    folded = (
-        reader.parquet(*[os.path.join(index_dir, p) for p in foldable])
-        # partition-column inference types batch_id INT; pin the fold's
-        # physical column to the same so fold ∪ live unions cleanly
-        .withColumn("batch_id", F.col("batch_id").cast("int"))
-    )
+    if readable:
+        folded = (
+            reader.parquet(*[os.path.join(index_dir, p) for p in readable])
+            # partition-column inference types batch_id INT; pin the
+            # fold's physical column to the same so fold ∪ live unions
+            # cleanly
+            .withColumn("batch_id", F.col("batch_id").cast("int"))
+        )
+    else:
+        folded = None
     if m["fold_dir"]:
         prev = spark.read.parquet(os.path.join(index_dir, m["fold_dir"]))
-        folded = prev.unionByName(
-            folded, allowMissingColumns=merge_schema
+        folded = (
+            prev
+            if folded is None
+            else prev.unionByName(folded, allowMissingColumns=merge_schema)
         )
     if latest_wins_key is not None:
         w = Window.partitionBy(latest_wins_key).orderBy(
@@ -841,16 +892,28 @@ def compact_index(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+    part_col = (
+        partition_col
+        if partition_col is not None and partition_col in folded.columns
+        else None
+    )
     if sort_col is not None:
-        folded = folded.sortWithinPartitions(sort_col)
+        # with a partitioned fold, cluster by bucket first so each
+        # writer task emits contiguous runs per bucket dir, keeping the
+        # sort_col row-group min/max stats tight within every bucket
+        folded = folded.sortWithinPartitions(
+            *([part_col, sort_col] if part_col else [sort_col])
+        )
     fold_name = f"fold-{hi}"
     tmp = os.path.join(index_dir, f".{fold_name}.tmp")
     shutil.rmtree(tmp, ignore_errors=True)
-    (
+    writer = (
         folded.coalesce(max(1, len(foldable) // 16))
         .write.mode("overwrite")
-        .parquet(tmp)
     )
+    if part_col:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(tmp)
     os.rename(tmp, os.path.join(index_dir, fold_name))
     _write_manifest(
         index_dir,

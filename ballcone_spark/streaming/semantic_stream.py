@@ -105,6 +105,21 @@ def _read_manifest_fs(spark: SparkSession, index_dir: str) -> dict:
         stream.close()
 
 
+def _fs_dir_has_data(fs, jvm, path_str: str) -> bool:
+    """Hadoop-FS twin of ``dedup_stream._dir_has_data``: True when the
+    dir tree holds at least one data file. Empty partitioned batch
+    writes (r13, the decon doc-gram placeholder on bench-only batches)
+    commit only ``_SUCCESS``; parquet schema inference dies on a
+    file-less path, so readers skip such dirs. ``listFiles`` iterates
+    lazily — the common (file-bearing) case stops at the first entry."""
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path_str), True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
 def _read_folded_dir(
     spark: SparkSession, root: str, merge_schema: bool = False
 ):
@@ -146,6 +161,9 @@ def _read_folded_dir(
                     root + "/" + n + "/_SUCCESS"
                 )
             )
+            # committed-but-file-less dirs (empty partitioned writes,
+            # r13) contribute nothing and break schema inference
+            and _fs_dir_has_data(fs, jvm, root + "/" + n)
         ),
         key=lambda n: int(n.split("=", 1)[1]),
     )
@@ -157,7 +175,11 @@ def _read_folded_dir(
         return r
 
     frames = []
-    if m["fold_dir"] and m["fold_dir"] in names:
+    if (
+        m["fold_dir"]
+        and m["fold_dir"] in names
+        and _fs_dir_has_data(fs, jvm, root + "/" + m["fold_dir"])
+    ):
         frames.append(_reader().parquet(root + "/" + m["fold_dir"]))
     if parts:
         frames.append(

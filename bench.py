@@ -86,6 +86,10 @@ HEADLINE = [
     # replayed as one batch query (suite grows by one; totals not
     # comparable to r11, per-query rows are)
     "docs_chunk_alias_arrival",
+    # r13 promotion: the alias map's APPLY side (chunk refs redirected
+    # through the map, per-doc rollup). events_overview stays benched
+    # above despite its r13 demotion to EXTRA — per-query continuity.
+    "docs_chunk_alias_resolve",
     # r7: the one-pass Arrow kernel is the registered entry (same
     # oracle verbatim); bench the shipped path
     "docs_token_stats_vectorized",
@@ -111,6 +115,9 @@ ON2_ORACLES = {
     # r12 promotion: same recursive-closure CTE plus the first-seen
     # election on top
     "docs_chunk_alias_arrival",
+    # r13 promotion: the apply-side oracle redirects through the same
+    # recursive-closure labels CTE
+    "docs_chunk_alias_resolve",
 }
 
 #: runs per steady-state measurement; reported value is the median

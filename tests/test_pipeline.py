@@ -425,3 +425,110 @@ def test_staged_span_release_matches_direct(spark, tmp_path):
     n_spans = stage_output(spark, str(tmp_path), "spans").count()
     assert n_spans > 0  # non-vacuous: sf0.001 has planted span dups
     assert stage_output(spark, str(tmp_path), "packed").count() > 0
+
+
+def _load_corpus_release():
+    """Import tools/corpus_release.py by path — the shipped stage
+    definitions are what these tests pin, not a test-local copy."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "corpus_release.py",
+    )
+    spec = importlib.util.spec_from_file_location("corpus_release", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_staged_refresh_matches_single_session(spark, tmp_path):
+    """The refresh variant (r13, VERDICT r12 #5): the DIAMOND DAG
+    gate → decon → {report, alias} → resolved, run kill-point-first
+    (killed after decon commits, then resumed), must produce outputs
+    row-identical to the one-session composition — and a decon
+    version bump (new benchmark suite) must invalidate exactly the
+    decon/report/alias/resolved branch while the gate stage stays
+    current and skipped."""
+    from ballcone_spark.operators.corpus_report import corpus_report
+    from ballcone_spark.operators.dedup import decontamination_flags
+    from ballcone_spark.operators.packing import (
+        apply_alias_map,
+        chunk_alias_map,
+        chunk_documents,
+    )
+
+    cr = _load_corpus_release()
+    stages = cr.build_refresh_stages(SF)
+    assert [s.name for s in stages] == [
+        "gate", "decon", "report", "alias", "resolved",
+    ]
+
+    # kill-point: a deployment that died after decon committed ...
+    res1 = run_pipeline(str(tmp_path), stages[:2], spark=spark)
+    assert all(v["ran"] for v in res1.values())
+    # ... resumes into the branches without re-running gate/decon
+    res2 = run_pipeline(str(tmp_path), stages, spark=spark)
+    assert [n for n, v in res2.items() if not v["ran"]] == ["gate", "decon"]
+    assert [n for n, v in res2.items() if v["ran"]] == [
+        "report", "alias", "resolved",
+    ]
+
+    # one-session twin of the whole composition
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    g = (
+        docs.where(F.col("text").isNotNull())
+        .where(F.length("text") >= 50)
+        .select("doc_id", "source", "lang", "text", "n_chars")
+    )
+    flags = decontamination_flags(
+        g.where(F.col("source") != "src0"),
+        g.where(F.col("source") == "src0"),
+    )
+    clean = (
+        g.where(F.col("source") != "src0")
+        .join(F.broadcast(flags.select("doc_id")), "doc_id", "left_anti")
+    )
+    direct_resolved = (
+        apply_alias_map(
+            chunk_documents(clean).select("doc_id", "chunk_fp"),
+            chunk_alias_map(clean),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("is_redirected").cast("long")).alias("n_redirected"),
+            F.count_distinct("canonical_fp").alias("n_canonicals"),
+        )
+    )
+    got_resolved = stage_output(spark, str(tmp_path), "resolved")
+    assert _rows(got_resolved) == _rows(direct_resolved)
+    assert got_resolved.count() > 0
+    got_report = stage_output(spark, str(tmp_path), "report")
+    assert _rows(got_report) == _rows(corpus_report(clean))
+    # non-vacuous: the decon stage actually dropped contaminated docs
+    assert stage_output(spark, str(tmp_path), "decon").count() > 0
+
+    # branch invalidation: a new benchmark suite = decon code/config
+    # change = version bump; the gate (full-corpus scan) must be the
+    # ONLY skipped stage
+    bumped = [
+        Stage(s.name, s.build, s.deps, s.partition_by, "2")
+        if s.name == "decon" else s
+        for s in stages
+    ]
+    st = pipeline_status(str(tmp_path), bumped)
+    assert st == {
+        "gate": "current", "decon": "stale", "report": "stale",
+        "alias": "stale", "resolved": "stale",
+    }
+    res3 = run_pipeline(str(tmp_path), bumped, spark=spark)
+    assert not res3["gate"]["ran"]
+    assert all(
+        res3[n]["ran"] for n in ("decon", "report", "alias", "resolved")
+    )
+    # rebuilt-from-same-inputs outputs are row-identical
+    assert _rows(
+        stage_output(spark, str(tmp_path), "resolved")
+    ) == _rows(direct_resolved)

@@ -2258,6 +2258,113 @@ def test_decon_stream_arrival_matches_registry(spark, tmp_path):
     # cross-source near-dups exist at sf0.001
 
 
+def test_decon_retro_scan_bucket_pruned(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the doc-gram history is hash-bucket
+    partitioned (hb = pmod(h, N)), a benchmark arrival's retro probe
+    pushes ``hb IN (bench's own buckets)`` into the history scan as a
+    PARTITION filter (plan-gated), bench-only batches' empty
+    partitioned placeholders (zero data files) don't break readers,
+    the bucket count is frozen by the dir's _geometry.json against a
+    changed constructor arg, and the pruned probe still flags exactly
+    the colliding docs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming import decon_stream as dcs
+
+    dg, bg, fl = (str(tmp_path / d) for d in ("dg", "bg", "fl"))
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [(1, f"clean one two three four five six seven eight nine"),
+         (2, f"dirty prefix {leak} suffix words")],
+        "doc_id long, text string",
+    )
+    dcs.process_decon_batch(
+        spark, docs, None, dg, bg, fl, batch_id=0, hash_buckets=4
+    )
+    # geometry frozen at first write; a different later arg is ignored
+    assert dcs._read_geometry(spark, dg) == 4
+    bench = spark.createDataFrame(
+        [(100, f"eval {leak} question")], "bench_id long, text string"
+    )
+    dcs.process_decon_batch(
+        spark, None, bench, dg, bg, fl, batch_id=1, hash_buckets=32
+    )
+    assert dcs._read_geometry(spark, dg) == 4
+    got = {r["doc_id"] for r in
+           dcs.read_contaminated(spark, fl).collect()}
+    assert got == {2}
+    # the bench-only batch committed a file-less doc-gram placeholder
+    b1 = _os.path.join(dg, "batch_id=1")
+    assert _os.path.exists(_os.path.join(b1, "_SUCCESS"))
+    assert not any(
+        f for _r, _d, fs_ in _os.walk(b1) for f in fs_
+        if not f.startswith(("_", "."))
+    )
+    # plan gate: the retro probe's history side carries the hb
+    # partition filter, and it prunes to ≤ the bench's own buckets
+    bench_g = dcs._grams(
+        bench.select(F.col("bench_id").alias("doc_id"), "text"), 8
+    )
+    hist = dcs._pruned_doc_history(spark, dg, 2, bench_g)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "hb" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    bench_hbs = {
+        r["hb"]
+        for r in bench_g.select(
+            F.pmod("h", F.lit(4)).cast("int").alias("hb")
+        ).distinct().collect()
+    }
+    hist_hbs = {r["hb"] for r in hist.select("hb").distinct().collect()}
+    assert hist_hbs <= bench_hbs
+    # the pruned probe loses nothing: doc 2's colliding grams survive
+    hit = hist.join(F.broadcast(bench_g.select("h")), "h", "semi")
+    assert {r["doc_id"] for r in hit.select("doc_id").collect()} == {2}
+
+
+def test_decon_doc_gram_fold_keeps_bucketing(spark, tmp_path):
+    """The doc-gram fold (compact_index partition_col='hb') preserves
+    the bucket dirs, so retro-probe pruning survives compaction; reads
+    before and after the fold agree."""
+    import os as _os
+
+    from ballcone_spark.streaming import decon_stream as dcs
+    from ballcone_spark.streaming.dedup_stream import compact_index
+
+    dg, bg, fl = (str(tmp_path / d) for d in ("dg", "bg", "fl"))
+    for b in range(4):
+        docs = spark.createDataFrame(
+            [(b * 10 + i,
+              f"doc{b}x{i} w1 w2 w3 w4 w5 w6 w7 w8 tail{b} t{i}")
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        dcs.process_decon_batch(
+            spark, docs, None, dg, bg, fl, batch_id=b, hash_buckets=4
+        )
+    before = sorted(
+        (r["doc_id"], r["h"]) for r in
+        dcs._read_state(spark, dg, 99).select("doc_id", "h").collect()
+    )
+    assert compact_index(
+        spark, dg, every=2, sort_col="h", partition_col="hb"
+    )
+    fold_dirs = [d for d in _os.listdir(dg) if d.startswith("fold-")]
+    assert len(fold_dirs) == 1
+    assert any(
+        d.startswith("hb=")
+        for d in _os.listdir(_os.path.join(dg, fold_dirs[0]))
+    )
+    after = sorted(
+        (r["doc_id"], r["h"]) for r in
+        dcs._read_state(spark, dg, 99).select("doc_id", "h").collect()
+    )
+    assert after == before and len(after) > 0
+
+
 def test_semantic_index_topk_compressed_matches_exact(spark, tmp_path):
     """Compressed-domain serving (books=): codes-only scan + ADC screen
     + exact rerank must return exactly the uncompressed path's rows on
@@ -2313,15 +2420,20 @@ def test_semantic_index_topk_compressed_matches_exact(spark, tmp_path):
             ).collect()
         )
         # ids/canonicals/ranks must be EXACTLY the uncompressed path's;
-        # sim is ULP-tolerant — the exact rerank runs the same kernel
-        # but over the screened candidate subset, and numpy matmul
-        # blocking over a different matrix shape legitimately moves the
-        # last bit of the summation (observed once in ~20 runs)
+        # sim tolerates summation reordering only — the exact rerank
+        # runs the same kernel but over the screened candidate subset,
+        # and numpy matmul blocking over a different matrix shape
+        # legitimately reorders the d-term dot product (observed once
+        # in ~20 runs). A reordered float64 sum of d terms moves the
+        # result by at most ~d·eps ≈ d·2.2e-16 relative, so for any
+        # d ≤ ~500 the legitimate drift is < 1e-13 — the tolerance is
+        # pinned there (ADVICE r12: 1e-9 would also pass a genuinely
+        # wrong kernel off in the 1e-10..1e-13 range)
         assert [(r[0], r[1], r[2], r[4]) for r in comp] == [
             (r[0], r[1], r[2], r[4]) for r in exact
         ], (dec_dir, comp, exact)
         for c, e in zip(comp, exact):
-            assert math.isclose(c[3], e[3], rel_tol=1e-9, abs_tol=1e-12), (
+            assert math.isclose(c[3], e[3], rel_tol=1e-13, abs_tol=1e-13), (
                 dec_dir, c, e,
             )
         assert len(comp) > 0

@@ -142,6 +142,102 @@ def build_span_stages(sf_dir: str) -> list[Stage]:
     ]
 
 
+def build_refresh_stages(sf_dir: str) -> list[Stage]:
+    """The corpus-REFRESH variant (r13, VERDICT r12 #5): a DAG that is
+    not a chain, so the runner's dep-token invalidation is exercised
+    across branches —
+
+        gate ──► decon ──┬──► report
+                         ├──► alias ──► resolved
+                         └──────────────┘
+
+    ``report`` and ``alias`` both read (gate, decon) — a fan-OUT whose
+    branches must BOTH invalidate when decon re-runs (new benchmark
+    suite arrived) while gate stays current; ``resolved`` fans IN
+    (gate, decon, alias). The clean-corpus rule (gate minus decon
+    flags) is shared by all three consumers, derived from the same two
+    committed parquet dirs.
+
+    Deployment story: a new eval suite lands → re-run with the decon
+    stage's version bumped (or --force-from decon) → the runner redoes
+    decon, report, alias, resolved and SKIPS the gate scan of the full
+    corpus. Pinned row-identical to the one-session composition by
+    tests/test_pipeline.py."""
+    from ballcone_spark.operators.corpus_report import corpus_report
+    from ballcone_spark.operators.dedup import decontamination_flags
+    from ballcone_spark.operators.packing import (
+        apply_alias_map,
+        chunk_alias_map,
+        chunk_documents,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def gate(spark, inputs):
+        return (
+            spark.read.parquet(docs_path)
+            .where(F.col("text").isNotNull())
+            .where(F.length("text") >= 50)
+            .select("doc_id", "source", "lang", "text", "n_chars")
+        )
+
+    def decon(spark, inputs):
+        g = inputs["gate"]
+        corpus = g.where(F.col("source") != "src0")
+        bench = g.where(F.col("source") == "src0")
+        return decontamination_flags(corpus, bench)
+
+    def _clean(inputs):
+        # the shared clean-corpus rule: gated docs minus the benchmark
+        # source itself minus contaminated docs — both sides are plain
+        # committed-parquet scans, so every consumer derives the same
+        # frame without recomputation
+        return (
+            inputs["gate"]
+            .where(F.col("source") != "src0")
+            .join(
+                F.broadcast(inputs["decon"].select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        )
+
+    def report(spark, inputs):
+        return corpus_report(_clean(inputs))
+
+    def alias(spark, inputs):
+        return chunk_alias_map(_clean(inputs))
+
+    def resolved(spark, inputs):
+        refs = chunk_documents(_clean(inputs)).select("doc_id", "chunk_fp")
+        res = apply_alias_map(refs, inputs["alias"])
+        return (
+            res.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_chunks"),
+                F.sum(F.col("is_redirected").cast("long")).alias(
+                    "n_redirected"
+                ),
+                F.count_distinct("canonical_fp").alias("n_canonicals"),
+            )
+        )
+
+    return [
+        Stage("gate", gate),
+        Stage("decon", decon, deps=("gate",)),
+        Stage("report", report, deps=("gate", "decon")),
+        Stage("alias", alias, deps=("gate", "decon")),
+        Stage("resolved", resolved, deps=("gate", "decon", "alias")),
+    ]
+
+
+_VARIANTS = {
+    "curation": build_stages,
+    "span": build_span_stages,
+    "refresh": build_refresh_stages,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -155,16 +251,17 @@ def main() -> None:
     ap.add_argument("--status", action="store_true",
                     help="print what a run would skip vs redo, then exit")
     ap.add_argument("--variant", default="curation",
-                    choices=["curation", "span"],
+                    choices=sorted(_VARIANTS),
                     help="curation = gate/dedup/budget-fill; span = "
-                         "qualifying-spans/deletion/packing")
+                         "qualifying-spans/deletion/packing; refresh = "
+                         "gate/decon/{report,alias}/resolved (diamond "
+                         "DAG — new-benchmark redeploys skip the gate)")
     ap.add_argument("--stop-after", default=None,
                     help="(testing) exit after this stage commits — "
                          "simulates a killed deployment for resume runs")
     args = ap.parse_args()
 
-    builder = build_stages if args.variant == "curation" else build_span_stages
-    stages = builder(args.sf_dir)
+    stages = _VARIANTS[args.variant](args.sf_dir)
     if args.status:
         print(json.dumps(pipeline_status(args.root, stages)))
         return
