@@ -87,19 +87,28 @@ DECON_HASH_BUCKETS = 16
 _GEOMETRY = "_geometry.json"
 
 
-def _read_geometry(spark: SparkSession, root: str) -> int | None:
-    """The dir's persisted ``hash_buckets``, or None when the dir was
-    written before bucketing shipped (probes then skip pruning)."""
+#: geometry-file sentinel distinguishing "file absent" (dir never
+#: touched by a geometry-aware writer) from "frozen unbucketed"
+#: (legacy dir — see _ensure_geometry)
+_GEOM_ABSENT = object()
+
+
+def _read_geometry(spark: SparkSession, root: str):
+    """The dir's persisted ``hash_buckets`` (int), None when frozen
+    unbucketed (legacy dirs), or ``_GEOM_ABSENT`` when no geometry file
+    exists yet. Probes treat None and absent identically (no
+    pruning)."""
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(root + "/" + _GEOMETRY)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
-        return None
+        return _GEOM_ABSENT
     stream = fs.open(path)
     try:
         out = jvm.java.io.ByteArrayOutputStream()
         jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
-        return int(_json.loads(out.toString("UTF-8"))["hash_buckets"])
+        v = _json.loads(out.toString("UTF-8"))["hash_buckets"]
+        return int(v) if v is not None else None
     finally:
         stream.close()
 
@@ -110,26 +119,46 @@ def _ensure_geometry(
     """Persist ``hash_buckets`` on first contact with the dir; later
     calls return the STORED value regardless of the argument — bucket
     count is index geometry, and pruning with a different modulus than
-    the writes used would silently drop true contamination hits."""
+    the writes used would silently drop true contamination hits.
+
+    Upgrade path (r13 review): a dir that ALREADY holds batch dirs but
+    no geometry file predates bucketing — its existing dirs are
+    unpartitioned, and writing bucketed dirs beside them would give one
+    basePath read two conflicting directory depths (Spark refuses
+    mixed partition structures). Such dirs freeze as UNBUCKETED
+    (``hash_buckets: null`` persisted), permanently consistent; start a
+    new state dir to adopt bucketing. The write is tmp+rename so a
+    crash mid-write can never leave a half geometry file."""
     stored = _read_geometry(spark, root)
-    if stored is not None:
+    if stored is not _GEOM_ABSENT:
         return stored
-    if not hash_buckets:
-        return None
     jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    legacy = fs.exists(root_path) and any(
+        s.getPath().getName().startswith("batch_id=")
+        for s in fs.listStatus(root_path)
+    )
+    value = None if (legacy or not hash_buckets) else int(hash_buckets)
     path = jvm.org.apache.hadoop.fs.Path(root + "/" + _GEOMETRY)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.mkdirs(path.getParent())
-    stream = fs.create(path, True)
+    tmp = jvm.org.apache.hadoop.fs.Path(root + "/." + _GEOMETRY + ".tmp")
+    fs.mkdirs(root_path)
+    stream = fs.create(tmp, True)
     try:
         stream.write(
-            bytearray(
-                _json.dumps({"hash_buckets": int(hash_buckets)}), "utf-8"
-            )
+            bytearray(_json.dumps({"hash_buckets": value}), "utf-8")
         )
     finally:
         stream.close()
-    return int(hash_buckets)
+    if not fs.rename(tmp, path):
+        # lost a (single-writer-violating) race or a stale tmp blocked
+        # the rename — the stored value, if any, wins
+        fs.delete(tmp, False)
+        again = _read_geometry(spark, root)
+        return None if again is _GEOM_ABSENT else again
+    return value
 
 
 def _grams(df: DataFrame, n: int) -> DataFrame:
@@ -161,6 +190,8 @@ def _pruned_doc_history(
     if doc_hist is None:
         return None
     n_buckets = _read_geometry(spark, doc_grams_dir)
+    if n_buckets is _GEOM_ABSENT:
+        n_buckets = None
     if n_buckets and "hb" in doc_hist.columns:
         hbs = sorted(
             r["hb"]

@@ -2325,6 +2325,63 @@ def test_decon_retro_scan_bucket_pruned(spark, tmp_path):
     assert {r["doc_id"] for r in hit.select("doc_id").collect()} == {2}
 
 
+def test_decon_legacy_dir_freezes_unbucketed(spark, tmp_path):
+    """Upgrade path (r13 review): a doc-gram dir that predates
+    bucketing (batch dirs exist, no geometry file) must freeze as
+    UNBUCKETED on first geometry-aware contact — writing bucketed dirs
+    beside the legacy unpartitioned ones would give one basePath read
+    two conflicting directory depths. The stream keeps working, just
+    without pruning."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming import decon_stream as dcs
+    from ballcone_spark.streaming.dedup_stream import (
+        _overwrite_batch_partition,
+    )
+
+    dg, bg, fl = (str(tmp_path / d) for d in ("dg", "bg", "fl"))
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    # legacy batch 0: written by a pre-bucketing deployment (no hb,
+    # no geometry file)
+    legacy = dcs._grams(
+        spark.createDataFrame(
+            [(7, f"old doc {leak} tail")], "doc_id long, text string"
+        ),
+        8,
+    )
+    _overwrite_batch_partition(legacy, dg, 0)
+    assert dcs._read_geometry(spark, dg) is dcs._GEOM_ABSENT
+    # post-upgrade batch asks for 16 buckets — must freeze null instead
+    bench = spark.createDataFrame(
+        [(100, f"eval {leak} q")], "bench_id long, text string"
+    )
+    dcs.process_decon_batch(
+        spark, None, bench, dg, bg, fl, batch_id=1, hash_buckets=16
+    )
+    assert dcs._read_geometry(spark, dg) is None
+    docs2 = spark.createDataFrame(
+        [(8, f"new doc {leak} more")], "doc_id long, text string"
+    )
+    dcs.process_decon_batch(
+        spark, docs2, None, dg, bg, fl, batch_id=2, hash_buckets=16
+    )
+    # new dirs stay UNpartitioned (consistent with the legacy layout)
+    assert not any(
+        d.startswith("hb=")
+        for d in _os.listdir(_os.path.join(dg, "batch_id=2"))
+    )
+    hist = dcs._read_state(spark, dg, 99)
+    assert "hb" not in hist.columns
+    # both the retro flag (doc 7, legacy) and forward flag (doc 8) land
+    got = {
+        r["doc_id"]: r["flagged_batch"]
+        for r in dcs.read_contaminated(spark, fl).collect()
+    }
+    assert got == {7: 1, 8: 2}
+
+
 def test_decon_doc_gram_fold_keeps_bucketing(spark, tmp_path):
     """The doc-gram fold (compact_index partition_col='hb') preserves
     the bucket dirs, so retro-probe pruning survives compaction; reads
