@@ -324,7 +324,7 @@ def read_semantic_decisions(spark: SparkSession, decisions_dir: str):
 def semantic_index_topk(
     spark: SparkSession,
     index_dir: str,
-    queries: DataFrame,
+    queries: "DataFrame | list[tuple[int, list[float]]]",
     centroids: list,
     k: int = 5,
     nprobe: int = 1,
@@ -340,15 +340,24 @@ def semantic_index_topk(
     redirect every hit through the alias map so results name CANONICAL
     vectors (one row per distinct canonical, best similarity kept).
 
-    ``queries``: ``(query_id long, e array<double>)``. Routing happens
-    driver-side over a bounded collect — a serving request is small by
-    contract (the kmeans-contract class); the CORPUS side never
-    collects, never shuffles: one cluster_id-keyed ``applyInPandas``
-    over the manifest-snapshot index read, where the fold's
-    ``cluster_id`` sort (§6ae) prunes row groups to the probed
+    ``queries``: ``(query_id long, e array<double>)`` — a DataFrame,
+    or (r13) a plain list of ``(query_id, embedding)`` tuples. Routing
+    happens driver-side over a bounded collect — a serving request is
+    small by contract (the kmeans-contract class); the CORPUS side
+    never collects, never shuffles: one cluster_id-keyed
+    ``applyInPandas`` over the manifest-snapshot index read, where the
+    fold's ``cluster_id`` sort (§6ae) prunes row groups to the probed
     clusters. Scoring is one numpy matmul per cluster batch — the
     BLAS-shaped math class where Arrow kernels beat interpreted HOF
     folds ~20× (semantic_dedup's measurement).
+
+    The list form exists because the concurrent-serve bench (§6au)
+    showed the DRIVER phase is what grows with concurrency while
+    executor scoring stays flat — and for a serving daemon whose
+    queries already live in Python memory, forcing them through
+    ``createDataFrame`` + ``collect`` spends two driver round-trips per
+    request on pure ceremony. Same results either way (pinned inside
+    ``test_semantic_index_topk_serves_the_stream_state``).
 
     ``decisions_dir``: when given, neighbors that were judged
     duplicates redirect to their canonical (transitively resolved at
@@ -384,23 +393,30 @@ def semantic_index_topk(
     hist = read_semantic_index(spark, index_dir)
     if hist is None:
         return None
-    qrows = queries.select("query_id", "e").collect()  # bounded: one request
-    if not qrows:
+    if isinstance(queries, DataFrame):
+        # bounded: one request
+        qpairs = [
+            (int(r["query_id"]), list(r["e"]))
+            for r in queries.select("query_id", "e").collect()
+        ]
+    else:
+        qpairs = [(int(q), list(e)) for q, e in queries]
+    if not qpairs:
         return None
     C = np.array([list(c[1]) for c in centroids], dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1), 1e-12)[:, None]
     cids = np.array([int(c[0]) for c in centroids], dtype=np.int64)
     nprobe = min(nprobe, len(cids))
-    Q = np.array([list(r["e"]) for r in qrows], dtype=np.float64)
+    Q = np.array([e for _, e in qpairs], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]
     route = Qn @ C.T  # (q, cells)
     # per-cluster query lists: {cluster_id: ([query_ids], matrix)}
     per: dict = {}
-    for i, r in enumerate(qrows):
+    for i in range(len(qpairs)):
         order = np.argsort(-route[i])[:nprobe]
         for j in order:
             per.setdefault(int(cids[j]), []).append(i)
-    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    qids = np.array([q for q, _ in qpairs], dtype=np.int64)
     qmap = {
         cid: (qids[idx], Qn[idx]) for cid, idx in
         ((cid, np.array(ix)) for cid, ix in per.items())

@@ -2065,6 +2065,25 @@ def test_semantic_index_topk_serves_the_stream_state(spark, tmp_path):
         1, 2, 3, 4, 5, 6,
     }
 
+    # list-form queries (r13, §6au: the serving daemon's direct path —
+    # no createDataFrame/collect round-trip) are row-identical to the
+    # DataFrame form, with and without the decisions redirect
+    direct = [(100, rot(3)), (200, rot(92))]
+    for dd in (None, dec):
+        a = sorted(
+            tuple(r) for r in semantic_index_topk(
+                spark, idx, queries, centroids, k=3, nprobe=2,
+                decisions_dir=dd,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in semantic_index_topk(
+                spark, idx, direct, centroids, k=3, nprobe=2,
+                decisions_dir=dd,
+            ).collect()
+        )
+        assert a == b and len(b) > 0, (dd, a, b)
+
 
 def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
     """Review r12-b #1/#3: canonical dedup must happen BEFORE the

@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--conc", default="1,2,4,8")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--direct", action="store_true",
+                    help="pass queries as (id, vec) tuples instead of a "
+                         "DataFrame — skips the per-request "
+                         "createDataFrame+collect driver round-trip "
+                         "(the serving daemon's shape)")
     ap.add_argument("--out", default="/tmp/serve_concurrency_bench.json")
     args = ap.parse_args()
 
@@ -98,12 +103,16 @@ def main() -> None:
         r = np.random.default_rng(1000 * client + req)
         qsrc = r.integers(0, args.n, size=args.batch_queries)
         Q = V[qsrc] + 0.1 * r.normal(size=(args.batch_queries, args.dim))
-        queries = spark.createDataFrame(
-            pd.DataFrame(
-                {"query_id": np.arange(args.batch_queries, dtype=np.int64),
-                 "e": list(Q)}
+        if args.direct:
+            queries = [(i, Q[i].tolist()) for i in range(args.batch_queries)]
+        else:
+            queries = spark.createDataFrame(
+                pd.DataFrame(
+                    {"query_id": np.arange(args.batch_queries,
+                                           dtype=np.int64),
+                     "e": list(Q)}
+                )
             )
-        )
         t0 = time.perf_counter()
         df = semantic_index_topk(
             spark, idx, queries, centroids, k=args.k, nprobe=args.nprobe
@@ -167,7 +176,7 @@ def main() -> None:
     out = {
         "n": args.n, "dim": args.dim, "cells": args.cells,
         "batch_queries": args.batch_queries, "k": args.k,
-        "nprobe": args.nprobe,
+        "nprobe": args.nprobe, "direct": bool(args.direct),
         "median_single_total_s": statistics.median(
             [a["p50_total_s"] for a in arms if a["conc"] == 1]
             or [arms[0]["p50_total_s"]]
