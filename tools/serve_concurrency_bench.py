@@ -63,6 +63,11 @@ def main() -> None:
                          "DataFrame — skips the per-request "
                          "createDataFrame+collect driver round-trip "
                          "(the serving daemon's shape)")
+    ap.add_argument("--max-inflight", type=int, default=None,
+                    help="admission control: cap concurrently-executing "
+                         "requests with a semaphore (clients beyond the "
+                         "cap queue client-side) — the §6av deployment "
+                         "rule, measurable instead of asserted")
     ap.add_argument("--out", default="/tmp/serve_concurrency_bench.json")
     args = ap.parse_args()
 
@@ -126,6 +131,10 @@ def main() -> None:
     # untimed warm-up: codegen + Arrow worker spin-up
     one_request(999, 0)
 
+    gate = (
+        threading.Semaphore(args.max_inflight)
+        if args.max_inflight else None
+    )
     arms = []
     for conc in (int(c) for c in args.conc.split(",")):
         lat_total: list[float] = []
@@ -137,11 +146,21 @@ def main() -> None:
         def client(cid: int):
             try:
                 for req in range(args.requests):
-                    route_s, exec_s = one_request(cid, req)
+                    t_q = time.perf_counter()
+                    if gate is not None:
+                        gate.acquire()
+                    try:
+                        route_s, exec_s = one_request(cid, req)
+                    finally:
+                        if gate is not None:
+                            gate.release()
+                    # total includes client-side queueing under
+                    # admission control — what a caller experiences
+                    total = time.perf_counter() - t_q
                     with lock:
                         lat_route.append(route_s)
                         lat_exec.append(exec_s)
-                        lat_total.append(route_s + exec_s)
+                        lat_total.append(total)
             except Exception as e:  # surface, don't hang the join
                 with lock:
                     errs.append(repr(e))
@@ -177,6 +196,7 @@ def main() -> None:
         "n": args.n, "dim": args.dim, "cells": args.cells,
         "batch_queries": args.batch_queries, "k": args.k,
         "nprobe": args.nprobe, "direct": bool(args.direct),
+        "max_inflight": args.max_inflight,
         "median_single_total_s": statistics.median(
             [a["p50_total_s"] for a in arms if a["conc"] == 1]
             or [arms[0]["p50_total_s"]]
