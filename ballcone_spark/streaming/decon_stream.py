@@ -21,13 +21,15 @@ Design (the dedup_stream state conventions throughout):
   false-FLAG one doc at ~2⁻⁶⁴ per pair — conservative direction for a
   decontamination gate, and the equality test cross-checks against the
   string-exact batch operator).
-- **Per batch** (one micro-batch may carry both kinds): new-doc grams
-  semi-join the benchmark gram history ∪ this batch's new benchmark
-  grams (bench side broadcasts — eval suites are small by definition);
-  new-benchmark grams broadcast against the DOC gram history for the
-  retro flags (the history side is the big side and never shuffles:
-  broadcast-semi probe, §6aa shape). Flags append under the batch's
-  own partition.
+- **Per batch** (one micro-batch may carry both kinds): BOTH probes
+  follow the one convention — histories are only ever the PROBE side,
+  batch-bounded sides broadcast (§6aa shape). Forward: the benchmark
+  gram history ∪ this batch's bench grams is probed by a broadcast of
+  the new-doc grams (r13 — this used to broadcast the bench side,
+  which is fine for one suite but grows with every suite ever
+  ingested). Retro: the DOC gram history is probed by a broadcast of
+  the new-benchmark grams, bucket-pruned to their ``hb`` partitions.
+  Flags append under the batch's own partition.
 - **Replay safety**: probes read ``batch_id < current`` only; a
   replayed batch overwrites its own three partitions (the 5484fde
   convention). Decisions are monotone (flags only turn on), so replay
@@ -250,15 +252,25 @@ def process_decon_batch(
     flags = []
     bench_hist = _read_state(spark, bench_grams_dir, batch_id)
     if doc_g is not None:
-        # forward: new docs vs benchmark history ∪ same-batch benchmarks
-        bench_side = bench_g
+        # forward: new docs vs benchmark history ∪ same-batch
+        # benchmarks. The BENCH side is the history here (it grows with
+        # every suite ever ingested — years of eval sets), so it takes
+        # the probe role and the batch-bounded DOC grams broadcast
+        # (r13 review: this probe used to broadcast the bench side,
+        # violating the histories-never-broadcast convention the retro
+        # probe and every other stream follow; at ~30 M accumulated
+        # bench grams that was a ~240 MB broadcast per doc batch).
+        # inner-join + doc_id projection ≡ the old doc-side semi-join:
+        # the trailing first-flag-wins distinct absorbs multiplicity.
+        bench_side = bench_g.select("h") if bench_g is not None else None
         if bench_hist is not None:
             b = bench_hist.select("h")
             bench_side = b if bench_side is None else bench_side.unionByName(b)
         if bench_side is not None:
             flags.append(
-                doc_g.join(F.broadcast(bench_side.distinct()), "h", "semi")
-                .select("doc_id")
+                bench_side.join(
+                    F.broadcast(doc_g.select("doc_id", "h")), "h", "inner"
+                ).select("doc_id")
             )
     if bench_g is not None:
         # retro: new benchmarks vs the DOC gram history — history is
