@@ -298,8 +298,16 @@ def process_decon_batch(
         flag_hist = _read_state(spark, flags_dir, batch_id)
         out = out.distinct()
         if flag_hist is not None:
+            # no broadcast hint (r13 review): NEITHER side is bounded —
+            # a new suite can mass-retro-flag a corpus-scale `out`, and
+            # the flag history is O(contaminated docs). The history is
+            # a plain parquet scan with real size stats, so the planner
+            # (plus AQE) broadcasts it exactly when it is genuinely
+            # small and falls back to a shuffled join when it is not —
+            # a forced broadcast would OOM the driver on the one
+            # deployment where this join actually matters.
             out = out.join(
-                F.broadcast(flag_hist.select("doc_id").distinct()),
+                flag_hist.select("doc_id").distinct(),
                 "doc_id",
                 "left_anti",
             )
