@@ -2085,6 +2085,77 @@ def test_semantic_index_topk_serves_the_stream_state(spark, tmp_path):
         assert a == b and len(b) > 0, (dd, a, b)
 
 
+def test_resident_index_cache_serves_fresh(spark, tmp_path):
+    """r13: ResidentIndexCache serves the SAME frame across requests
+    (no re-read) while the state is unchanged, invalidates the moment
+    a new batch commits or a fold rewrites the snapshot, and topk
+    results through the cache are row-identical to the uncached read
+    at every step."""
+    import math
+    import os as _os
+
+    import pandas as pd
+
+    from ballcone_spark.streaming.dedup_stream import compact_index
+    from ballcone_spark.streaming.semantic_stream import (
+        ResidentIndexCache,
+        semantic_index_topk,
+    )
+
+    dim = 8
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (dim - 2)
+
+    centroids = [(0, rot(0)), (1, rot(90))]
+    idx = str(tmp_path / "idx")
+
+    def write_batch(b, rows):
+        pdf = pd.DataFrame(
+            {"vec_id": [v for v, _ in rows],
+             "cluster_id": [0 if e[0] > 0.7 else 1 for _, e in rows],
+             "e": [e for _, e in rows],
+             "nrm": [1.0] * len(rows)}
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            _os.path.join(idx, f"batch_id={b}")
+        )
+
+    write_batch(0, [(1, rot(0)), (2, rot(10))])
+    write_batch(1, [(3, rot(85))])
+    cache = ResidentIndexCache(spark, idx)
+    queries = [(100, rot(5)), (200, rot(88))]
+
+    def serve(use_cache):
+        return sorted(
+            tuple(r) for r in semantic_index_topk(
+                spark, idx, queries, centroids, k=2, nprobe=1,
+                index_cache=cache if use_cache else None,
+            ).collect()
+        )
+
+    assert serve(True) == serve(False) and len(serve(True)) > 0
+    # unchanged state -> the very same cached frame (no re-read)
+    assert cache.get() is cache.get()
+    frame0 = cache.get()
+
+    # a new batch commits -> invalidated, new vector served
+    write_batch(2, [(4, rot(4))])
+    assert cache.get() is not frame0
+    with_cache = serve(True)
+    assert with_cache == serve(False)
+    assert any(r[1] == 4 for r in with_cache)  # the new vec_id surfaces
+
+    # a fold rewrites the snapshot -> key changes, content identical
+    before = serve(True)
+    assert compact_index(spark, idx, every=2, sort_col="cluster_id")
+    assert serve(True) == before == serve(False)
+
+    cache.invalidate()
+    assert serve(True) == before
+
+
 def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
     """Review r12-b #1/#3: canonical dedup must happen BEFORE the
     per-cluster top-k truncation. A query whose two nearest raw

@@ -63,6 +63,10 @@ def main() -> None:
                          "DataFrame — skips the per-request "
                          "createDataFrame+collect driver round-trip "
                          "(the serving daemon's shape)")
+    ap.add_argument("--resident-cache", action="store_true",
+                    help="serve through one ResidentIndexCache shared "
+                         "by all clients — repeat requests score the "
+                         "in-memory frame instead of re-reading parquet")
     ap.add_argument("--max-inflight", type=int, default=None,
                     help="admission control: cap concurrently-executing "
                          "requests with a semaphore (clients beyond the "
@@ -75,7 +79,10 @@ def main() -> None:
 
     from ballcone_spark.session import get_spark
     from ballcone_spark.streaming.dedup_stream import compact_index
-    from ballcone_spark.streaming.semantic_stream import semantic_index_topk
+    from ballcone_spark.streaming.semantic_stream import (
+        ResidentIndexCache,
+        semantic_index_topk,
+    )
 
     spark = get_spark("serve_concurrency_bench")
     rng = np.random.default_rng(7)
@@ -101,6 +108,7 @@ def main() -> None:
             os.path.join(idx, f"batch_id={b}")
         )
     compact_index(spark, idx, every=2, sort_col="cluster_id")
+    cache = ResidentIndexCache(spark, idx) if args.resident_cache else None
 
     def one_request(client: int, req: int):
         """One serving call: fresh perturbed-member queries per request
@@ -120,7 +128,8 @@ def main() -> None:
             )
         t0 = time.perf_counter()
         df = semantic_index_topk(
-            spark, idx, queries, centroids, k=args.k, nprobe=args.nprobe
+            spark, idx, queries, centroids, k=args.k, nprobe=args.nprobe,
+            index_cache=cache,
         )
         t1 = time.perf_counter()
         rows = df.collect()
@@ -197,6 +206,7 @@ def main() -> None:
         "batch_queries": args.batch_queries, "k": args.k,
         "nprobe": args.nprobe, "direct": bool(args.direct),
         "max_inflight": args.max_inflight,
+        "resident_cache": bool(args.resident_cache),
         "median_single_total_s": statistics.median(
             [a["p50_total_s"] for a in arms if a["conc"] == 1]
             or [arms[0]["p50_total_s"]]
