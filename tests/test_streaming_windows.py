@@ -2472,6 +2472,163 @@ def test_decon_legacy_dir_freezes_unbucketed(spark, tmp_path):
     assert got == {7: 1, 8: 2}
 
 
+def test_decon_forward_broadcast_gate(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #1 / ADVICE r13): the forward probe broadcasts
+    the batch's doc grams only below FORWARD_BROADCAST_MAX_GRAMS; a
+    bigger batch gets a hint-free join the planner sizes from real
+    stats. Plan-asserted at the logical level (physical strategy on
+    tiny test data is legitimately broadcast either way)."""
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming import decon_stream as dcs
+
+    doc_g = dcs._grams(
+        spark.createDataFrame(
+            [(1, "alpha bravo charlie delta echo foxtrot golf hotel x")],
+            "doc_id long, text string",
+        ),
+        8,
+    ).localCheckpoint(eager=True)
+    bench_side = doc_g.select("h")
+
+    def _hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    assert _hinted(dcs._forward_flags(bench_side, doc_g))
+    monkeypatch.setattr(dcs, "FORWARD_BROADCAST_MAX_GRAMS", 0)
+    big = dcs._forward_flags(bench_side, doc_g)
+    assert not _hinted(big)
+    # the gate changes strategy, never results
+    assert {r["doc_id"] for r in big.distinct().collect()} == {1}
+
+
+def test_decon_backlog_defaults_bounded(spark, tmp_path, monkeypatch):
+    """r14 (VERDICT r13 #1): a multi-file spool backlog driven through
+    start_decon_stream DEFAULTS must split into bounded micro-batches —
+    the stated cold-start use case (corpus exists before the stream
+    starts) must not become one giant batch. Monkeypatches the bound
+    down to 2 files so 5 backlog files → ≥3 batches without writing 65
+    real files; the default itself is pinned non-None."""
+    import inspect
+    import json as _json
+    import os as _os
+
+    from ballcone_spark.streaming import decon_stream as dcs
+
+    sig = inspect.signature(dcs.start_decon_stream)
+    assert (
+        sig.parameters["max_files_per_trigger"].default
+        == dcs.DECON_MAX_FILES_PER_TRIGGER
+        and dcs.DECON_MAX_FILES_PER_TRIGGER is not None
+    )
+
+    monkeypatch.setattr(dcs, "DECON_MAX_FILES_PER_TRIGGER", 2)
+    dirs = [str(tmp_path / d) for d in ("dg", "bg", "fl")]
+    dspool, bspool = tmp_path / "dsp", tmp_path / "bsp"
+    dspool.mkdir(), bspool.mkdir()
+    for i in range(5):  # the backlog EXISTS before the stream starts
+        with open(dspool / f"d{i}.jsonl", "w") as f:
+            f.write(_json.dumps(
+                {"doc_id": i, "text": f"doc {i} w1 w2 w3 w4 w5 w6 w7 w8"}
+            ) + "\n")
+    q = dcs.start_decon_stream(
+        spark, str(dspool), str(bspool), *dirs,
+        str(tmp_path / "ckpt"), available_now=True, compact_every=None,
+        max_files_per_trigger=dcs.DECON_MAX_FILES_PER_TRIGGER,
+    )
+    q.awaitTermination(120)
+    batch_dirs = [
+        d for d in _os.listdir(dirs[0]) if d.startswith("batch_id=")
+    ]
+    assert len(batch_dirs) >= 3  # 5 files / ≤2 per trigger
+    # every backlog doc was still indexed exactly once
+    hist = dcs._read_state(spark, dirs[0], 99)
+    assert hist.select("doc_id").distinct().count() == 5
+
+
+def test_decon_legacy_fold_only_dir_freezes_unbucketed(spark, tmp_path):
+    """r14 (ADVICE r13 #2): a pre-bucketing dir holding only a fold +
+    _manifest.json (batch dirs swept/hand-pruned) must ALSO freeze
+    unbucketed — misfrozen bucketed, later reads would union the
+    fold's rows with hb=null and the retro probe's hb filter would
+    silently drop them (missed contamination in a safety gate). Also
+    pins the belt: even under a forced bucketed geometry, the pruned
+    history KEEPS hb-null fold rows."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from ballcone_spark.streaming import decon_stream as dcs
+    from ballcone_spark.streaming.dedup_stream import (
+        _overwrite_batch_partition,
+        compact_index,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+
+    def _fold_only_legacy_dir(name):
+        dg = str(tmp_path / name)
+        legacy = dcs._grams(
+            spark.createDataFrame(
+                [(7, f"old doc {leak} tail")], "doc_id long, text string"
+            ),
+            8,
+        )
+        _overwrite_batch_partition(legacy, dg, 0)
+        _overwrite_batch_partition(legacy.limit(0), dg, 1)
+        assert compact_index(spark, dg, every=2, sort_col="h")
+        # simulate the swept/hand-pruned state ADVICE r13 #2 describes:
+        # only fold-0 + _manifest.json remain
+        _shutil.rmtree(_os.path.join(dg, "batch_id=0"))
+        _shutil.rmtree(_os.path.join(dg, "batch_id=1"))
+        assert sorted(
+            d for d in _os.listdir(dg) if not d.startswith(".")
+        ) == ["_manifest.json", "fold-0"]
+        return dg
+
+    dg = _fold_only_legacy_dir("dg")
+    bg, fl = str(tmp_path / "bg"), str(tmp_path / "fl")
+    assert dcs._read_geometry(spark, dg) is dcs._GEOM_ABSENT
+    bench = spark.createDataFrame(
+        [(100, f"eval {leak} q")], "bench_id long, text string"
+    )
+    dcs.process_decon_batch(
+        spark, None, bench, dg, bg, fl, batch_id=2, hash_buckets=16
+    )
+    # frozen UNBUCKETED (pre-fix this froze hash_buckets=16) and the
+    # legacy fold row retro-flags
+    assert dcs._read_geometry(spark, dg) is None
+    got = {r["doc_id"] for r in dcs.read_contaminated(spark, fl).collect()}
+    assert got == {7}
+
+    # belt: force the misfrozen-bucketed state on a fresh legacy dir
+    # (geometry written by hand, bypassing _ensure_geometry's braces),
+    # add one genuinely bucketed batch beside the unbucketed fold —
+    # _pruned_doc_history's union then carries hb=null on the fold's
+    # rows, and the isNull-keep must surface doc 7 anyway
+    dg2 = _fold_only_legacy_dir("dg2")
+    bg2, fl2 = str(tmp_path / "bg2"), str(tmp_path / "fl2")
+    with open(_os.path.join(dg2, "_geometry.json"), "w") as f:
+        _json.dump({"hash_buckets": 4}, f)
+    docs2 = spark.createDataFrame(
+        [(8, "clean w1 w2 w3 w4 w5 w6 w7 w8 w9")],
+        "doc_id long, text string",
+    )
+    dcs.process_decon_batch(
+        spark, docs2, None, dg2, bg2, fl2, batch_id=2
+    )
+    bench_g = dcs._grams(
+        bench.select(F.col("bench_id").alias("doc_id"), "text"), 8
+    ).select("h").distinct()
+    hist = dcs._pruned_doc_history(spark, dg2, 3, bench_g)
+    assert "hb" in hist.columns  # the mixed union the belt exists for
+    assert {r["doc_id"] for r in
+            hist.join(F.broadcast(bench_g), "h", "semi")
+            .select("doc_id").distinct().collect()} == {7}
+
+
 def test_decon_doc_gram_fold_keeps_bucketing(spark, tmp_path):
     """The doc-gram fold (compact_index partition_col='hb') preserves
     the bucket dirs, so retro-probe pruning survives compaction; reads
