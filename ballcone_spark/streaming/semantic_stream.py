@@ -121,12 +121,40 @@ def _fs_dir_has_data(fs, jvm, path_str: str) -> bool:
     return False
 
 
-def _snapshot_names(spark: SparkSession, root: str):
+def _dir_signature(fs, jvm, path_str: str) -> tuple:
+    """Data-file content listing ``(path, mtime, length)`` of a state
+    dir — the content half of the resident cache's snapshot key (r14,
+    ADVICE r13 #3): a replayed batch OVERWRITES its own
+    ``batch_id=<n>`` dir under the same NAME (the 5484fde convention),
+    so a name-only key keeps serving the pre-replay frame — and once
+    Spark lazily re-scans it, FileNotFound on the deleted part files.
+    Part-file names embed a fresh UUID per write, so any rewrite
+    changes the signature even within mtime granularity."""
+    sig = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path_str), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        sig.append(
+            (st.getPath().toString(), st.getModificationTime(), st.getLen())
+        )
+    return tuple(sorted(sig))
+
+
+def _snapshot_names(
+    spark: SparkSession, root: str, with_signature: bool = False
+):
     """The manifest-snapshot listing shared by the readers and the
     resident cache's invalidation key: ``(fold_name_or_None, parts)``
     where ``parts`` are the committed, file-bearing per-batch dirs with
     ``batch_id > folded_hi`` in batch order — or None when the dir
-    doesn't exist yet."""
+    doesn't exist yet. With ``with_signature`` a third element is
+    appended: the data-file listing of the fold + live dirs, so
+    IN-PLACE rewrites (batch replay under an unchanged dir name)
+    change the key too — readers don't need it (they re-scan every
+    call), only the cache does."""
     jvm = spark._jvm
     jsc = spark._jsc
     path = jvm.org.apache.hadoop.fs.Path(root)
@@ -171,7 +199,13 @@ def _snapshot_names(spark: SparkSession, root: str):
         )
         else None
     )
-    return fold, parts
+    if not with_signature:
+        return fold, parts
+    sig = tuple(
+        _dir_signature(fs, jvm, root + "/" + d)
+        for d in ([fold] if fold else []) + parts
+    )
+    return fold, parts, sig
 
 
 def _read_folded_dir(
@@ -253,14 +287,20 @@ class ResidentIndexCache:
     serves the SAME frame to every request until the state dir's
     manifest snapshot changes.
 
-    Invalidation is the snapshot key the readers already use:
-    ``(fold_dir, committed file-bearing live dirs)`` from
-    :func:`_snapshot_names`. A new batch landing, a fold committing,
-    or a retired dir being swept all change the key; the old cached
-    frame is unpersisted (non-blocking) and the new snapshot cached.
-    The per-request overhead is one manifest read + one listStatus —
-    the same FS round-trips the uncached read path already pays, minus
-    the parquet footers and data.
+    Invalidation is the readers' snapshot listing PLUS a content
+    signature: ``(fold_dir, committed file-bearing live dirs,
+    per-dir data-file (path, mtime, len) listings)`` from
+    :func:`_snapshot_names` with ``with_signature`` (r14, ADVICE r13
+    #3 — a replayed batch overwrites its own dir under the same name,
+    so dir names alone miss it and the cache would serve the
+    pre-replay frame until some other snapshot change). A new batch
+    landing, a fold committing, a retired dir being swept, or an
+    in-place rewrite all change the key; the old cached frame is
+    unpersisted (non-blocking) and the new snapshot cached. The
+    per-request overhead is one manifest read + one listStatus + one
+    recursive file listing per snapshot dir — the same FS round-trips
+    the uncached read path already pays for planning, minus the
+    parquet footers and data.
 
     Freshness contract: identical to the uncached reader — a request
     sees every batch the stream has COMMITTED at the moment of its
@@ -280,8 +320,8 @@ class ResidentIndexCache:
     def get(self):
         """The current index frame (cached), or None before the first
         committed batch."""
-        snap = _snapshot_names(self._spark, self._dir)
-        key = None if snap is None else (snap[0], tuple(snap[1]))
+        snap = _snapshot_names(self._spark, self._dir, with_signature=True)
+        key = None if snap is None else (snap[0], tuple(snap[1]), snap[2])
         with self._lock:
             if key == self._key:
                 return self._df

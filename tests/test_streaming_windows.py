@@ -2152,8 +2152,26 @@ def test_resident_index_cache_serves_fresh(spark, tmp_path):
     assert compact_index(spark, idx, every=2, sort_col="cluster_id")
     assert serve(True) == before == serve(False)
 
+    # invalidate() with UNCHANGED state re-reads and re-caches a fresh
+    # frame (r14, VERDICT r13 #2 pin): the old frame is dropped, the
+    # next get() builds a new one, and that one is cached again
+    stale = cache.get()
     cache.invalidate()
+    fresh = cache.get()
+    assert fresh is not None and fresh is not stale
+    assert cache.get() is fresh  # re-caches, not a cache that stopped
     assert serve(True) == before
+
+    # an IN-PLACE batch replay (same dir NAME, new content — the
+    # 5484fde overwrite convention) must invalidate too (r14, ADVICE
+    # r13 #3): pre-fix the name-only key kept serving the pre-replay
+    # frame and later re-scans hit the deleted part files
+    replay_stale = cache.get()
+    write_batch(2, [(4, rot(4)), (5, rot(7))])  # batch 2 replayed +vec 5
+    assert cache.get() is not replay_stale
+    with_replay = serve(True)
+    assert with_replay == serve(False)
+    assert any(r[1] == 5 for r in with_replay)  # replay's new vector
 
 
 def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
