@@ -1960,7 +1960,11 @@ def _duck_decon_shingles(src_filter: str, n: int) -> str:
              FROM corpus_sh c JOIN bench b ON c.s = b.s)
     SELECT doc_id, source FROM hits ORDER BY doc_id
     """,
-    # promoted r5 into the driver 50 (VERDICT r4 #3)
+    # promoted r5 (VERDICT r4 #3); demoted r14 (VERDICT r13 #5): its
+    # rule is strictly inside docs_decon_arrival's replay (same grams,
+    # same flag rule, plus arrival attribution) — the r9/r13 precedent.
+    # Stays oracle-checked locally.
+    driver=False,
 )
 def docs_decontamination(spark, sf_dir):
     """Decontamination demo on the synthetic corpus: treat source

@@ -656,7 +656,23 @@ def chunk_semantic_pairs(
     ``chunk_documents(..., with_tokens=True)`` frame (the alias-resolve
     query needs it for its refs side too) feeds it in instead of
     re-running the chunker — the chunker is shuffle-free, so the two
-    uses would NOT share work via ReusedExchange on their own."""
+    uses would NOT share work via ReusedExchange on their own.
+    PRECEDENCE (r14, ADVICE r13 #4): with ``chunks=`` the
+    ``window``/``stride``/``text_col`` arguments are UNUSED — the
+    prebuilt frame fixes the chunk geometry, and it is the caller's
+    contract that it was built with the parameters they meant. The
+    frame must carry ``chunk_fp`` + ``chunk_toks`` (i.e. be a
+    ``with_tokens=True`` chunker output); anything else raises rather
+    than silently pairing against a geometry-mismatched gram table."""
+    if chunks is not None:
+        missing = {"chunk_fp", "chunk_toks"} - set(chunks.columns)
+        if missing:
+            raise ValueError(
+                "chunks= must be a chunk_documents(..., with_tokens=True)"
+                f" frame; missing column(s) {sorted(missing)} — note"
+                " window/stride/text_col are ignored when chunks= is"
+                " given (the prebuilt frame fixes the geometry)"
+            )
     ch = (
         chunks
         if chunks is not None
@@ -859,7 +875,12 @@ def chunk_alias_map(
     md5 strings lexicographically exactly like the oracle's min(r));
     only chunks that appear in at least one pair are emitted
     (singletons need no alias row — by construction they are their own
-    canonical)."""
+    canonical).
+
+    ``chunks=`` takes the same precedence as in
+    :func:`chunk_semantic_pairs` (which validates it): the prebuilt
+    frame fixes the geometry and ``window``/``stride``/``text_col``
+    are unused."""
     from ballcone_spark.operators.dedup import dedup_clusters
 
     pairs = chunk_semantic_pairs(

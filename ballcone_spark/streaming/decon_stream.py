@@ -535,7 +535,9 @@ _BENCH_ARRIVAL = 1
                AS flagged_batch
     FROM hits ORDER BY doc_id
     """,
-    driver=False,
+    # promoted r14 (VERDICT r13 #5): the last streaming surface whose
+    # driver row was indirect — docs_decontamination (exact batch)
+    # demoted in exchange, its rule strictly inside this replay.
 )
 def docs_decon_arrival(spark, sf_dir):
     """The streaming decontamination's flag attribution replayed as one

@@ -2894,6 +2894,39 @@ def test_chunk_semantic_pairs_properties(spark):
     assert pairs[0]["cos"] >= 0.9
 
 
+def test_chunk_semantic_pairs_rejects_malformed_chunks_frame(spark):
+    """r14 (ADVICE r13 #4): with chunks= the window/stride/text_col
+    args are documented-unused — the prebuilt frame fixes the
+    geometry. A frame that is NOT a with_tokens=True chunker output
+    (missing chunk_toks/chunk_fp) must raise instead of silently
+    producing geometry-mismatched pairs; a well-formed prebuilt frame
+    gives identical results to the internal chunker."""
+    import pytest as _pytest
+
+    from ballcone_spark.operators.packing import (
+        chunk_alias_map,
+        chunk_documents,
+        chunk_semantic_pairs,
+    )
+
+    base = [f"tok{i}" for i in range(60)]
+    edited = list(base)
+    edited[7] = "EDIT"
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(edited))],
+        "doc_id long, text string",
+    )
+    bad = chunk_documents(docs)  # with_tokens=False: no chunk_toks
+    with _pytest.raises(ValueError, match="chunk_toks"):
+        chunk_semantic_pairs(docs, chunks=bad)
+    with _pytest.raises(ValueError, match="with_tokens"):
+        chunk_alias_map(docs, chunks=bad)
+    good = chunk_documents(docs, with_tokens=True)
+    assert sorted(
+        tuple(r) for r in chunk_semantic_pairs(docs, chunks=good).collect()
+    ) == sorted(tuple(r) for r in chunk_semantic_pairs(docs).collect())
+
+
 def test_chunk_semantic_skipped_embeddings_cross_check(spark):
     """dup_chunk_instances (docs_chunk_dedup_stats) must equal chunk
     instances minus distinct embeddings — the two queries' contracts
