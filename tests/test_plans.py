@@ -45,8 +45,10 @@ ARROW_ALLOWED = {
     "docs_curation_pipeline",                # one-pass quality kernel
     #   (the JVM projection tokenized each doc ~5×; JVM twin is EXTRA)
     "docs_corpus_report",                    # same kernel as its base
-    "docs_decontamination",                  # gram-rows kernel replaces
-    #   the lead-window token shuffle on both semi-join sides
+    "docs_decon_arrival",                    # gram-rows kernel replaces
+    #   the lead-window token shuffle on both semi-join sides (r14: the
+    #   arrival replay took docs_decontamination's driver slot; the
+    #   demoted query keeps the same kernel in EXTRA)
     "docs_repetition_flags_vectorized",      # promoted r8: shuffle-free
     #   per-batch gram counting (139.1 → 12.1 s cold at sf10 vs the
     #   zip_with/concat HOF + two gram-row groupBy shuffles)

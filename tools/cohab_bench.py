@@ -53,15 +53,21 @@ def _atomic_write(spool, name, lines):
     os.rename(tmp, os.path.join(spool, f"{name}.jsonl"))
 
 
+def _set_pool(spark, pool):
+    """Scheduler-pool local property for the CURRENT thread (inherited
+    by threads it creates). No-op under the default FIFO scheduler."""
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+
+
 class SemanticLoad:
     """Vector spool feeder + semantic stream + serving/freshness
     prober — the §6an live-demo loop, reusable per arm."""
 
     def __init__(self, spark, work, seconds, rows_per_sec=500,
-                 trigger_seconds=2, cells=4, compact_every=8):
+                 trigger_seconds=2, cells=4, compact_every=8, pool=None):
         self.spark, self.seconds = spark, seconds
         self.rows_per_sec, self.cells = rows_per_sec, cells
-        self.trigger_seconds = trigger_seconds
+        self.trigger_seconds, self.pool = trigger_seconds, pool
         self.spool = os.path.join(work, "vspool")
         os.makedirs(self.spool)
         self.idx = os.path.join(work, "vidx")
@@ -73,12 +79,17 @@ class SemanticLoad:
         )
 
         self.cache = ResidentIndexCache(spark, self.idx)
+        # the stream-execution thread inherits the starter thread's
+        # scheduler-pool local property — the documented recipe for
+        # giving each streaming query its own FAIR pool
+        _set_pool(spark, pool)
         self.q = start_semantic_dedup_stream(
             spark, self.spool, self.idx, self.dec,
             os.path.join(work, "vckpt"), self.centroids, tau=0.99,
             available_now=False, trigger_seconds=trigger_seconds,
             compact_every=compact_every,
         )
+        _set_pool(spark, None)
         self.freshness: list[float] = []
         self.serve_s: list[float] = []
         self._stop = threading.Event()
@@ -112,6 +123,8 @@ class SemanticLoad:
             semantic_index_topk,
         )
 
+        if self.pool:
+            _set_pool(self.spark, f"{self.pool}-serve")
         mk = 0
         deadline = time.monotonic() + self.seconds
         while not self._stop.is_set() and time.monotonic() < deadline:
@@ -172,7 +185,7 @@ class DeconLoad:
     §6ax protocol), benchmark arriving mid-run."""
 
     def __init__(self, spark, work, sf_dir, waves=7, bench_after=4,
-                 trigger_seconds=2, compact_every=3):
+                 trigger_seconds=2, compact_every=3, pool=None):
         from pyspark.sql import functions as F
 
         from ballcone_spark.streaming import decon_stream as dcs
@@ -195,11 +208,13 @@ class DeconLoad:
             for r in docs.where(F.col("source") == "src0").collect()
         ]
         self.waves, self.bench_after = waves, bench_after
+        _set_pool(spark, pool)
         self.q = dcs.start_decon_stream(
             spark, self.dspool, self.bspool, *self.dirs,
             os.path.join(work, "dckpt"), available_now=False,
             trigger_seconds=trigger_seconds, compact_every=compact_every,
         )
+        _set_pool(spark, None)
         self._fed_all = threading.Event()
         self._feeder = threading.Thread(target=self._feed, daemon=True)
         self._feeder.start()
@@ -276,15 +291,24 @@ def main() -> None:
     ap.add_argument("--rows-per-sec", type=int, default=500)
     ap.add_argument("--arms", default="semantic_solo,decon_solo,cohab",
                     help="comma-separated subset of the three arms")
+    ap.add_argument("--fair", action="store_true",
+                    help="FAIR scheduler + one pool per query (the §6ay "
+                         "mitigation candidate)")
     args = ap.parse_args()
     wanted = set(args.arms.split(","))
 
     from ballcone_spark.session import get_spark
 
-    spark = get_spark("cohab_bench")
+    spark = get_spark(
+        "cohab_bench",
+        extra_conf={"spark.scheduler.mode": "FAIR"} if args.fair else None,
+    )
+    pools = (lambda n: n) if args.fair else (lambda n: None)
     results: dict = {}
 
     def sched_probe(stop, out):
+        if args.fair:
+            _set_pool(spark, "probe")
         while not stop.is_set():
             t0 = time.monotonic()
             spark.range(0, 1, 1, 1).count()
@@ -320,19 +344,23 @@ def main() -> None:
     if "semantic_solo" in wanted:
         arm("semantic_solo", lambda work: {
             "semantic": SemanticLoad(
-                spark, work, args.seconds, rows_per_sec=args.rows_per_sec
+                spark, work, args.seconds, rows_per_sec=args.rows_per_sec,
+                pool=pools("semantic"),
             ),
         })
     if "decon_solo" in wanted:
         arm("decon_solo", lambda work: {
-            "decon": DeconLoad(spark, work, args.sf_dir),
+            "decon": DeconLoad(spark, work, args.sf_dir,
+                               pool=pools("decon")),
         })
     if "cohab" in wanted:
         arm("cohab", lambda work: {
             "semantic": SemanticLoad(
-                spark, work, args.seconds, rows_per_sec=args.rows_per_sec
+                spark, work, args.seconds, rows_per_sec=args.rows_per_sec,
+                pool=pools("semantic"),
             ),
-            "decon": DeconLoad(spark, work, args.sf_dir),
+            "decon": DeconLoad(spark, work, args.sf_dir,
+                               pool=pools("decon")),
         })
 
     head = results.get("cohab") or next(iter(results.values()))
@@ -342,6 +370,7 @@ def main() -> None:
         "unit": "sec",
         "sf_dir": args.sf_dir,
         "rows_per_sec": args.rows_per_sec,
+        "scheduler": "FAIR-pools" if args.fair else "FIFO",
         "arms": results,
         "cores": os.cpu_count(),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
