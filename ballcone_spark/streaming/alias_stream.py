@@ -70,6 +70,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ballcone_spark.streaming.dedup_stream import (
+    SPOOL_MAX_FILES_PER_TRIGGER,
+)
+
 from ballcone_spark.operators.packing import (
     CHUNK_COS_T,
     CHUNK_EMB_DIM,
@@ -254,7 +258,10 @@ def process_alias_batch(
     # O(postings of batch grams), bounded by batch size × gram df. The
     # full index SCAN remains — pruning it needs gram-keyed physical
     # layout, the banded-storage trade documented in the module
-    # docstring). The batch gram set is trigger-bounded → broadcast.
+    # docstring). The batch gram set is trigger-bounded → broadcast
+    # (r14: the invariant is now backed by the stream's default
+    # max_files_per_trigger bound — a cold-start backlog drains in
+    # steady-state-sized batches instead of one giant one).
     # MERGE on the corpus-scale sides: same §6g bogus-estimate class.
     batch_gram_keys = grams_new.select("g").distinct()
     rare = (
@@ -439,7 +446,7 @@ def start_chunk_alias_stream(
     tau: float = CHUNK_COS_T,
     trigger_seconds: int = 5,
     available_now: bool = False,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = SPOOL_MAX_FILES_PER_TRIGGER,
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,

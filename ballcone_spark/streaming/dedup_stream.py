@@ -507,6 +507,18 @@ def _spool_reader(spark, clean_source, archive_dir):
     return reader
 
 
+#: default spool-backpressure bound for every spool stream (r14,
+#: VERDICT r13 #1 follow-through): the streams' probe plans broadcast
+#: batch-derived frames under a "trigger-bounded" invariant that an
+#: unbounded cold-start backlog violates — one giant first micro-batch
+#: is exactly the batch the invariant can't survive. 64 files keeps
+#: cold-start batches the same order as steady-state ones (availableNow
+#: honors the option too, draining in bounded bites); pass None
+#: explicitly to opt out. decon_stream's DECON_MAX_FILES_PER_TRIGGER
+#: is the same bound under its own (test-pinned) name.
+SPOOL_MAX_FILES_PER_TRIGGER = 64
+
+
 def start_dedup_stream(
     spark: SparkSession,
     spool_dir: str,
@@ -518,7 +530,7 @@ def start_dedup_stream(
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = SPOOL_MAX_FILES_PER_TRIGGER,
 ):
     """Micro-batch incremental dedup over a spool of JSON-lines document
     files (``{"doc_id": ..., "text": ...}`` per line). Each batch:

@@ -65,6 +65,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ballcone_spark.operators.semantic_dedup import TAU, _route_np
+from ballcone_spark.streaming.dedup_stream import (
+    SPOOL_MAX_FILES_PER_TRIGGER,
+)
 
 __all__ = [
     "start_semantic_dedup_stream",
@@ -1060,9 +1063,18 @@ def start_semantic_dedup_stream(
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
+    max_files_per_trigger: int | None = SPOOL_MAX_FILES_PER_TRIGGER,
 ):
     """Stream JSON-lines ``{"vec_id": ..., "e": [...]}`` files through
     the incremental SemDeDup rule against a frozen centroid set.
+
+    ``max_files_per_trigger`` (r14): spool backpressure — defaults to
+    :data:`~ballcone_spark.streaming.dedup_stream
+    .SPOOL_MAX_FILES_PER_TRIGGER`, bounding cold-start backlogs to
+    steady-state-sized micro-batches; the decision gram is
+    O(b·(h+b)) in the BATCH size b, so one backlog-sized batch is
+    exactly the memory spike the rectangular kernel exists to avoid.
+    ``None`` opts out.
 
     Per batch: route (Arrow matmul) → decide vs ``batch_id < current``
     history plus earlier-in-batch (both kept AND removed rows — exact
@@ -1106,7 +1118,10 @@ def start_semantic_dedup_stream(
 
     from ballcone_spark.streaming.dedup_stream import _spool_reader
 
-    raw = _spool_reader(spark, clean_source, archive_dir).load(spool_dir)
+    reader = _spool_reader(spark, clean_source, archive_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(spool_dir)
     vecs = raw.select(
         F.get_json_object("value", "$.vec_id").cast("long").alias("vec_id"),
         F.from_json(

@@ -2578,6 +2578,38 @@ def test_decon_backlog_defaults_bounded(spark, tmp_path, monkeypatch):
     assert hist.select("doc_id").distinct().count() == 5
 
 
+def test_all_spool_streams_bound_backpressure_by_default():
+    """r14 (VERDICT r13 #1 follow-through): every spool stream starter
+    bounds maxFilesPerTrigger by default — their probe plans broadcast
+    batch-derived frames (decon doc grams, alias batch gram keys /
+    candidate fps) or build O(b·(h+b)) decision grams under a
+    'trigger-bounded' invariant that an unbounded cold-start backlog
+    violates. None must be an explicit opt-out, never the default."""
+    import inspect
+
+    from ballcone_spark.streaming.alias_stream import (
+        start_chunk_alias_stream,
+    )
+    from ballcone_spark.streaming.dedup_stream import (
+        SPOOL_MAX_FILES_PER_TRIGGER,
+        start_dedup_stream,
+    )
+    from ballcone_spark.streaming.semantic_stream import (
+        start_semantic_dedup_stream,
+    )
+
+    assert SPOOL_MAX_FILES_PER_TRIGGER is not None
+    for fn in (
+        start_dedup_stream,
+        start_chunk_alias_stream,
+        start_semantic_dedup_stream,
+    ):
+        default = inspect.signature(fn).parameters[
+            "max_files_per_trigger"
+        ].default
+        assert default == SPOOL_MAX_FILES_PER_TRIGGER, fn.__name__
+
+
 def test_decon_legacy_fold_only_dir_freezes_unbucketed(spark, tmp_path):
     """r14 (ADVICE r13 #2): a pre-bucketing dir holding only a fold +
     _manifest.json (batch dirs swept/hand-pruned) must ALSO freeze
