@@ -2187,6 +2187,27 @@ def test_resident_index_cache_serves_fresh(spark, tmp_path):
     assert with_replay == serve(False)
     assert any(r[1] == 5 for r in with_replay)  # replay's new vector
 
+    # staleness window (r14): inside min_check_interval_s a get() is
+    # FS-free and may serve a frame the window allows to be stale; the
+    # window elapsing picks up the new state, and invalidate() resets
+    # the clock for out-of-band notification
+    import time as _time
+
+    lazy = ResidentIndexCache(spark, idx, min_check_interval_s=2.0)
+    f0 = lazy.get()
+    write_batch(3, [(6, rot(2))])
+    assert lazy.get() is f0  # inside the window: stale by contract
+    lazy.invalidate()  # out-of-band notify -> immediate re-check
+    f1 = lazy.get()
+    assert f1 is not f0
+    assert any(r["vec_id"] == 6 for r in f1.select("vec_id").collect())
+    write_batch(4, [(7, rot(40))])
+    assert lazy.get() is f1  # window restarted at the re-check
+    _time.sleep(2.1)
+    f2 = lazy.get()  # window elapsed -> re-check finds batch 4
+    assert f2 is not f1
+    assert any(r["vec_id"] == 7 for r in f2.select("vec_id").collect())
+
 
 def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
     """Review r12-b #1/#3: canonical dedup must happen BEFORE the
