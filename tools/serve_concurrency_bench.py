@@ -67,6 +67,11 @@ def main() -> None:
                     help="serve through one ResidentIndexCache shared "
                          "by all clients — repeat requests score the "
                          "in-memory frame instead of re-reading parquet")
+    ap.add_argument("--cache-interval", type=float, default=0.0,
+                    help="ResidentIndexCache min_check_interval_s - "
+                         "inside the window a request serves the cached "
+                         "frame with zero FS round-trips (r14 staleness "
+                         "bound); only meaningful with --resident-cache")
     ap.add_argument("--max-inflight", type=int, default=None,
                     help="admission control: cap concurrently-executing "
                          "requests with a semaphore (clients beyond the "
@@ -108,7 +113,12 @@ def main() -> None:
             os.path.join(idx, f"batch_id={b}")
         )
     compact_index(spark, idx, every=2, sort_col="cluster_id")
-    cache = ResidentIndexCache(spark, idx) if args.resident_cache else None
+    cache = (
+        ResidentIndexCache(
+            spark, idx, min_check_interval_s=args.cache_interval
+        )
+        if args.resident_cache else None
+    )
 
     def one_request(client: int, req: int):
         """One serving call: fresh perturbed-member queries per request
@@ -207,6 +217,7 @@ def main() -> None:
         "nprobe": args.nprobe, "direct": bool(args.direct),
         "max_inflight": args.max_inflight,
         "resident_cache": bool(args.resident_cache),
+        "cache_interval_s": args.cache_interval,
         "median_single_total_s": statistics.median(
             [a["p50_total_s"] for a in arms if a["conc"] == 1]
             or [arms[0]["p50_total_s"]]
