@@ -450,6 +450,7 @@ def start_chunk_alias_stream(
     compact_every: int | None = 64,
     clean_source: str | None = None,
     archive_dir: str | None = None,
+    scheduler_pool: str | None = None,
 ):
     """Micro-batch alias-map maintenance over a spool of JSON-lines
     document files (``{"doc_id": ..., "text": ...}`` per line, the
@@ -507,7 +508,10 @@ def start_chunk_alias_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    from ballcone_spark.streaming.dedup_stream import _scheduler_pool
+
+    with _scheduler_pool(spark, scheduler_pool):
+        return writer.start()
 
 
 # --------------------------------------------------------------------- #

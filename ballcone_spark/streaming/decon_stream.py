@@ -417,6 +417,7 @@ def start_decon_stream(
     clean_source: str | None = None,
     archive_dir: str | None = None,
     hash_buckets: int | None = DECON_HASH_BUCKETS,
+    scheduler_pool: str | None = None,
 ):
     """Two spools — documents (``{"doc_id":..,"text":..}``) and
     benchmark items (``{"bench_id":..,"text":..}``) — UNIONED into one
@@ -499,7 +500,10 @@ def start_decon_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    from ballcone_spark.streaming.dedup_stream import _scheduler_pool
+
+    with _scheduler_pool(spark, scheduler_pool):
+        return writer.start()
 
 
 # --------------------------------------------------------------------- #

@@ -1098,6 +1098,7 @@ def start_semantic_dedup_stream(
     clean_source: str | None = None,
     archive_dir: str | None = None,
     max_files_per_trigger: int | None = SPOOL_MAX_FILES_PER_TRIGGER,
+    scheduler_pool: str | None = None,
 ):
     """Stream JSON-lines ``{"vec_id": ..., "e": [...]}`` files through
     the incremental SemDeDup rule against a frozen centroid set.
@@ -1216,4 +1217,7 @@ def start_semantic_dedup_stream(
         writer = writer.trigger(
             processingTime=f"{trigger_seconds} seconds"
         )
-    return writer.start()
+    from ballcone_spark.streaming.dedup_stream import _scheduler_pool
+
+    with _scheduler_pool(spark, scheduler_pool):
+        return writer.start()

@@ -79,17 +79,12 @@ class SemanticLoad:
         )
 
         self.cache = ResidentIndexCache(spark, self.idx)
-        # the stream-execution thread inherits the starter thread's
-        # scheduler-pool local property — the documented recipe for
-        # giving each streaming query its own FAIR pool
-        _set_pool(spark, pool)
         self.q = start_semantic_dedup_stream(
             spark, self.spool, self.idx, self.dec,
             os.path.join(work, "vckpt"), self.centroids, tau=0.99,
             available_now=False, trigger_seconds=trigger_seconds,
-            compact_every=compact_every,
+            compact_every=compact_every, scheduler_pool=pool,
         )
-        _set_pool(spark, None)
         self.freshness: list[float] = []
         self.serve_s: list[float] = []
         self._stop = threading.Event()
@@ -208,13 +203,12 @@ class DeconLoad:
             for r in docs.where(F.col("source") == "src0").collect()
         ]
         self.waves, self.bench_after = waves, bench_after
-        _set_pool(spark, pool)
         self.q = dcs.start_decon_stream(
             spark, self.dspool, self.bspool, *self.dirs,
             os.path.join(work, "dckpt"), available_now=False,
             trigger_seconds=trigger_seconds, compact_every=compact_every,
+            scheduler_pool=pool,
         )
-        _set_pool(spark, None)
         self._fed_all = threading.Event()
         self._feeder = threading.Thread(target=self._feed, daemon=True)
         self._feeder.start()
