@@ -59,6 +59,7 @@ growth.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -124,6 +125,12 @@ def _fs_dir_has_data(fs, jvm, path_str: str) -> bool:
     return False
 
 
+#: unique-sentinel counter for dirs that vanish mid-listing (see
+#: :func:`_dir_signature`); a module counter, not a timestamp, so the
+#: sentinel is deterministic and never collides with a real signature
+_VANISHED = itertools.count()
+
+
 def _dir_signature(fs, jvm, path_str: str) -> tuple:
     """Data-file content listing ``(path, mtime, length)`` of a state
     dir — the content half of the resident cache's snapshot key (r14,
@@ -132,17 +139,33 @@ def _dir_signature(fs, jvm, path_str: str) -> tuple:
     so a name-only key keeps serving the pre-replay frame — and once
     Spark lazily re-scans it, FileNotFound on the deleted part files.
     Part-file names embed a fresh UUID per write, so any rewrite
-    changes the signature even within mtime granularity."""
+    changes the signature even within mtime granularity.
+
+    A dir VANISHING between the snapshot's listStatus and this per-dir
+    listing (a racing fold commit + sweep — ADVICE r14 #1: the fold
+    grace window protects data reads, not arbitrary-latency key
+    checks) returns a process-unique sentinel instead of raising: the
+    key then can never equal any cached key, so the caller re-reads
+    from a FRESH snapshot rather than crashing the serving request.
+    Other FS failures (permissions, transient IO) still propagate —
+    the ADVICE r7 rule: only the one race whose safe meaning is
+    "snapshot changed under me" is absorbed."""
     sig = []
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path_str), True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        sig.append(
-            (st.getPath().toString(), st.getModificationTime(), st.getLen())
-        )
+    try:
+        it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path_str), True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            sig.append(
+                (st.getPath().toString(), st.getModificationTime(),
+                 st.getLen())
+            )
+    except Exception as e:  # Py4JJavaError wrapping the JVM exception
+        if "FileNotFoundException" not in str(e):
+            raise
+        return ("__vanished__", path_str, next(_VANISHED))
     return tuple(sorted(sig))
 
 

@@ -2099,7 +2099,7 @@ def test_semantic_index_topk_serves_the_stream_state(spark, tmp_path):
         assert a == b and len(b) > 0, (dd, a, b)
 
 
-def test_resident_index_cache_serves_fresh(spark, tmp_path):
+def test_resident_index_cache_serves_fresh(spark, tmp_path, monkeypatch):
     """r13: ResidentIndexCache serves the SAME frame across requests
     (no re-read) while the state is unchanged, invalidates the moment
     a new batch commits or a fold rewrites the snapshot, and topk
@@ -2190,10 +2190,20 @@ def test_resident_index_cache_serves_fresh(spark, tmp_path):
     # staleness window (r14): inside min_check_interval_s a get() is
     # FS-free and may serve a frame the window allows to be stale; the
     # window elapsing picks up the new state, and invalidate() resets
-    # the clock for out-of-band notification
+    # the clock for out-of-band notification. The clock is driven via a
+    # monotonic OFFSET (r15, ADVICE r14 #2): the old 2 s window raced
+    # wall-clock — a loaded box could spend >2 s in the first get()'s
+    # Spark read plus write_batch, eroding the inside-window assertions
+    # (the VERDICT r13 #6 flake class). A 300 s window with an
+    # offset-shifted time.monotonic keeps every branch deterministic
+    # under any load, and the shifted clock stays monotonic for any
+    # other reader.
     import time as _time
 
-    lazy = ResidentIndexCache(spark, idx, min_check_interval_s=2.0)
+    real_monotonic = _time.monotonic
+    offset = [0.0]
+    monkeypatch.setattr(_time, "monotonic", lambda: real_monotonic() + offset[0])
+    lazy = ResidentIndexCache(spark, idx, min_check_interval_s=300.0)
     f0 = lazy.get()
     write_batch(3, [(6, rot(2))])
     assert lazy.get() is f0  # inside the window: stale by contract
@@ -2203,10 +2213,34 @@ def test_resident_index_cache_serves_fresh(spark, tmp_path):
     assert any(r["vec_id"] == 6 for r in f1.select("vec_id").collect())
     write_batch(4, [(7, rot(40))])
     assert lazy.get() is f1  # window restarted at the re-check
-    _time.sleep(2.1)
+    offset[0] = 301.0
     f2 = lazy.get()  # window elapsed -> re-check finds batch 4
     assert f2 is not f1
     assert any(r["vec_id"] == 7 for r in f2.select("vec_id").collect())
+
+
+def test_dir_signature_vanished_dir_returns_unique_sentinel(spark, tmp_path):
+    """r15 (ADVICE r14 #1): a state dir deleted between the snapshot's
+    listStatus and the per-dir signature listing (a racing fold sweep)
+    must yield a process-unique sentinel, not raise — the resident
+    cache's key then mismatches ANY cached key and the caller re-reads
+    from a fresh snapshot instead of crashing the serving request."""
+    from ballcone_spark.streaming import semantic_stream as sem
+
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(str(tmp_path))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    missing = str(tmp_path / "never_existed" / "batch_id=0")
+    s1 = sem._dir_signature(fs, jvm, missing)
+    s2 = sem._dir_signature(fs, jvm, missing)
+    assert s1[0] == "__vanished__" and s2[0] == "__vanished__"
+    assert s1 != s2  # unique per call: the cache key can never re-match
+    # a real dir still yields a plain content signature
+    d = tmp_path / "real"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    s3 = sem._dir_signature(fs, jvm, str(d))
+    assert s3 and s3[0] != "__vanished__"
 
 
 def test_semantic_index_topk_dedup_before_truncation(spark, tmp_path):
