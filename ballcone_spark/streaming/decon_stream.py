@@ -197,10 +197,17 @@ def _grams(df: DataFrame, n: int) -> DataFrame:
     ).distinct()
 
 
-def _read_state(spark: SparkSession, root: str, batch_id: int):
+def _read_state(
+    spark: SparkSession, root: str, batch_id: int,
+    reader_caches: dict | None = None,
+):
     from ballcone_spark.streaming.semantic_stream import read_state_before
 
-    return read_state_before(spark, root, batch_id)
+    cache = (
+        reader_caches.setdefault(root, {})
+        if reader_caches is not None else None
+    )
+    return read_state_before(spark, root, batch_id, commit_cache=cache)
 
 
 def _pruned_doc_history(
@@ -208,6 +215,8 @@ def _pruned_doc_history(
     doc_grams_dir: str,
     batch_id: int,
     bench_g: DataFrame,
+    n_buckets=_GEOM_ABSENT,
+    reader_caches: dict | None = None,
 ) -> DataFrame | None:
     """The retro probe's history side, bucket-pruned: only the hash
     buckets the arriving benchmark's own grams occupy can contain a
@@ -224,12 +233,16 @@ def _pruned_doc_history(
     gate — missed contamination with no error. In a healthy bucketed
     dir every row carries hb, so the isNull branch matches no
     partition and prunes identically."""
-    doc_hist = _read_state(spark, doc_grams_dir, batch_id)
+    doc_hist = _read_state(spark, doc_grams_dir, batch_id, reader_caches)
     if doc_hist is None:
         return None
-    n_buckets = _read_geometry(spark, doc_grams_dir)
     if n_buckets is _GEOM_ABSENT:
-        n_buckets = None
+        # standalone callers; the batch loop passes the geometry it
+        # already holds (int, or None = unbucketed), saving one FS
+        # read per bench arrival (r15)
+        n_buckets = _read_geometry(spark, doc_grams_dir)
+        if n_buckets is _GEOM_ABSENT:
+            n_buckets = None
     if n_buckets and "hb" in doc_hist.columns:
         hbs = sorted(
             r["hb"]
@@ -245,17 +258,57 @@ def _pruned_doc_history(
     return doc_hist
 
 
-def _forward_flags(bench_side: DataFrame, doc_g: DataFrame) -> DataFrame:
+def _forward_flags(
+    bench_side: DataFrame, doc_g: DataFrame, n_grams: int | None = None
+) -> DataFrame:
     """The forward probe: benchmark history ∪ same-batch bench grams
     (probe side) joined against this batch's doc grams — broadcast only
     below :data:`FORWARD_BROADCAST_MAX_GRAMS`, plain stats-planned join
     above it (see the constant's docstring). ``doc_g`` must already be
     localCheckpoint-ed so the gate's count() reuses materialized
-    blocks. Factored out so the gate is plan-testable."""
+    blocks; the batch loop passes ``n_grams`` it already computed so
+    the gate adds no driver job of its own (r15, ADVICE r14 #3).
+    Factored out so the gate is plan-testable."""
+    if n_grams is None:
+        n_grams = doc_g.count()
     probe = doc_g.select("doc_id", "h")
-    if doc_g.count() <= FORWARD_BROADCAST_MAX_GRAMS:
+    if n_grams <= FORWARD_BROADCAST_MAX_GRAMS:
         probe = F.broadcast(probe)
     return bench_side.join(probe, "h", "inner").select("doc_id")
+
+
+def _retro_flags(
+    doc_hist: DataFrame, bench_g: DataFrame, n_grams: int | None = None
+) -> DataFrame:
+    """The retro probe: the (bucket-pruned) doc-gram history probed by
+    this batch's benchmark grams. Same broadcast gate as the forward
+    twin (r15, VERDICT r14 #1-wrong-list: r14 gated the forward
+    direction but left this ``F.broadcast(bench_g)`` unconditional —
+    benchmark arrivals are usually small, but a backfill of 64 LARGE
+    suite files under the default trigger bound is the same driver-OOM
+    class with no ceiling). Below the ceiling the hint stands; above
+    it the planner + AQE choose from the history's real parquet stats.
+    ``bench_g`` must already be localCheckpoint-ed; the batch loop
+    passes ``n_grams`` so the gate costs no extra job."""
+    if n_grams is None:
+        n_grams = bench_g.count()
+    probe = bench_g.select("h")
+    if n_grams <= FORWARD_BROADCAST_MAX_GRAMS:
+        probe = F.broadcast(probe)
+    return doc_hist.join(probe, "h", "semi").select("doc_id")
+
+
+def _partition_absent(spark: SparkSession, root: str, batch_id: int) -> bool:
+    """True when ``root/batch_id=<n>/`` does not exist — the cheap
+    (one py4j round-trip) licence to SKIP the empty placeholder
+    overwrite a side-less batch used to pay a full Spark write job for
+    (r15, VERDICT r14 #1). The overwrite exists only to clear a prior
+    replay attempt's rows; with no dir there is nothing to clear.
+    Hadoop FS API so the probe works on any filesystem Spark writes."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root + f"/batch_id={batch_id}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return not fs.exists(path)
 
 
 def process_decon_batch(
@@ -268,17 +321,32 @@ def process_decon_batch(
     batch_id: int,
     n: int = _DECON_NGRAM,
     hash_buckets: int | None = DECON_HASH_BUCKETS,
+    geometry_cache: dict | None = None,
+    reader_caches: dict | None = None,
 ) -> None:
     """One micro-batch: index the new docs/benchmarks, flag both
     directions. ``docs``/``bench``: ``(doc_id, text)`` / ``(bench_id,
     text)`` or None when the batch carries only one kind.
     ``hash_buckets`` applies to the dir's FIRST write only — after
-    that the persisted geometry wins (see module docstring)."""
+    that the persisted geometry wins (see module docstring).
+
+    ``geometry_cache`` / ``reader_caches`` (r15, VERDICT r14 #1):
+    per-stream memo dicts the batch loop threads through every
+    trigger. Geometry is FROZEN per dir — once ``_ensure_geometry``
+    has answered, re-reading ``_geometry.json`` every batch is a pure
+    py4j tax; likewise the history readers' committed-dir checks (see
+    :func:`~ballcone_spark.streaming.semantic_stream._snapshot_names`).
+    Standalone callers omit both and get the r14 behavior."""
     from ballcone_spark.streaming.dedup_stream import (
         _overwrite_batch_partition,
     )
 
-    n_buckets = _ensure_geometry(spark, doc_grams_dir, hash_buckets)
+    if geometry_cache is not None and "n_buckets" in geometry_cache:
+        n_buckets = geometry_cache["n_buckets"]
+    else:
+        n_buckets = _ensure_geometry(spark, doc_grams_dir, hash_buckets)
+        if geometry_cache is not None:
+            geometry_cache["n_buckets"] = n_buckets
     doc_g = (
         _grams(docs.select("doc_id", "text"), n)
         if docs is not None else None
@@ -295,13 +363,17 @@ def process_decon_batch(
     )
     if doc_g is not None:
         # one execution feeds the index write, the forward probe, and
-        # (as history would) nothing else — checkpoint once
+        # (as history would) nothing else — checkpoint once. The gate
+        # counts below run over these materialized blocks, and only
+        # when a probe actually needs the number (r15, ADVICE r14 #3:
+        # before any benchmark has ever arrived there is no forward
+        # probe, so the count would be a job spent confirming nothing)
         doc_g = doc_g.localCheckpoint(eager=True)
     if bench_g is not None:
         bench_g = bench_g.localCheckpoint(eager=True)
 
     flags = []
-    bench_hist = _read_state(spark, bench_grams_dir, batch_id)
+    bench_hist = _read_state(spark, bench_grams_dir, batch_id, reader_caches)
     if doc_g is not None:
         # forward: new docs vs benchmark history ∪ same-batch
         # benchmarks. The BENCH side is the history here (it grows with
@@ -322,18 +394,19 @@ def process_decon_batch(
             b = bench_hist.select("h")
             bench_side = b if bench_side is None else bench_side.unionByName(b)
         if bench_side is not None:
-            flags.append(_forward_flags(bench_side, doc_g))
+            flags.append(_forward_flags(bench_side, doc_g, doc_g.count()))
     if bench_g is not None:
         # retro: new benchmarks vs the DOC gram history — history is
-        # the big side and stays the probe of a broadcast semi-join,
-        # bucket-pruned to the benchmark's own hash buckets (r13)
+        # the big side and stays the probe of a (gated — r15) broadcast
+        # semi-join, bucket-pruned to the benchmark's own hash buckets
+        # (r13)
         doc_hist = _pruned_doc_history(
-            spark, doc_grams_dir, batch_id, bench_g
+            spark, doc_grams_dir, batch_id, bench_g,
+            n_buckets=n_buckets, reader_caches=reader_caches,
         )
         if doc_hist is not None:
             flags.append(
-                doc_hist.join(F.broadcast(bench_g), "h", "semi")
-                .select("doc_id")
+                _retro_flags(doc_hist, bench_g, bench_g.count())
             )
 
     if flags:
@@ -346,7 +419,7 @@ def process_decon_batch(
         # the latest-wins fold degenerates to a no-op for it, and
         # ``flagged_batch`` stays the EARLIEST flagging batch across
         # folds (a latest-wins fold would otherwise overwrite it)
-        flag_hist = _read_state(spark, flags_dir, batch_id)
+        flag_hist = _read_state(spark, flags_dir, batch_id, reader_caches)
         out = out.distinct()
         if flag_hist is not None:
             # no broadcast hint (r13 review): NEITHER side is bounded —
@@ -366,26 +439,45 @@ def process_decon_batch(
             "flagged_batch", F.lit(batch_id).cast("int")
         )
     else:
-        out = spark.createDataFrame(
-            [], "doc_id long, flagged_batch int"
+        out = None
+
+    # placeholder-write skip (r15, VERDICT r14 #1): a side the batch
+    # didn't carry used to pay a full Spark write job for an EMPTY
+    # overwrite every trigger. The overwrite's only purpose is replay
+    # hygiene — clearing a prior attempt's rows under this batch_id —
+    # so when the partition dir does not exist (the overwhelmingly
+    # common case: first and only attempt), one FS exists probe
+    # replaces the job. When the dir DOES exist the empty overwrite
+    # still runs, so replays stay exactly as safe as before.
+    if out is not None or not _partition_absent(spark, flags_dir, batch_id):
+        _overwrite_batch_partition(
+            out if out is not None
+            else spark.createDataFrame([], "doc_id long, flagged_batch int"),
+            flags_dir,
+            batch_id,
         )
-    _overwrite_batch_partition(out, flags_dir, batch_id)
-    empty_doc_schema = "doc_id long, h long" + (
-        ", hb int" if n_buckets else ""
-    )
-    _overwrite_batch_partition(
-        doc_g if doc_g is not None
-        else spark.createDataFrame([], empty_doc_schema),
-        doc_grams_dir,
-        batch_id,
-        partition_col="hb" if n_buckets else None,
-    )
-    _overwrite_batch_partition(
-        bench_g if bench_g is not None
-        else spark.createDataFrame([], "h long"),
-        bench_grams_dir,
-        batch_id,
-    )
+    if doc_g is not None or not _partition_absent(
+        spark, doc_grams_dir, batch_id
+    ):
+        empty_doc_schema = "doc_id long, h long" + (
+            ", hb int" if n_buckets else ""
+        )
+        _overwrite_batch_partition(
+            doc_g if doc_g is not None
+            else spark.createDataFrame([], empty_doc_schema),
+            doc_grams_dir,
+            batch_id,
+            partition_col="hb" if n_buckets else None,
+        )
+    if bench_g is not None or not _partition_absent(
+        spark, bench_grams_dir, batch_id
+    ):
+        _overwrite_batch_partition(
+            bench_g if bench_g is not None
+            else spark.createDataFrame([], "h long"),
+            bench_grams_dir,
+            batch_id,
+        )
 
 
 def read_contaminated(spark: SparkSession, flags_dir: str):
@@ -450,10 +542,26 @@ def start_decon_stream(
     )
     both = docs_raw.unionByName(bench_raw)
 
+    # per-stream memos (r15, VERDICT r14 #1): frozen geometry read
+    # once per stream instead of once per batch; committed-dir checks
+    # paid once per dir instead of once per trigger
+    geometry_cache: dict = {}
+    reader_caches: dict = {}
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         batch_df = batch_df.localCheckpoint(eager=True)
+        # ONE job answers "which kinds does this batch carry" — this
+        # used to be three (take(1) on the raw batch plus one per
+        # parsed side), each a driver scheduling round-trip that
+        # serializes with every co-resident stream (§6ay; r15)
+        kinds = {
+            r["kind"]: r["n_rows"]
+            for r in batch_df.groupBy("kind")
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
+        }
+        if not kinds:
+            return
         docs = batch_df.where(F.col("kind") == "doc").select(
             F.get_json_object("value", "$.doc_id").cast("long")
             .alias("doc_id"),
@@ -466,14 +574,16 @@ def start_decon_stream(
         ).where(F.col("bench_id").isNotNull() & F.col("text").isNotNull())
         process_decon_batch(
             spark,
-            docs if docs.take(1) else None,
-            bench if bench.take(1) else None,
+            docs if kinds.get("doc") else None,
+            bench if kinds.get("bench") else None,
             doc_grams_dir,
             bench_grams_dir,
             flags_dir,
             batch_id,
             n=n,
             hash_buckets=hash_buckets,
+            geometry_cache=geometry_cache,
+            reader_caches=reader_caches,
         )
         if compact_every is not None:
             # the doc-gram fold keeps the hb bucketing so retro-probe

@@ -95,12 +95,19 @@ def start_file_ingest(
     archive_dir: str | None = None,
     query_name: str = "ballcone_ingest",
     service_shard: str | None = None,
+    scheduler_pool: str | None = None,
 ):
     """Start the micro-batch ingest from a spool directory of datagram
     text files (written by the UDP bridge or any log shipper).
 
     Returns the StreamingQuery. ``available_now=True`` drains whatever
     is in the spool and stops — the test/backfill mode.
+
+    ``scheduler_pool`` (r15, VERDICT r14 #5): same first-class FAIR
+    pool assignment as the four spool-stream starters — the ingest
+    stream joins the cohabitation envelope as a third co-resident, and
+    §6ay's remedy (latency-sensitive consumers in their own pool)
+    must apply to it the same way.
 
     ``clean_source`` (r12): what happens to a spool file once its
     micro-batch COMMITS — ``"delete"`` (default), ``"archive"`` (moved
@@ -297,7 +304,10 @@ def start_file_ingest(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    from ballcone_spark.streaming.dedup_stream import _scheduler_pool
+
+    with _scheduler_pool(spark, scheduler_pool):
+        return writer.start()
 
 
 def compact_warehouse(

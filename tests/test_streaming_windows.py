@@ -2219,6 +2219,90 @@ def test_resident_index_cache_serves_fresh(spark, tmp_path, monkeypatch):
     assert any(r["vec_id"] == 7 for r in f2.select("vec_id").collect())
 
 
+def test_resident_index_cache_single_flights_key_check(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 what's-wrong #2): N concurrent ``get()``s must
+    coalesce the ~245 ms snapshot listing into ONE in-flight check —
+    requests arriving mid-flight piggyback on its result (bounded-
+    staleness: at most one check duration, vs the interval knob's
+    unbounded window) instead of each paying their own listing — the
+    §6az route-phase serialization. Sequential callers still always
+    run a fresh check (the exact contract, pinned separately)."""
+    import threading
+    import time as _time
+
+    from ballcone_spark.streaming import semantic_stream as sem
+    from ballcone_spark.streaming.semantic_stream import (
+        ResidentIndexCache,
+    )
+
+    idx = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, 0, [1.0, 0.0], 1.0, None, 0)],
+        "vec_id long, cluster_id long, e array<double>, nrm double, "
+        "codes array<int>, batch_id long",
+    ).coalesce(1).write.parquet(idx + "/batch_id=0")
+
+    calls = []
+    release = threading.Event()
+    real = sem._snapshot_names
+
+    def gated(*a, **k):
+        if not k.get("with_signature"):
+            # the re-read path's own internal listing — not a key check
+            return real(*a, **k)
+        calls.append(_time.monotonic())
+        if len(calls) == 1:
+            # hold the FIRST check open until every peer has arrived
+            # and parked — the interleaving is then deterministic, not
+            # a thread-scheduling race
+            assert release.wait(timeout=30)
+        return real(*a, **k)
+
+    monkeypatch.setattr(sem, "_snapshot_names", gated)
+    cache = ResidentIndexCache(spark, idx)
+    results = [None] * 8
+    errs = []
+
+    def client(i):
+        try:
+            results[i] = cache.get()
+        except Exception as e:  # pragma: no cover - surface in assert
+            errs.append(repr(e))
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(8)
+    ]
+    threads[0].start()
+    deadline = _time.monotonic() + 30
+    while not calls and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert calls, "first check never started"
+    for t in threads[1:]:
+        t.start()
+    # wait until all 7 peers are parked on the in-flight check (their
+    # arrivals are then all AFTER the first check's start — the
+    # worst case for coalescing)
+    while (
+        len(cache._cv._waiters) < 7 and _time.monotonic() < deadline
+    ):
+        _time.sleep(0.01)
+    assert len(cache._cv._waiters) == 7, len(cache._cv._waiters)
+    release.set()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    # single-flight: the 7 mid-flight arrivals piggyback on the one
+    # in-flight check — ONE listing serves all 8 requests, never 8
+    assert len(calls) == 1, f"{len(calls)} listings for 8 requests"
+    assert all(r is results[0] and r is not None for r in results)
+    # a sequential request after the burst finds no flight and runs
+    # its own fresh check — the exact contract for solo callers
+    assert cache.get() is results[0]
+    assert len(calls) == 2
+
+
 def test_dir_signature_vanished_dir_returns_unique_sentinel(spark, tmp_path):
     """r15 (ADVICE r14 #1): a state dir deleted between the snapshot's
     listStatus and the per-dir signature listing (a racing fold sweep)
@@ -2465,6 +2549,13 @@ def test_decon_retro_scan_bucket_pruned(spark, tmp_path):
     bench = spark.createDataFrame(
         [(100, f"eval {leak} question")], "bench_id long, text string"
     )
+    # a crashed prior attempt left an uncommitted batch_id=1 dir: the
+    # bench-only replay must still OVERWRITE it (replay hygiene), which
+    # commits the file-less placeholder readers must tolerate (r13)
+    b1 = _os.path.join(dg, "batch_id=1")
+    _os.makedirs(b1)
+    with open(_os.path.join(b1, "part-stale.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
     dcs.process_decon_batch(
         spark, None, bench, dg, bg, fl, batch_id=1, hash_buckets=32
     )
@@ -2472,13 +2563,25 @@ def test_decon_retro_scan_bucket_pruned(spark, tmp_path):
     got = {r["doc_id"] for r in
            dcs.read_contaminated(spark, fl).collect()}
     assert got == {2}
-    # the bench-only batch committed a file-less doc-gram placeholder
-    b1 = _os.path.join(dg, "batch_id=1")
+    # the overwrite committed a file-less doc-gram placeholder (stale
+    # attempt's file cleared, zero data files, _SUCCESS present)
     assert _os.path.exists(_os.path.join(b1, "_SUCCESS"))
     assert not any(
         f for _r, _d, fs_ in _os.walk(b1) for f in fs_
         if not f.startswith(("_", "."))
     )
+    # placeholder-write skip (r15): a side-less batch with NO prior
+    # attempt writes nothing at all — one FS probe instead of a job
+    bench2 = spark.createDataFrame(
+        [(101, "totally unrelated benchmark prompt")],
+        "bench_id long, text string",
+    )
+    dcs.process_decon_batch(
+        spark, None, bench2, dg, bg, fl, batch_id=2, hash_buckets=4
+    )
+    assert not _os.path.exists(_os.path.join(dg, "batch_id=2"))
+    assert {r["doc_id"] for r in
+            dcs.read_contaminated(spark, fl).collect()} == {2}
     # plan gate: the retro probe's history side carries the hb
     # partition filter, and it prunes to ≤ the bench's own buckets
     bench_g = dcs._grams(
@@ -2589,6 +2692,113 @@ def test_decon_forward_broadcast_gate(spark, tmp_path, monkeypatch):
     assert {r["doc_id"] for r in big.distinct().collect()} == {1}
 
 
+def test_decon_retro_broadcast_gate(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT r14 what's-wrong #1): the retro probe's benchmark
+    gram broadcast gets the same ceiling as its forward twin — a
+    backfill of LARGE benchmark files is the same driver-OOM class.
+    Same shape as the forward test: hint present below the ceiling,
+    absent above it, flags identical either way."""
+    from ballcone_spark.streaming import decon_stream as dcs
+
+    dg, bg, fl = (str(tmp_path / d) for d in ("dg", "bg", "fl"))
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [(1, "clean one two three four five six seven eight nine"),
+         (2, f"dirty prefix {leak} suffix words")],
+        "doc_id long, text string",
+    )
+    dcs.process_decon_batch(
+        spark, docs, None, dg, bg, fl, batch_id=0, hash_buckets=4
+    )
+    bench_g = dcs._grams(
+        spark.createDataFrame(
+            [(100, f"eval {leak} question")], "doc_id long, text string"
+        ),
+        8,
+    ).select("h").distinct().localCheckpoint(eager=True)
+    doc_hist = dcs._pruned_doc_history(spark, dg, 1, bench_g)
+
+    def _hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    small = dcs._retro_flags(doc_hist, bench_g)
+    assert _hinted(small)
+    monkeypatch.setattr(dcs, "FORWARD_BROADCAST_MAX_GRAMS", 0)
+    big = dcs._retro_flags(doc_hist, bench_g)
+    assert not _hinted(big)
+    # the gate changes strategy, never results
+    assert (
+        {r["doc_id"] for r in small.distinct().collect()}
+        == {r["doc_id"] for r in big.distinct().collect()}
+        == {2}
+    )
+
+
+def test_decon_batch_loop_memoizes_frozen_state(spark, tmp_path, monkeypatch):
+    """r15 (VERDICT r14 #1): the per-stream memos must make the frozen
+    facts one-time costs — geometry is read from disk at most once per
+    stream (not once per batch), and a committed history dir's
+    _SUCCESS/has-data checks are paid once per dir (not once per
+    trigger). Driven through process_decon_batch with shared caches,
+    counting the underlying helpers; results must equal the uncached
+    run exactly."""
+    import collections
+    import functools
+
+    from ballcone_spark.streaming import decon_stream as dcs
+    from ballcone_spark.streaming import semantic_stream as sem
+
+    calls = collections.Counter()
+
+    def counted(mod, name):
+        fn = getattr(mod, name)
+
+        @functools.wraps(fn)
+        def w(*a, **k):
+            calls[name] += 1
+            return fn(*a, **k)
+
+        monkeypatch.setattr(mod, name, w)
+
+    counted(dcs, "_read_geometry")
+    counted(sem, "_fs_dir_has_data")
+
+    dg, bg, fl = (str(tmp_path / d) for d in ("dg", "bg", "fl"))
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    geometry_cache: dict = {}
+    reader_caches: dict = {}
+
+    def batch(i, docs=None, bench=None):
+        dcs.process_decon_batch(
+            spark, docs, bench, dg, bg, fl, batch_id=i, hash_buckets=4,
+            geometry_cache=geometry_cache, reader_caches=reader_caches,
+        )
+
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)
+    batch(0, docs=mk(
+        [(1, "one two three four five six seven eight nine"),
+         (2, f"dirty {leak} tail")], "doc_id long, text string"))
+    batch(1, bench=mk(
+        [(100, f"eval {leak} q")], "bench_id long, text string"))
+    g0 = calls["_read_geometry"]
+    h0 = calls["_fs_dir_has_data"]
+    # two more doc batches against the now-populated histories
+    batch(2, docs=mk([(3, f"late {leak} echo")],
+                     "doc_id long, text string"))
+    batch(3, docs=mk([(4, "clean alpha beta gamma delta words here ok")],
+                     "doc_id long, text string"))
+    # geometry: frozen per dir — NEVER re-read once the cache holds it
+    assert calls["_read_geometry"] == g0
+    # committed-dir checks: each dir verified at most once across the
+    # whole run — batches 2 and 3 re-read the same histories but may
+    # only pay for dirs they had not seen yet (uncached this grows by
+    # >= 2 per history re-read, one per live dir)
+    new_dirs = calls["_fs_dir_has_data"] - h0
+    assert new_dirs <= 4, calls
+    assert {r["doc_id"] for r in
+            dcs.read_contaminated(spark, fl).collect()} == {2, 3}
+
+
 def test_decon_backlog_defaults_bounded(spark, tmp_path, monkeypatch):
     """r14 (VERDICT r13 #1): a multi-file spool backlog driven through
     start_decon_stream DEFAULTS must split into bounded micro-batches —
@@ -2649,6 +2859,7 @@ def test_stream_starters_scope_scheduler_pool(spark, tmp_path):
     )
     from ballcone_spark.streaming.decon_stream import start_decon_stream
     from ballcone_spark.streaming.dedup_stream import start_dedup_stream
+    from ballcone_spark.streaming.ingest import start_file_ingest
     from ballcone_spark.streaming.semantic_stream import (
         start_semantic_dedup_stream,
     )
@@ -2658,6 +2869,9 @@ def test_stream_starters_scope_scheduler_pool(spark, tmp_path):
         start_chunk_alias_stream,
         start_semantic_dedup_stream,
         start_decon_stream,
+        # r15 (VERDICT r14 #5): the ingest starter joins the pool API
+        # for the three-stream cohabitation envelope
+        start_file_ingest,
     ):
         assert (
             inspect.signature(fn).parameters["scheduler_pool"].default

@@ -175,6 +175,94 @@ class SemanticLoad:
         }
 
 
+class IngestLoad:
+    """Datagram spool feeder + the reference-parity file-ingest stream
+    (r15, VERDICT r14 #5): parse → enrich → (service, date) parquet
+    append, driven at a steady file rate like the ingest_bench live
+    mode, as a third co-resident beside the semantic serving loop and
+    the decon stream."""
+
+    def __init__(self, spark, work, seconds, rows_per_sec=2000,
+                 trigger_seconds=2, pool=None):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ingest_bench",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "ingest_bench.py"),
+        )
+        ib = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ib)
+        self._write_spool = ib.write_spool
+
+        from ballcone_spark.streaming.ingest import start_file_ingest
+
+        self.spark, self.seconds = spark, seconds
+        self.rows_per_sec = rows_per_sec
+        self.trigger_seconds = trigger_seconds
+        self.spool = os.path.join(work, "ispool")
+        self.wh = os.path.join(work, "iwh")
+        os.makedirs(self.spool)
+        self.q = start_file_ingest(
+            spark, self.spool, self.wh, os.path.join(work, "ickpt"),
+            trigger_seconds=trigger_seconds, max_files_per_trigger=64,
+            scheduler_pool=pool,
+        )
+        self._stop = threading.Event()
+        self._rows_fed = 0
+        self._feeder = threading.Thread(target=self._feed, daemon=True)
+        self._feeder.start()
+
+    def _feed(self):
+        # one spool file per second at the target rate — the bridge's
+        # 5 s roll compressed to match the other loads' cadence
+        seq = 0
+        deadline = time.monotonic() + self.seconds
+        while not self._stop.is_set() and time.monotonic() < deadline:
+            t0 = time.monotonic()
+            self._write_spool(
+                self.spool, self.rows_per_sec, self.rows_per_sec,
+                seq_start=seq,
+            )
+            seq += 1
+            self._rows_fed += self.rows_per_sec
+            time.sleep(max(0.0, 1.0 - (time.monotonic() - t0)))
+
+    def finish(self) -> dict:
+        self._feeder.join(timeout=self.seconds + 30)
+        self._stop.set()
+        # drain the spool tail, then count what landed
+        idle, seen = 0, -1
+        deadline = time.monotonic() + 120
+        while idle < 2 and time.monotonic() < deadline:
+            time.sleep(2 * self.trigger_seconds)
+            total = sum(p["numInputRows"]
+                        for p in (self.q.recentProgress or []))
+            idle = idle + 1 if total == seen else 0
+            seen = total
+        prog = [p for p in (self.q.recentProgress or [])
+                if p["numInputRows"] > 0]
+        self.q.stop()
+        landed = 0
+        if os.path.isdir(self.wh):
+            try:
+                landed = self.spark.read.parquet(self.wh).count()
+            except Exception:
+                landed = -1
+        durs = [p["batchDuration"] for p in prog if p.get("batchDuration")]
+        return {
+            "n_batches": len(prog),
+            "batch_ms_p50": _pct(durs, 0.5),
+            "batch_ms_p90": _pct(durs, 0.9),
+            "trigger_slippage_p50": (
+                round(_pct(durs, 0.5) / (self.trigger_seconds * 1000), 2)
+                if durs else None
+            ),
+            "rows_fed": self._rows_fed,
+            "rows_landed": landed,
+        }
+
+
 class DeconLoad:
     """Doc-wave feeder + decon stream, paced on batch completion (the
     §6ax protocol), benchmark arriving mid-run."""
@@ -284,10 +372,18 @@ def main() -> None:
                     help="semantic feeder/prober duration per arm")
     ap.add_argument("--rows-per-sec", type=int, default=500)
     ap.add_argument("--arms", default="semantic_solo,decon_solo,cohab",
-                    help="comma-separated subset of the three arms")
+                    help="comma-separated subset of: semantic_solo, "
+                         "decon_solo, ingest_solo, cohab, cohab3")
     ap.add_argument("--fair", action="store_true",
                     help="FAIR scheduler + one pool per query (the §6ay "
                          "mitigation candidate)")
+    ap.add_argument("--stagger", action="store_true",
+                    help="co-prime trigger phases in the cohab arms "
+                         "(decon 3 s vs semantic 2 s, so the trigger "
+                         "edges align only every 6 s) — the §6ay "
+                         "mitigation candidate FAIR pools were measured "
+                         "against (r15, VERDICT r14 #4)")
+    ap.add_argument("--ingest-rows-per-sec", type=int, default=2000)
     args = ap.parse_args()
     wanted = set(args.arms.split(","))
 
@@ -347,6 +443,19 @@ def main() -> None:
             "decon": DeconLoad(spark, work, args.sf_dir,
                                pool=pools("decon")),
         })
+    if "ingest_solo" in wanted:
+        arm("ingest_solo", lambda work: {
+            "ingest": IngestLoad(
+                spark, work, args.seconds,
+                rows_per_sec=args.ingest_rows_per_sec,
+                pool=pools("ingest"),
+            ),
+        })
+    # staggered cohab: decon on a 3 s trigger vs semantic/ingest on
+    # 2 s — processingTime triggers fire on wall-clock multiples of
+    # the interval, so equal intervals collide on EVERY edge and
+    # co-prime ones only every 6 s
+    decon_trigger = 3 if args.stagger else 2
     if "cohab" in wanted:
         arm("cohab", lambda work: {
             "semantic": SemanticLoad(
@@ -354,10 +463,28 @@ def main() -> None:
                 pool=pools("semantic"),
             ),
             "decon": DeconLoad(spark, work, args.sf_dir,
+                               trigger_seconds=decon_trigger,
                                pool=pools("decon")),
         })
+    if "cohab3" in wanted:
+        arm("cohab3", lambda work: {
+            "semantic": SemanticLoad(
+                spark, work, args.seconds, rows_per_sec=args.rows_per_sec,
+                pool=pools("semantic"),
+            ),
+            "decon": DeconLoad(spark, work, args.sf_dir,
+                               trigger_seconds=decon_trigger,
+                               pool=pools("decon")),
+            "ingest": IngestLoad(
+                spark, work, args.seconds,
+                rows_per_sec=args.ingest_rows_per_sec,
+                pool=pools("ingest"),
+            ),
+        })
 
-    head = results.get("cohab") or next(iter(results.values()))
+    head = results.get("cohab3") or results.get("cohab") \
+        or next(iter(results.values()))
+
     print(json.dumps({
         "metric": "cohab_envelope",
         "value": (head.get("semantic") or {}).get("freshness_p50_s"),
@@ -365,6 +492,7 @@ def main() -> None:
         "sf_dir": args.sf_dir,
         "rows_per_sec": args.rows_per_sec,
         "scheduler": "FAIR-pools" if args.fair else "FIFO",
+        "stagger": bool(args.stagger),
         "arms": results,
         "cores": os.cpu_count(),
         "loadavg": [round(x, 2) for x in os.getloadavg()],

@@ -77,8 +77,8 @@ def main() -> None:
     probes: list[dict] = []
     orig_pruned = dcs._pruned_doc_history
 
-    def observed(spark_, doc_grams_dir, batch_id, bench_g):
-        hist = orig_pruned(spark_, doc_grams_dir, batch_id, bench_g)
+    def observed(spark_, doc_grams_dir, batch_id, bench_g, **kw):
+        hist = orig_pruned(spark_, doc_grams_dir, batch_id, bench_g, **kw)
         if hist is not None:
             plan = hist._jdf.queryExecution().executedPlan().toString()
             seg = (
