@@ -44,6 +44,11 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     # division + round left JVM-side
     from ballcone_spark.operators.text_analysis import quality_signals_np
 
+    # Lineage barrier (r15): base feeds the dup-fp aggregate, the
+    # per-doc join spine, AND (below) the dominant-language count —
+    # without it the Arrow quality kernel re-tokenized the corpus once
+    # per consumer (plan: documents scanned twice through MapInPandas +
+    # once more for lang_counts; now once).
     base = quality_signals_np(
         docs, extra_cols=("source", "lang", "n_chars")
     ).select(
@@ -56,7 +61,7 @@ def corpus_report(docs: DataFrame) -> DataFrame:
             F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4
         ).alias("uniq_ratio"),
         "fp",
-    )
+    ).localCheckpoint(eager=False)
     dup_fps = (
         base.groupBy("fp")
         .agg(F.count("*").alias("c"))
@@ -94,7 +99,10 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),
         F.sum(F.coalesce("bp", F.lit(0))).alias("boilerplate_docs"),
     )
-    lang_counts = docs.groupBy("source", "lang").agg(
+    # (source, lang) counts from the checkpointed per-doc frame — the
+    # kernel is 1 row in → 1 row out, so the counts are identical to a
+    # fourth scan of the raw docs, minus the scan (r15)
+    lang_counts = base.groupBy("source", "lang").agg(
         F.count("*").alias("lc")
     )
     w = Window.partitionBy("source").orderBy(F.desc("lc"), F.asc("lang"))
@@ -172,6 +180,9 @@ ORDER BY a.source
     # promoted to driver r7 (VERDICT r6 #5): the dataset card a curator
     # ships — the most production-shaped composition in the corpus
     # family; slot freed by demoting the tpch_q14 echo
+    # r15: the checkpointed per-doc signal frame is baked state — reuse
+    # the plan only while the documents parquet is unchanged
+    cacheable=("documents",),
 )
 def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card: per-source doc/token mass, exact-dup count,

@@ -2029,9 +2029,19 @@ def fuzzy_decontamination(
         pair_budget = max(
             _PAIR_BUDGET_FLOOR, _PAIR_BUDGET_PER_DOC * docs.count()
         )
-    c = shingle_rows(docs, n=n)  # distinct (doc_id, s)
-    b = shingle_rows(benchmark, n=n).select(
-        F.col("doc_id").alias("bench_id"), "s"
+    # Lineage barriers (r15): each side's distinct-shingle frame is
+    # referenced by FIVE consumers (df-cut histogram, hot set,
+    # candidates, per-side cardinalities, exact verify) — without the
+    # barrier every consumer re-ran the full scan + posexplode +
+    # lead-window + distinct pipeline (plan: 10 parquet scans; now 2).
+    # Same trade the span family measured at sf10-sf30: materialized
+    # gram rows are ~token-stream-sized, far cheaper to store once than
+    # to recompute per consumer.
+    c = shingle_rows(docs, n=n).localCheckpoint(eager=False)
+    b = (
+        shingle_rows(benchmark, n=n)
+        .select(F.col("doc_id").alias("bench_id"), "s")
+        .localCheckpoint(eager=False)
     )
     cut, _ = adaptive_df_cut(
         c.select("s").unionAll(b.select("s")).select("s"), max_df, pair_budget

@@ -68,12 +68,18 @@ def pack_sequences(
     the concatenated stream. Whitespace token counting — the rule both
     engines split identically."""
     h = _order_hash(F.col("doc_id"))
+    # Lineage barrier (r15): the projection is consumed by BOTH the
+    # per-bucket cumsum window and the bucket-totals aggregate — without
+    # it each branch re-scanned the corpus and re-split every document's
+    # text to count tokens (plan: 2 parquet scans; now 1). The
+    # materialized rows are 4 narrow columns per doc — tens of bytes —
+    # against a full re-tokenization of the text column.
     base = docs.select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
         h.alias("_h"),
         F.substring(h, 1, 2).alias("_bucket"),
-    )
+    ).localCheckpoint(eager=False)
     # Phase 1+2: per-bucket inclusive cumsum. Ordering by (_bucket, _h)
     # refines ordering by _h, so per-bucket prefix sums + bucket offsets
     # recompose the global prefix sum exactly.
@@ -262,6 +268,10 @@ packed AS (
     # promoted to driver r8 (VERDICT r7 #4): the most production-shaped
     # packing query — the bucketed two-phase prefix sum vs the oracle's
     # naive global window; slot freed by demoting the tpch_q18 echo
+    # r15: pack_sequences checkpoints its token-count projection — baked
+    # state, so reuse the plan only while the documents parquet is
+    # unchanged
+    cacheable=("documents",),
 )
 def docs_pack_sequences(spark, sf_dir):
     """Concat-and-chunk packing map at 512 tokens/block. The oracle is
@@ -294,6 +304,7 @@ def docs_pack_sequences(spark, sf_dir):
     ORDER BY block_id
     """,
     driver=False,
+    cacheable=("documents",),  # r15: pack_sequences bakes a checkpoint
 )
 def docs_pack_block_stats(spark, sf_dir):
     """Block occupancy of the 512-token packing: every block's doc
@@ -332,6 +343,7 @@ _BLOCKS_PER_SHARD = 16
     ORDER BY shard_id
     """,
     driver=False,
+    cacheable=("documents",),  # r15: pack_sequences bakes a checkpoint
 )
 def docs_pack_shard_manifest(spark, sf_dir):
     """Shard-level manifest of the 512-token packing at 16 blocks per

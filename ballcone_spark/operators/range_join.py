@@ -181,6 +181,9 @@ sessions AS (
     GROUP BY a.user_id, b.user_id
     ORDER BY user_a, user_b
     """,
+    # the checkpointed session frame is baked state: reuse the plan only
+    # while the events parquet is unchanged (r15)
+    cacheable=("events",),
 )
 def events_session_overlaps(spark, sf_dir):
     """Co-activity: for user pairs, how many of their session
@@ -190,7 +193,13 @@ def events_session_overlaps(spark, sf_dir):
     Reference has no range join; this extends the SQL console surface
     (SURVEY.md §2.4)."""
     ev = load_table(spark, sf_dir, "events")
-    sess = sessions_with_bounds(ev, _MAX_USER)
+    # Lineage barrier (r15): overlap_pairs references each side FOUR
+    # ways (short/long split per side, plus the full right side in the
+    # long-row broadcast branch) — without it the events scan + session
+    # window + groupBy re-ran once per reference (plan: 6 parquet scans;
+    # now 1). The session frame is tiny (≤ users × sessions rows), so
+    # materializing it once is strictly cheaper at any scale.
+    sess = sessions_with_bounds(ev, _MAX_USER).localCheckpoint(eager=False)
     pairs = overlap_pairs(sess, sess, on=[], start="start", end="end")
     return (
         pairs.where(F.col("a_user_id") < F.col("b_user_id"))

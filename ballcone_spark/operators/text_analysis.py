@@ -516,6 +516,9 @@ scored AS (SELECT t.doc_id, t.term,
     FROM ranked WHERE rank <= {_TFIDF_TOPK}
     ORDER BY doc_id, rank
     """,
+    # the checkpointed (doc_id, term) aggregate is baked state: reuse
+    # the plan only while the documents parquet is unchanged (r15)
+    cacheable=("documents",),
 )
 def docs_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smoothed IDF:
@@ -539,11 +542,27 @@ def docs_tfidf_top_terms(spark, sf_dir):
     tok = _docs(spark, sf_dir).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf_counts = tok.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    # ONE corpus-wide token explode + (doc_id, term) aggregate feeds all
+    # three statistics (r15). Before, TF / DF / N each re-derived it —
+    # three scans and three explodes of the corpus per execution (the
+    # doc_id<100 result bound pruned only the TF branch; DF and N are
+    # corpus-wide by definition). The lineage barrier is the family's
+    # standard fix (exact_jaccard_on_pairs, lm_quality grams): DF and N
+    # now read the materialized aggregate, and TF's per-doc filter runs
+    # over it too — same rows, since TF of a doc never depends on other
+    # docs. Plan: 3 parquet scans → 1.
+    tf_counts = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("f"))
+        .localCheckpoint(eager=False)
+    )
     w_doc = Window.partitionBy("doc_id")
     tf = tf_counts.withColumn("tf", F.col("f") / F.sum("f").over(w_doc))
     df = tf_counts.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    # N from the same aggregate as DF — a doc with ≥1 token survives the
+    # (doc_id, term) grouping with ≥1 row, so countDistinct(doc_id) over
+    # it is identical to countDistinct over the raw token stream.
+    n_docs = tf_counts.select(F.countDistinct("doc_id").alias("n"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
