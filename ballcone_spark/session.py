@@ -45,8 +45,13 @@ def get_spark(
         # Local mode: a 200-partition shuffle of a tiny table is pure
         # scheduler overhead; AQE coalesces post-shuffle partitions but
         # the map-side task count still matters at small SF. Default low
-        # here (AQE splits skewed/oversized partitions on a real cluster,
-        # where initialPartitionNum below gives it headroom to grow).
+        # here. r15 A/B (headline bench, 32 cores, sf0.1, quiet box):
+        # 64 initial partitions + AQE coalescing read 1.302 s vs 1.214 s
+        # at the default 8 — raising local partitions is neutral-to-
+        # negative, so the low default stands. On a cluster, size
+        # shuffles via $SPARK_GRAFT_SHUFFLE_PARTITIONS (or spark.conf)
+        # so AQE coalesces DOWN from a generous start; skew-join
+        # splitting stays on either way.
         env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         if env is not None:
             shuffle_partitions = int(env)

@@ -882,3 +882,35 @@ def test_semantic_serving_scan_pushes_cluster_filter(spark, tmp_path):
     for ln in scans:
         assert "EqualTo(cluster_id,1)" in ln or "In(cluster_id" in ln, ln
         assert "codes" not in ln.split("ReadSchema")[-1]
+
+
+def test_multi_consumer_queries_scan_once(spark):
+    """r15 lineage barriers: queries whose shared upstream frame feeds
+    several consumers must materialize it ONCE (localCheckpoint), not
+    re-inline the scan pipeline per consumer. Before the barriers the
+    visible plans re-scanned the same parquet 2-10x (fuzzy decon: 10;
+    session overlaps / the SQL funnel: 6; TF-IDF: 3; packing: 2 — see
+    plans/r15/*_before.txt). Pin the ceiling on visible parquet scans
+    and require the checkpoint RDD to be present, so a refactor that
+    drops a barrier fails here instead of silently multiplying corpus
+    I/O at scale."""
+    max_parquet_scans = {
+        # every consumer reads the checkpointed frame
+        "docs_tfidf_top_terms": 0,
+        "docs_fuzzy_decontamination": 0,
+        "events_session_overlaps": 0,
+        "docs_pack_sequences": 0,
+        # lm + boilerplate kernels each scan docs once; the base/lang
+        # consumers read the checkpoint
+        "docs_corpus_report": 2,
+        # view/click stages are checkpointed; the purchase stage scans
+        "events_conversion_funnel": 1,
+    }
+    queries = entry_mod.queries()
+    for name, ceiling in max_parquet_scans.items():
+        p = plan_str(queries[name](spark, SF))
+        n_scans = sum(
+            1 for ln in p.splitlines() if "Scan parquet" in ln
+        )
+        assert n_scans <= ceiling, f"{name}: {n_scans} parquet scans\n{p}"
+        assert "ExistingRDD" in p or "LogicalRDD" in p, name

@@ -30,7 +30,12 @@ def main() -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan_capture")
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    if os.environ.get("PLAN_CAPTURE_EXTRA"):
+        from ballcone_spark.queries import EXTRA_QUERIES
+
+        for n, spec in EXTRA_QUERIES.items():
+            queries.setdefault(n, spec.fn)
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
