@@ -28,8 +28,10 @@ from pyspark.sql import functions as F
 from ballcone_spark.operators.lm_quality import (
     _BP_ORACLE,
     _LM_ORACLE,
+    _collect_model,
     bigram_lm_scores_np,
     boilerplate_spans,
+    quality_lm_signals_np,
 )
 from ballcone_spark.queries import _query, load_table
 
@@ -38,30 +40,66 @@ __all__ = ["corpus_report"]
 
 def corpus_report(docs: DataFrame) -> DataFrame:
     """One row per source: the dataset-card summary."""
-    # r7: the per-doc signal base runs the one-pass Arrow quality
-    # kernel (the JVM projection tokenized each doc ~5×; passthrough
-    # columns keep the stage shuffle-free) — same values, ratio
-    # division + round left JVM-side
-    from ballcone_spark.operators.text_analysis import quality_signals_np
+    # r16 (VERDICT r15 #1): quality signals AND LM score come out of ONE
+    # merged Arrow kernel pass (plus the plain-space token count the
+    # boilerplate denominator needs) — previously the quality kernel and
+    # the LM kernel each shipped the full corpus text across the Python
+    # boundary, and boilerplate_spans paid a THIRD corpus scan just for
+    # F.size(F.split(text)). Per-execution corpus passes: 4 → 2 (merged
+    # kernel + the 5-gram pass); the (doc_id)-keyed lm join disappears
+    # outright (ppl is a base column now). Falls back to the r15 shape
+    # when the bigram model exceeds the broadcast ceiling.
+    logp = _collect_model(docs)
+    if logp is not None:
+        # Lineage barrier (r15): base feeds the dup-fp aggregate, the
+        # per-doc join spine, the dominant-language count, AND (r16)
+        # the boilerplate denominator — without it the merged kernel
+        # would re-tokenize the corpus once per consumer.
+        base = quality_lm_signals_np(
+            docs, logp, extra_cols=("source", "lang", "n_chars")
+        ).select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4
+            ).alias("uniq_ratio"),
+            "fp",
+            "n_tokens_sp",
+            "ppl",
+        ).localCheckpoint(eager=False)
+        lm = None  # ppl rides base — identical values, no join
+        bp = boilerplate_spans(
+            docs,
+            vectorized=True,
+            ntokens=base.select(
+                "doc_id", F.col("n_tokens_sp").alias("n_tokens")
+            ),
+        ).select("doc_id", F.col("boilerplate").cast("int").alias("bp"))
+    else:
+        # open-vocabulary fallback — the r15 structure: quality kernel
+        # base + shuffle-join LM scorer + boilerplate's own denominator
+        from ballcone_spark.operators.text_analysis import quality_signals_np
 
-    # Lineage barrier (r15): base feeds the dup-fp aggregate, the
-    # per-doc join spine, AND (below) the dominant-language count —
-    # without it the Arrow quality kernel re-tokenized the corpus once
-    # per consumer (plan: documents scanned twice through MapInPandas +
-    # once more for lang_counts; now once).
-    base = quality_signals_np(
-        docs, extra_cols=("source", "lang", "n_chars")
-    ).select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "n_tokens",
-        F.round(
-            F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4
-        ).alias("uniq_ratio"),
-        "fp",
-    ).localCheckpoint(eager=False)
+        base = quality_signals_np(
+            docs, extra_cols=("source", "lang", "n_chars")
+        ).select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_uniq_tokens").cast("double") / F.col("n_tokens"), 4
+            ).alias("uniq_ratio"),
+            "fp",
+        ).localCheckpoint(eager=False)
+        lm = bigram_lm_scores_np(docs).select("doc_id", "ppl")
+        bp = boilerplate_spans(docs).select(
+            "doc_id", F.col("boilerplate").cast("int").alias("bp")
+        )
     dup_fps = (
         base.groupBy("fp")
         .agg(F.count("*").alias("c"))
@@ -71,24 +109,10 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     flagged = base.join(dup_fps, "fp", "left_semi").select(
         "doc_id", F.lit(1).alias("is_dup")
     )
-    # LM scoring via the map-side kernel (r7B): the model broadcasts as
-    # a dict and each doc is scored in one pass — no gram rows
-    # materialize, so neither the lead-window assembly nor the
-    # 25 M-row gram⋈model join exists (falls back to the shuffle join
-    # past BROADCAST_MODEL_MAX entries). Note the contrast with the
-    # REJECTED gram-rows kernel (interleaved A/B: ~30% slower — see
-    # _gram_rows_np): that one expanded rows through Arrow; this one is
-    # one row in, one row out. Boilerplate stays on the JVM gram source
-    # (its frequent-gram set is corpus-sized — no broadcastable model).
-    lm = bigram_lm_scores_np(docs).select("doc_id", "ppl")
-    bp = boilerplate_spans(docs).select(
-        "doc_id", F.col("boilerplate").cast("int").alias("bp")
-    )
-    per_doc = (
-        base.join(flagged, "doc_id", "left")
-        .join(lm, "doc_id", "left")
-        .join(bp, "doc_id", "left")
-    )
+    per_doc = base.join(flagged, "doc_id", "left")
+    if lm is not None:
+        per_doc = per_doc.join(lm, "doc_id", "left")
+    per_doc = per_doc.join(bp, "doc_id", "left")
     agg = per_doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -119,6 +119,20 @@ def bigram_lm_scores(
 BROADCAST_MODEL_MAX = 2_000_000
 
 
+def _collect_model(docs: DataFrame, text_col: str = "text") -> dict | None:
+    """The trained bigram model as a plain (g → logp) dict when it fits
+    the ``BROADCAST_MODEL_MAX`` ceiling, else None (open-vocabulary
+    corpora — callers fall back to the shuffle-join scorer). Factored
+    out (r16) so the merged quality+LM kernel shares the same
+    plan-build collect and the same ceiling decision as the standalone
+    scorer."""
+    model = bigram_model(docs, text_col)
+    rows = model.limit(BROADCAST_MODEL_MAX + 1).collect()
+    if len(rows) > BROADCAST_MODEL_MAX:
+        return None
+    return {r["g"]: r["logp"] for r in rows}
+
+
 def bigram_lm_scores_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Map-side twin of :func:`bigram_lm_scores` for corpora whose
     bigram model fits memory: the trained (g → logp) table broadcasts
@@ -136,11 +150,9 @@ def bigram_lm_scores_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Values are identical: the kernel sums the same model doubles the
     join would (`avg` order is arbitrary in both engines), docs with
     < 2 tokens drop out, and the round(·, 4) finish matches."""
-    model = bigram_model(docs, text_col)
-    rows = model.limit(BROADCAST_MODEL_MAX + 1).collect()
-    if len(rows) > BROADCAST_MODEL_MAX:
+    logp = _collect_model(docs, text_col)
+    if logp is None:
         return bigram_lm_scores(docs, text_col)
-    logp = {r["g"]: r["logp"] for r in rows}
 
     import math
 
@@ -191,6 +203,107 @@ def bigram_lm_scores_np(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round("avg_logp", 4).alias("avg_logp"),
         F.round("ppl", 4).alias("ppl"),
     )
+
+
+def quality_lm_signals_np(
+    docs: DataFrame,
+    logp: dict,
+    extra_cols: tuple[str, ...] = (),
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE Arrow pass emitting BOTH signal families the corpus report
+    consumes per doc (r16, VERDICT r15 #1 — previously two kernels each
+    shipped the full corpus text across the Python boundary):
+
+    - the quality-gate subset of :func:`~ballcone_spark.operators
+      .text_analysis.quality_signals_np` — ``n_tokens`` /
+      ``n_uniq_tokens`` / ``fp`` over the ws-regex tokenization of
+      trimmed text, value-identical (null text → nulls);
+    - ``n_tokens_sp`` — the PLAIN-space token count, parity with
+      ``F.size(F.split(text, ' '))`` (Python ``str.split(' ')`` keeps
+      empties exactly like Spark's limit=-1 split; null text → null) —
+      the denominator :func:`boilerplate_spans` needs;
+    - the LM columns of :func:`bigram_lm_scores_np` under the
+      already-collected ``logp`` model — ``n_bigrams`` / ``avg_logp`` /
+      ``ppl``, NULL exactly where the standalone kernel emits no row
+      (< 2 plain-space tokens, or every gram OOV), so a left join of
+      the standalone scorer is value-identical to reading the columns.
+
+    One row in, one row out; ``extra_cols`` echo through. The round(·,4)
+    finish on the LM columns is applied JVM-side, as in the standalone
+    scorer. Pinned against the two standalone kernels by
+    ``tests/test_corpus_report_merged.py``."""
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    extra = list(extra_cols)
+    sig_cols = [
+        "n_tokens", "n_uniq_tokens", "fp", "n_tokens_sp",
+        "n_bigrams", "avg_logp", "ppl",
+    ]
+
+    def stats(batches):
+        for pdf in batches:
+            out: dict = {c: [] for c in ["doc_id", *extra, *sig_cols]}
+            for row in zip(pdf["doc_id"], *[pdf[c] for c in extra], pdf[text_col]):
+                doc_id, text = row[0], row[-1]
+                out["doc_id"].append(doc_id)
+                for c, v in zip(extra, row[1:-1]):
+                    out[c].append(v)
+                if text is None:
+                    for c in sig_cols:
+                        out[c].append(None)
+                    continue
+                st = text.strip(" ")
+                toks = ws_re.split(st)
+                out["n_tokens"].append(len(toks))
+                out["n_uniq_tokens"].append(len(set(toks)))
+                out["fp"].append(
+                    hashlib.md5(
+                        ws_re.sub(" ", st.lower()).encode("utf-8")
+                    ).hexdigest()
+                )
+                t = text.split(" ")
+                out["n_tokens_sp"].append(len(t))
+                # OOV grams dropped from sum AND count — mirrors the
+                # standalone kernel (and the JVM twin's inner join)
+                s, n = 0.0, 0
+                for i in range(len(t) - 1):
+                    v = logp.get(t[i] + " " + t[i + 1])
+                    if v is None:
+                        continue
+                    s += v
+                    n += 1
+                if n == 0:
+                    out["n_bigrams"].append(None)
+                    out["avg_logp"].append(None)
+                    out["ppl"].append(None)
+                else:
+                    a = s / n
+                    out["n_bigrams"].append(n)
+                    out["avg_logp"].append(a)
+                    out["ppl"].append(math.exp(-a))
+            yield pd.DataFrame(out)
+
+    from ballcone_spark.plans.parallelism import widen
+
+    dtypes = dict(docs.dtypes)
+    schema_extra = "".join(f"{c} {dtypes[c]}, " for c in extra)
+    schema = (
+        f"doc_id long, {schema_extra}"
+        "n_tokens int, n_uniq_tokens int, fp string, n_tokens_sp int, "
+        "n_bigrams long, avg_logp double, ppl double"
+    )
+    scored = widen(docs.select("doc_id", *extra, text_col)).mapInPandas(
+        stats, schema
+    )
+    return scored.withColumn(
+        "avg_logp", F.round("avg_logp", 4)
+    ).withColumn("ppl", F.round("ppl", 4))
 
 
 def _gram_rows(docs: DataFrame, text_col: str, n: int) -> DataFrame:
@@ -270,7 +383,10 @@ def _grams(docs: DataFrame, text_col: str, n: int, vectorized: bool) -> DataFram
 
 
 def boilerplate_spans(
-    docs: DataFrame, text_col: str = "text", vectorized: bool = False
+    docs: DataFrame,
+    text_col: str = "text",
+    vectorized: bool = False,
+    ntokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, covered_tokens, covered_frac, boilerplate) —
     token positions covered by corpus-frequent exact 5-gram spans.
@@ -278,7 +394,14 @@ def boilerplate_spans(
     A position is covered when any span occurrence [pos, pos+4] that
     appears in >= MIN_DOCS distinct docs contains it; overlapping spans
     count once (distinct on position). Docs with no boilerplate span
-    report 0 coverage (left join back to the corpus)."""
+    report 0 coverage (left join back to the corpus).
+
+    ``ntokens`` (r16): a precomputed (doc_id, n_tokens) frame with the
+    plain-space token count per doc — callers that already materialized
+    it (the corpus report's merged kernel checkpoint) pass it in so the
+    coverage denominator does not cost a second corpus scan. Must be
+    1-row-per-doc with ``F.size(F.split(text, ' '))`` parity; default
+    None recomputes from ``docs`` (unchanged behavior)."""
     w = F.split(F.col(text_col), " ")
     # one codegen gram pass, materialized lazily: both consumers below
     # (the frequency aggregate and the occurrence semi-join) reference
@@ -322,7 +445,11 @@ def boilerplate_spans(
         .groupBy("doc_id")
         .agg(F.sum("c").alias("covered_tokens"))
     )
-    base = docs.select("doc_id", F.size(w).alias("n_tokens"))
+    base = (
+        ntokens
+        if ntokens is not None
+        else docs.select("doc_id", F.size(w).alias("n_tokens"))
+    )
     out = base.join(covered, "doc_id", "left").select(
         "doc_id",
         "n_tokens",

@@ -900,9 +900,10 @@ def test_multi_consumer_queries_scan_once(spark):
         "docs_fuzzy_decontamination": 0,
         "events_session_overlaps": 0,
         "docs_pack_sequences": 0,
-        # lm + boilerplate kernels each scan docs once; the base/lang
-        # consumers read the checkpoint
-        "docs_corpus_report": 2,
+        # r16: quality+LM signals come out of ONE merged kernel pass and
+        # the boilerplate denominator reads it too — every consumer reads
+        # one of the two checkpoints (merged kernel, 5-gram rows)
+        "docs_corpus_report": 0,
         # view/click stages are checkpointed; the purchase stage scans
         "events_conversion_funnel": 1,
     }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Capture ``.explain("formatted")`` for every declared driver query.
 
-Writes ``plans/r15/<query>_<tag>.txt`` (tag = before/after) so the
+Writes ``plans/$PLAN_CAPTURE_DIR/<query>_<tag>.txt`` (default r16) (tag = before/after) so the
 optimization round's plan claims are checkable without running Spark.
 Also emits a one-line summary per query (Exchange count, join nodes,
 Python-eval nodes, scan pushdown presence) to stdout for the checklist.
@@ -26,7 +26,9 @@ def main() -> None:
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLAN_CAPTURE_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan_capture")
