@@ -443,9 +443,14 @@ def exact_jaccard_on_pairs(
         # 19.7 s behind the barrier)
         sets = shingle_sets_np(docs, n=n).localCheckpoint(eager=False)
     else:
+        # same barrier as the Arrow branch (r16): both join sides below
+        # reference this frame — un-checkpointed, the JVM shingle-set
+        # projection (the HOF tokenize+distinct chain) ran twice per
+        # execution. The construction itself is byte-identical; only
+        # the second evaluation is gone.
         sets = docs.withColumn("toks", tokens(F.col("text"))).select(
             "doc_id", shingles_of(F.col("toks"), n=n).alias("sh")
-        )
+        ).localCheckpoint(eager=False)
     if hashed:
         # injective by caller contract ⇒ distinctness and every set
         # cardinality survive the mapping; Jaccard values are identical
@@ -531,7 +536,17 @@ def _rare_shingle_candidates(
             max_df = max(_MAX_DF, n_docs // _DF_SCALE_DIVISOR)
         if pair_budget is None:
             pair_budget = max(_PAIR_BUDGET_FLOOR, n_docs * _PAIR_BUDGET_PER_DOC)
-    e = shingle_rows(docs, n=n)
+    # Lineage barrier (r16, VERDICT r15 #5): this frame is referenced
+    # FOUR ways — the injectivity aggregate and the df-cut histogram at
+    # plan build, then the hot-shingle aggregate AND the inverted index
+    # at execution. Un-checkpointed, each reference re-ran the shingle
+    # construction (2 corpus scans per execution + 2 more across the
+    # plan-build jobs); behind the barrier the injectivity job
+    # materializes it once and every later reference reads blocks. Both
+    # registered callers (ngram_jaccard, containment) are
+    # fingerprint-cached on the documents parquet, so the baked blocks
+    # can never go stale against a data change.
+    e = shingle_rows(docs, n=n).localCheckpoint(eager=False)
     # One aggregation over the distinct shingle space licenses the
     # hashed paths: if xxhash64 is injective on THIS corpus's shingles
     # (it always has been; 2⁻⁶⁴ per pair of shingles), the inverted
@@ -883,6 +898,9 @@ _MINHASH_LSH_ORACLE = f"""
     driver=False,  # demoted r7: the vectorized twin (same oracle
     # VERBATIM, bit-identical at oracle SFs) is the driver entry; this
     # pure-JVM path stays the cross-check twin, hash-checked locally
+    # r16: the verify's shingle-set frame is checkpointed now — baked
+    # state, so the plan must rebuild when the source parquet changes
+    cacheable=("documents",),
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands × 4 rows) candidate generation, verified

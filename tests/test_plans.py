@@ -906,6 +906,11 @@ def test_multi_consumer_queries_scan_once(spark):
         "docs_corpus_report": 0,
         # view/click stages are checkpointed; the purchase stage scans
         "events_conversion_funnel": 1,
+        # r16: the candidate front half's shingle frame and the JVM
+        # verify's shingle-set frame are both checkpointed — the four
+        # references (hot-shingle agg, inverted index, verify a/b sides)
+        # read blocks
+        "dedup_ngram_jaccard": 0,
     }
     queries = entry_mod.queries()
     for name, ceiling in max_parquet_scans.items():
