@@ -29,6 +29,20 @@ from ballcone_spark.queries import _query, load_table
 
 __all__ = ["overlap_pairs", "sessions_with_bounds"]
 
+#: long-row broadcast ceiling (rows, both sides summed). The long-row
+#: branch broadcasts the tail of the interval-length distribution and
+#: nested-loop-joins it against the other side — O(|long| · |other|)
+#: compute that is only cheap while |long| is genuinely rare. r15 VERDICT
+#: #4: "rare" was asserted by design, not gated — a pathological session
+#: distribution (clock-skewed sources, never-expiring sessions) makes
+#: the broadcast branch the hot path at 100 TB. Above this ceiling the
+#: guard is disabled instead: every row takes the bin-bucketed equi-join
+#: (exact, linear in rows · len/bin, distributable) — when long rows are
+#: this common, their explode cost is bounded by len/bin per row while
+#: the nested loop is |other| per row. 50 k broadcast rows ≈ 2 MB built;
+#: the gate is about the O(n·m) compute, not the broadcast memory.
+LONG_BROADCAST_MAX_ROWS = 50_000
+
 
 def overlap_pairs(
     a: DataFrame,
@@ -38,6 +52,7 @@ def overlap_pairs(
     end: str = "end",
     bin_expr: str = "1 hour",
     long_threshold: str | None = "7 days",
+    long_broadcast_max: int | None = LONG_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Pairs of rows from ``a`` × ``b`` whose [start, end] intervals
     overlap (inclusive). ``on`` = extra equi-keys (may be empty).
@@ -55,6 +70,14 @@ def overlap_pairs(
     other side is O(|long| · |other|) with a tiny first factor, exact,
     and shuffle-free. Pass ``long_threshold=None`` to disable the guard
     when interval length is structurally bounded.
+
+    ``long_broadcast_max`` (r16): the "rare" assumption is now GATED,
+    not asserted — one plan-build count of the long rows (cheap when the
+    caller hands in checkpointed frames, as the registered query does),
+    and above the ceiling the broadcast branch is abandoned: every row
+    goes through the bin-bucketed equi-join (``long_threshold=None``
+    semantics — identical results, the exact predicate verifies every
+    candidate either way). ``None`` disables the gate (r15 behavior).
     """
 
     def pfx_cols(df: DataFrame, pfx: str) -> list:
@@ -73,6 +96,19 @@ def overlap_pairs(
     exact = (F.col(f"a_{start}") <= F.col(f"b_{end}")) & (
         F.col(f"b_{start}") <= F.col(f"a_{end}")
     )
+
+    if long_threshold is not None and long_broadcast_max is not None:
+        # the gate: one count of the length-distribution tail at plan
+        # build (sums both sides; one job when a IS b, the self-join
+        # shape the registered query uses)
+        is_long_probe = (F.col(end) - F.col(start)) > F.expr(
+            f"INTERVAL {long_threshold}"
+        )
+        n_long = a.where(is_long_probe).count()
+        if b is not a:
+            n_long += b.where(is_long_probe).count()
+        if n_long > long_broadcast_max:
+            long_threshold = None
 
     if long_threshold is None:
         a_short, b_short = a, b

@@ -1469,6 +1469,51 @@ def test_overlap_pairs_pathological_long_interval(spark):
     assert short == 4  # ids 1 and 6 routed to the broadcast path
 
 
+def test_overlap_pairs_long_broadcast_ceiling_gate(spark):
+    """r16 (VERDICT r15 #4): the long-row broadcast path assumed long
+    rows are rare BY DESIGN; now a plan-build count gates it. Below the
+    ceiling the plan keeps the BroadcastNestedLoopJoin branch; above it
+    the guard is abandoned and every row takes the bin-bucketed
+    equi-join — both strategies must return identical exact results."""
+    import datetime as dt
+    import itertools
+
+    from ballcone_spark.operators.range_join import overlap_pairs
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1), T(2024, 1, 20)),          # long (> 7 days)
+        (2, T(2024, 1, 15, 10), T(2024, 1, 15, 11)),  # inside 1
+        (3, T(2024, 1, 25, 9), T(2024, 1, 25, 10)),   # outside 1
+        (4, T(2024, 1, 2), T(2024, 1, 16)),           # long, overlaps 1+2
+    ]
+    df = spark.createDataFrame(rows, "id int, start timestamp, end timestamp")
+    brute = {
+        tuple(sorted((x[0], y[0])))
+        for x, y in itertools.permutations(rows, 2)
+        if x[1] <= y[2] and y[1] <= x[2]
+    }
+
+    def run(ceiling):
+        out = overlap_pairs(
+            df, df, on=[], long_threshold="7 days",
+            long_broadcast_max=ceiling,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        got = {
+            tuple(sorted((r["a_id"], r["b_id"])))
+            for r in out.collect()
+            if r["a_id"] != r["b_id"]
+        }
+        return plan, got
+
+    plan_bc, got_bc = run(ceiling=1_000)    # 2 long rows < ceiling
+    plan_binned, got_binned = run(ceiling=1)  # 2 long rows > ceiling
+    assert "BroadcastNestedLoopJoin" in plan_bc
+    assert "BroadcastNestedLoopJoin" not in plan_binned
+    assert got_bc == got_binned == brute
+
+
 def test_kmeans_codebook_properties(spark):
     """Lloyd's k-means trainer: k cells, assignments partition the
     corpus, objective (mean cosine-to-centroid) is non-decreasing over
