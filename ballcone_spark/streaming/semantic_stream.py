@@ -274,7 +274,7 @@ def _snapshot_names(
 
 def _read_folded_dir(
     spark: SparkSession, root: str, merge_schema: bool = False,
-    commit_cache: dict | None = None,
+    commit_cache: dict | None = None, schema: str | None = None,
 ):
     """Manifest-snapshot read of a folded state dir through the Hadoop
     FS API: the manifest's fold dir plus per-batch dirs with
@@ -284,7 +284,17 @@ def _read_folded_dir(
     for both the index and decisions readers (review r12 #6);
     ``merge_schema`` is the decisions dir's cross-generation schema
     union (pre-alias partitions must surface canonical=null, not drop
-    the column)."""
+    the column).
+
+    ``schema`` (r16 driver-job diet): an explicit DDL read schema.
+    Schema inference and mergeSchema each cost ONE SPARK JOB per
+    ``read.parquet`` call — per-trigger overhead in the streaming
+    loops; a user-specified schema costs zero (measured). Missing
+    columns in older generations read as null — the same result the
+    mergeSchema union produced — so ``schema`` supersedes
+    ``merge_schema``. Declare ``batch_id int`` (the partition-inferred
+    physical type a fold bakes into its concat file); readers cast up
+    to long after, as before."""
     snap = _snapshot_names(spark, root, commit_cache=commit_cache)
     if snap is None:
         return None
@@ -292,7 +302,9 @@ def _read_folded_dir(
 
     def _reader():
         r = spark.read
-        if merge_schema:
+        if schema is not None:
+            r = r.schema(schema)
+        elif merge_schema:
             r = r.option("mergeSchema", "true")
         return r
 
@@ -313,9 +325,27 @@ def _read_folded_dir(
     return df
 
 
+#: explicit read schemas for the streaming loop's per-trigger state
+#: reads (r16): schema inference / mergeSchema cost one Spark job per
+#: read.parquet call; these cost zero. batch_id is declared int (the
+#: partition-inferred physical type folds bake in) and cast to long by
+#: the readers, exactly as the inferred path did. Exact-mode index
+#: generations carry no ``codes`` column and read as null through the
+#: explicit schema — the same shape the readers already enforce.
+_IDX_READ_SCHEMA = (
+    "vec_id long, cluster_id long, e array<double>, nrm double, "
+    "codes array<int>, batch_id int"
+)
+_DEC_READ_SCHEMA = (
+    "vec_id long, cluster_id long, is_dup boolean, n_matches long, "
+    "canonical long, batch_id int"
+)
+
+
 def read_semantic_index(
     spark: SparkSession, index_dir: str,
     commit_cache: dict | None = None,
+    schema: str | None = None,
 ):
     """The resident index as a DataFrame, or None before the first batch
     lands. Probed through the Hadoop FS API (ADVICE r6: an os.listdir
@@ -328,7 +358,9 @@ def read_semantic_index(
     snapshot rule, so a read racing a fold never double-counts. With no
     manifest (never folded, or an object store where the fold no-ops)
     this degrades to exactly the old whole-dir read."""
-    df = _read_folded_dir(spark, index_dir, commit_cache=commit_cache)
+    df = _read_folded_dir(
+        spark, index_dir, commit_cache=commit_cache, schema=schema
+    )
     if df is None:
         return None
     # enforce the _IDX_SCHEMA shape the old schema-pinned read gave:
@@ -597,6 +629,7 @@ def read_state_before(
 def read_semantic_decisions(
     spark: SparkSession, decisions_dir: str,
     commit_cache: dict | None = None,
+    schema: str | None = None,
 ):
     """Every decision row ``(vec_id, cluster_id, is_dup, n_matches
     [, canonical], batch_id)``, or None before the first batch — THE
@@ -610,7 +643,7 @@ def read_semantic_decisions(
     nondeterministically dropping the column."""
     df = _read_folded_dir(
         spark, decisions_dir, merge_schema=True,
-        commit_cache=commit_cache,
+        commit_cache=commit_cache, schema=schema,
     )
     if df is None:
         return None
@@ -903,17 +936,47 @@ def semantic_index_topk(
 def _read_decision_canon(
     spark: SparkSession, decisions_dir: str, batch_id: int,
     commit_cache: dict | None = None,
+    schema: str | None = None,
 ):
     """vec_id → canonical from prior decisions (``batch_id <
     current``), or None when no decisions exist yet. Delegates to the
     manifest-aware :func:`read_semantic_decisions`; pre-alias rows read
     canonical=null and the decide paths' coalesce falls back to
     self."""
-    df = read_semantic_decisions(spark, decisions_dir, commit_cache)
+    df = read_semantic_decisions(spark, decisions_dir, commit_cache, schema)
     if df is None or "canonical" not in df.columns:
         return None
     return df.where(F.col("batch_id") < F.lit(batch_id)).select(
         "vec_id", "canonical"
+    )
+
+
+#: batch-cluster isin ceiling (r16 driver-job diet): the per-trigger
+#: probe hands the decide passes the batch's distinct cluster ids
+#: driver-side (bounded by the frozen centroid count), so history can
+#: be pruned with an ``isin`` predicate that PUSHES into the history
+#: parquet scan (the fold is cluster_id-sorted — row groups prune) and
+#: costs no broadcast job. Past this many clusters the literal list
+#: stops being a sane expression tree and the prune falls back to the
+#: r15 broadcast semi-join — same rows either way.
+BATCH_CLUSTER_ISIN_MAX = 1024
+
+
+def _prune_hist_clusters(
+    hist: DataFrame, new: DataFrame, batch_clusters: list | None
+) -> DataFrame:
+    """History rows belonging to the batch's clusters — isin pushdown
+    when the driver already knows the (bounded) cluster list, broadcast
+    semi-join otherwise."""
+    if (
+        batch_clusters is not None
+        and len(batch_clusters) <= BATCH_CLUSTER_ISIN_MAX
+    ):
+        return hist.where(F.col("cluster_id").isin(batch_clusters))
+    return hist.join(
+        F.broadcast(new.select("cluster_id").distinct()),
+        "cluster_id",
+        "left_semi",
     )
 
 
@@ -924,6 +987,7 @@ def _decide_compressed(
     books,
     eps: float,
     hist_canon: DataFrame | None = None,
+    batch_clusters: list | None = None,
 ):
     """Compressed-domain decision pass (VERDICT r6 #3): the per-cluster
     kernel ships history PQ CODES (m bytes/row) instead of full vectors
@@ -950,9 +1014,8 @@ def _decide_compressed(
         "vec_id", "cluster_id", "e", "nrm", F.lit(True).alias("_new")
     )
     if hist is not None:
-        clusters = new.select("cluster_id").distinct()
         old = (
-            hist.join(F.broadcast(clusters), "cluster_id", "left_semi")
+            _prune_hist_clusters(hist, new, batch_clusters)
             .select(
                 "vec_id",
                 "cluster_id",
@@ -1108,6 +1171,7 @@ def _decide(
     hist: DataFrame | None,
     tau: float,
     hist_canon: DataFrame | None = None,
+    batch_clusters: list | None = None,
 ):
     """(vec_id, cluster_id, is_dup, n_matches, canonical) for the batch
     rows. ``canonical`` (r11 alias emission) is the redirect target a
@@ -1136,8 +1200,7 @@ def _decide(
         F.lit(-1).cast("long").alias("_canon"),
     )
     if hist is not None:
-        clusters = new.select("cluster_id").distinct()
-        old = hist.join(F.broadcast(clusters), "cluster_id", "left_semi")
+        old = _prune_hist_clusters(hist, new, batch_clusters)
         if hist_canon is not None:
             old = old.join(hist_canon.hint("merge"), "vec_id", "left")
             canon_col = F.coalesce("canonical", "vec_id")
@@ -1315,24 +1378,44 @@ def start_semantic_dedup_stream(
         routed = _route_np(batch_df, ids, cmat)
         if compressed:
             routed = _with_codes(routed, books)
-        routed = routed.localCheckpoint(eager=True)
-        if not routed.take(1):
+        # r16 driver-job diet (VERDICT r15 #3): ONE probe job replaces
+        # three — the lazy checkpoint materializes under a shuffle-free
+        # collect of the (batch-bounded, backpressured) cluster_id
+        # projection, which answers emptiness (previously a separate
+        # take(1)) AND hands the decide pass the batch's distinct
+        # cluster ids (previously a broadcast-exchange job per
+        # decisions write). A groupBy probe would pay AQE's two-job
+        # split for the shuffle; the plain collect is one job.
+        routed = routed.localCheckpoint(eager=False)
+        rows = routed.select("cluster_id").collect()
+        if not rows:
             return
-        hist = read_semantic_index(spark, index_dir, commit_cache=idx_cache)
+        batch_clusters = sorted({r[0] for r in rows})
+        # explicit read schemas: inference/mergeSchema cost one Spark
+        # job per read.parquet — two more jobs per trigger, gone
+        hist = read_semantic_index(
+            spark, index_dir, commit_cache=idx_cache,
+            schema=_IDX_READ_SCHEMA,
+        )
         hist_canon = None
         if hist is not None:
             hist = hist.where(F.col("batch_id") < F.lit(batch_id)).drop(
                 "batch_id"
             )
             hist_canon = _read_decision_canon(
-                spark, decisions_dir, batch_id, commit_cache=dec_cache
+                spark, decisions_dir, batch_id, commit_cache=dec_cache,
+                schema=_DEC_READ_SCHEMA,
             )
         if compressed:
             decisions = _decide_compressed(
-                routed, hist, tau, books, eps, hist_canon=hist_canon
+                routed, hist, tau, books, eps, hist_canon=hist_canon,
+                batch_clusters=batch_clusters,
             )
         else:
-            decisions = _decide(routed, hist, tau, hist_canon=hist_canon)
+            decisions = _decide(
+                routed, hist, tau, hist_canon=hist_canon,
+                batch_clusters=batch_clusters,
+            )
         _overwrite_partition(decisions, decisions_dir, batch_id)
         _overwrite_partition(routed, index_dir, batch_id)
         if compact_every is not None:
