@@ -200,6 +200,7 @@ def _grams(df: DataFrame, n: int) -> DataFrame:
 def _read_state(
     spark: SparkSession, root: str, batch_id: int,
     reader_caches: dict | None = None,
+    schema: str | None = None,
 ):
     from ballcone_spark.streaming.semantic_stream import read_state_before
 
@@ -207,7 +208,25 @@ def _read_state(
         reader_caches.setdefault(root, {})
         if reader_caches is not None else None
     )
-    return read_state_before(spark, root, batch_id, commit_cache=cache)
+    return read_state_before(
+        spark, root, batch_id, commit_cache=cache, schema=schema
+    )
+
+
+#: explicit read schemas for the per-trigger history reads (r16 —
+#: schema inference costs one Spark job per read.parquet call; these
+#: cost zero). batch_id is the partition-inferred int, exactly the type
+#: the inferred path yielded. The DOC-gram dir's schema depends on the
+#: dir's frozen geometry (bucketed dirs carry hb), so the batch loop
+#: builds it from the n_buckets it already holds.
+_BENCH_READ_SCHEMA = "h long, batch_id int"
+_FLAGS_READ_SCHEMA = "doc_id long, flagged_batch int, batch_id int"
+
+
+def _doc_read_schema(n_buckets) -> str:
+    return "doc_id long, h long" + (
+        ", hb int" if n_buckets else ""
+    ) + ", batch_id int"
 
 
 def _pruned_doc_history(
@@ -233,9 +252,6 @@ def _pruned_doc_history(
     gate — missed contamination with no error. In a healthy bucketed
     dir every row carries hb, so the isNull branch matches no
     partition and prunes identically."""
-    doc_hist = _read_state(spark, doc_grams_dir, batch_id, reader_caches)
-    if doc_hist is None:
-        return None
     if n_buckets is _GEOM_ABSENT:
         # standalone callers; the batch loop passes the geometry it
         # already holds (int, or None = unbucketed), saving one FS
@@ -243,6 +259,14 @@ def _pruned_doc_history(
         n_buckets = _read_geometry(spark, doc_grams_dir)
         if n_buckets is _GEOM_ABSENT:
             n_buckets = None
+    # geometry resolved first so the read takes the explicit per-layout
+    # schema (r16 — no schema-inference job per bench arrival)
+    doc_hist = _read_state(
+        spark, doc_grams_dir, batch_id, reader_caches,
+        schema=_doc_read_schema(n_buckets),
+    )
+    if doc_hist is None:
+        return None
     if n_buckets and "hb" in doc_hist.columns:
         hbs = sorted(
             r["hb"]
@@ -373,7 +397,10 @@ def process_decon_batch(
         bench_g = bench_g.localCheckpoint(eager=True)
 
     flags = []
-    bench_hist = _read_state(spark, bench_grams_dir, batch_id, reader_caches)
+    bench_hist = _read_state(
+        spark, bench_grams_dir, batch_id, reader_caches,
+        schema=_BENCH_READ_SCHEMA,
+    )
     if doc_g is not None:
         # forward: new docs vs benchmark history ∪ same-batch
         # benchmarks. The BENCH side is the history here (it grows with
@@ -419,7 +446,10 @@ def process_decon_batch(
         # the latest-wins fold degenerates to a no-op for it, and
         # ``flagged_batch`` stays the EARLIEST flagging batch across
         # folds (a latest-wins fold would otherwise overwrite it)
-        flag_hist = _read_state(spark, flags_dir, batch_id, reader_caches)
+        flag_hist = _read_state(
+            spark, flags_dir, batch_id, reader_caches,
+            schema=_FLAGS_READ_SCHEMA,
+        )
         out = out.distinct()
         if flag_hist is not None:
             # no broadcast hint (r13 review): NEITHER side is bounded —

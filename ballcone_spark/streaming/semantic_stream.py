@@ -612,6 +612,7 @@ def _adc_sims(q, codes, B):
 def read_state_before(
     spark: SparkSession, root: str, batch_id: int,
     commit_cache: dict | None = None,
+    schema: str | None = None,
 ):
     """History rows with ``batch_id < current`` through the manifest
     snapshot (None before the first batch) — THE shared
@@ -619,8 +620,12 @@ def read_state_before(
     private copy of the same contract). ``commit_cache``: the
     per-stream committed-dir memo (see :func:`_snapshot_names`) — safe
     exactly here because this reader only ever selects dirs a replay
-    can no longer rewrite."""
-    df = _read_folded_dir(spark, root, commit_cache=commit_cache)
+    can no longer rewrite. ``schema``: explicit read schema (r16 —
+    skips the per-call schema-inference job; see
+    :func:`_read_folded_dir`)."""
+    df = _read_folded_dir(
+        spark, root, commit_cache=commit_cache, schema=schema
+    )
     if df is None:
         return None
     return df.where(F.col("batch_id") < F.lit(batch_id))
