@@ -167,12 +167,54 @@ _PLAN_CACHE: dict[tuple[str, str, str], tuple[tuple, DataFrame]] = {}
 def _table_fingerprints(sf_dir: str, tables: tuple[str, ...]) -> tuple:
     out = []
     for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
         try:
-            st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
-            out.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+            st = os.stat(path)
+            if os.path.isdir(path):
+                # directory-style parquet (ADVICE r15 #1): the dir
+                # entry's own size/mtime does not change when a part
+                # file is rewritten in place — fingerprint the sorted
+                # per-file (relpath, size, mtime_ns) listing instead,
+                # so any part-file change rebuilds the plan (and its
+                # baked checkpoints/literals)
+                parts = []
+                for root, _dirs, files in os.walk(path):
+                    for f in sorted(files):
+                        fp = os.path.join(root, f)
+                        fst = os.stat(fp)
+                        parts.append(
+                            f"{os.path.relpath(fp, path)}:"
+                            f"{fst.st_size}:{fst.st_mtime_ns}"
+                        )
+                out.append(f"{t}:dir:" + ",".join(sorted(parts)))
+            else:
+                out.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
         except OSError:
             out.append(f"{t}:missing")
     return tuple(out)
+
+
+def _unpersist_plan_checkpoints(df: DataFrame) -> None:
+    """Best-effort release of a superseded cached plan's materialized
+    localCheckpoint blocks (ADVICE r15 #2): on a fingerprint-miss
+    replacement the old DataFrame's checkpointed RDDs otherwise stay
+    pinned until GC + ContextCleaner get around to them — repeated
+    data-change cycles in a resident daemon accumulate dead blocks.
+    Every lineage barrier surfaces as a LogicalRDD LEAF of the analyzed
+    plan, so walking the leaves finds exactly this plan's checkpoints.
+
+    Safe because a replaced entry is never served again, and any OTHER
+    cached query sharing one of these frames is (by the r15 convention)
+    fingerprint-keyed on the same source tables, so it rebuilds on its
+    next call rather than re-executing over the released blocks."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail a query
+        pass
 
 
 def _plan_cached(
@@ -189,6 +231,11 @@ def _plan_cached(
         key = (spark.sparkContext.applicationId, sf_dir, name)
         hit = _PLAN_CACHE.get(key)
         if hit is None or hit[0] != fp:
+            if hit is not None:
+                # fingerprint miss: release the superseded plan's
+                # checkpoint blocks instead of waiting on GC (ADVICE
+                # r15 #2)
+                _unpersist_plan_checkpoints(hit[1])
             hit = (fp, build(spark, sf_dir))
             _PLAN_CACHE[key] = hit
         return hit[1]
@@ -196,6 +243,23 @@ def _plan_cached(
     fn.__name__ = getattr(build, "__name__", name)
     fn.__doc__ = build.__doc__
     return fn
+
+
+def evict_plan(name: str) -> int:
+    """Drop every cached plan for ``name`` (all apps/sf_dirs) and
+    release its checkpoint blocks. Escape hatch for ADVICE r15 #3: a
+    localCheckpoint cuts lineage, so on a CLUSTER an executor loss
+    makes a cached plan's materialized blocks unrecoverable and every
+    later execution fails until the plan is rebuilt — the fingerprint
+    guard alone never notices, because the source parquet is unchanged.
+    A serving layer that catches a checkpoint-block-lost failure should
+    call this and retry once. In the shipped local-mode deployments
+    (one JVM, static executor) the failure class cannot occur — which
+    is why eviction is an escape hatch, not an automatic wrapper."""
+    gone = [k for k in _PLAN_CACHE if k[2] == name]
+    for k in gone:
+        _unpersist_plan_checkpoints(_PLAN_CACHE.pop(k)[1])
+    return len(gone)
 
 #: Operators kept callable + pytest-covered but NOT exported to the driver
 #: registry. The driver's correctness harness checks the first 50 entries
