@@ -935,6 +935,48 @@ def _duck_chunk_alias(dim: int, tau: float) -> str:
     """
 
 
+#: (applicationId, sf_dir) → (documents fingerprint, chunk-cluster
+#: frame). Cold-path cut (r16, VERDICT r15 #6): the driver's cold bench
+#: attributed ~31 s of its 92 s sf0.1 total to the THREE registered
+#: alias queries (map 11.4 s, arrival 10.0 s, resolve 11.4 s), each of
+#: which independently replayed the chunk pair pipeline (chunker →
+#: embeddings → gram self-join → exact-cosine verify) AND the
+#: star-alternation closure's driver-job rounds at plan build. The
+#: closure output is one frame all three derive from — memoize it with
+#: the same fingerprint guard (and superseded-checkpoint cleanup) the
+#: plan cache uses. Steady is untouched: each query's own cached plan
+#: already reused its frames; this shares the BUILD.
+_CHUNK_CLUSTERS_MEMO: dict = {}
+
+
+def _chunk_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id=chunk_fp, cluster_id=component-min fp) over the default-
+    geometry chunk semantic pairs — the shared core of the three alias
+    queries, built once per documents fingerprint."""
+    from ballcone_spark.operators.dedup import dedup_clusters
+    from ballcone_spark.queries import (
+        _table_fingerprints,
+        _unpersist_plan_checkpoints,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = _table_fingerprints(sf_dir, ("documents",))
+    hit = _CHUNK_CLUSTERS_MEMO.get(key)
+    if hit is None or hit[0] != fp:
+        if hit is not None:
+            _unpersist_plan_checkpoints(hit[1])
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = chunk_semantic_pairs(docs)
+        clusters = dedup_clusters(
+            pairs.select(
+                F.col("a_fp").alias("a_id"), F.col("b_fp").alias("b_id")
+            )
+        )
+        hit = (fp, clusters)
+        _CHUNK_CLUSTERS_MEMO[key] = hit
+    return hit[1]
+
+
 @_query(
     "docs_chunk_alias_map",
     _duck_chunk_alias(CHUNK_EMB_DIM, CHUNK_COS_T),
@@ -946,9 +988,15 @@ def docs_chunk_alias_map(spark, sf_dir):
     """Vector-store alias map (r10): WHICH chunk each semantic near-dup
     group keeps — canonical election verified end-to-end by the
     independent engine's recursive closure, the same guarantee level
-    the doc-dedup keep rules carry."""
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_alias_map(docs)
+    the doc-dedup keep rules carry. Built from the shared chunk-cluster
+    frame (r16 cold cut) — same functions, same output as
+    :func:`chunk_alias_map` over the default geometry."""
+    clusters = _chunk_clusters_cached(spark, sf_dir)
+    return clusters.select(
+        F.col("doc_id").alias("chunk_fp"),
+        F.col("cluster_id").alias("canonical_fp"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("chunk_fp")
 
 
 def apply_alias_map(
@@ -1036,15 +1084,21 @@ def docs_chunk_alias_resolve(spark, sf_dir):
     index-space the redirect saves, per doc). Independent engine
     replays the redirect through the recursive-closure labels.
 
-    The chunker runs ONCE (ADVICE r12): the refs side and the alias
-    map's pair pipeline share one lazily-checkpointed chunk frame —
-    chunk_documents has no shuffle, so without the shared checkpoint
-    the two branches would each re-run the chunker over the scan
-    (no ReusedExchange to rescue a shuffle-free subtree)."""
+    The alias map rides the shared chunk-cluster memo (r16 cold cut —
+    previously this build replayed the whole pair pipeline + closure
+    that docs_chunk_alias_map had just built); the refs side runs its
+    own shuffle-free chunker over the scan, checkpointed so the rollup
+    branches don't re-run it."""
     docs = load_table(spark, sf_dir, "documents")
     ch = chunk_documents(docs, with_tokens=True).localCheckpoint(eager=False)
     refs = ch.select("doc_id", "chunk_fp")
-    resolved = apply_alias_map(refs, chunk_alias_map(docs, chunks=ch))
+    clusters = _chunk_clusters_cached(spark, sf_dir)
+    alias_map = clusters.select(
+        F.col("doc_id").alias("chunk_fp"),
+        F.col("cluster_id").alias("canonical_fp"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+    resolved = apply_alias_map(refs, alias_map)
     return (
         resolved.groupBy("doc_id")
         .agg(

@@ -590,10 +590,12 @@ def docs_chunk_alias_arrival(spark, sf_dir):
     fb = ch.groupBy("chunk_fp").agg(
         F.min(F.col("doc_id") % _N_ARRIVAL_BATCHES).alias("first_batch")
     )
-    pairs = chunk_semantic_pairs(docs)
-    clusters = dedup_clusters(
-        pairs.select(F.col("a_fp").alias("a_id"), F.col("b_fp").alias("b_id"))
-    )
+    # shared chunk-cluster frame (r16 cold cut): same pairs, same
+    # closure as docs_chunk_alias_map — built once per documents
+    # fingerprint instead of once per registered alias query
+    from ballcone_spark.operators.packing import _chunk_clusters_cached
+
+    clusters = _chunk_clusters_cached(spark, sf_dir)
     members = clusters.select(
         F.col("doc_id").alias("chunk_fp"), F.col("cluster_id").alias("comp")
     ).join(fb.hint("merge"), "chunk_fp")

@@ -253,6 +253,17 @@ def main() -> None:
     with open(os.path.join(here, "bench_detail_last.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
     payload["detail_file"] = "bench_detail_last.json"
+    # r16 (VERDICT r15 #8, measurement addition only): ALSO write a
+    # per-configuration sidecar — the r15 8-core run overwrote the
+    # 32-core run's bench_detail_last.json, losing exactly the raw
+    # samples needed to adjudicate that round's ambient-load
+    # "regressions". One file per (cpus, sf) survives a same-day re-run
+    # at another configuration. Timing/JSON contract unchanged.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "all")
+    cfg_name = f"bench_detail_c{cpus_tag}_sf{sf}.json"
+    with open(os.path.join(here, cfg_name), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    payload["detail_file_cfg"] = cfg_name
     print(json.dumps(payload))
     spark.stop()
 
