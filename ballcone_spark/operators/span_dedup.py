@@ -572,10 +572,15 @@ def span_deduped_corpus(
         .localCheckpoint(eager=False)
     )
 
+    # materialize ONCE (r16): base is referenced THREE ways below (the
+    # tail join, the piece join, and the final rollup spine) — the
+    # projection is shuffle-free, so without a barrier each reference
+    # re-scanned the corpus and re-split every text (plan: 3 parquet
+    # scans; now 0 visible). Registered caller is fingerprint-cached.
     base = docs.where(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.split(F.col(text_col), " ").alias("_w"),
-    )
+    ).localCheckpoint(eager=False)
     n_in = F.size("_w").cast("long")
 
     # kept pieces: before each merged interval (from prev end+1 to s-1)

@@ -911,6 +911,10 @@ def test_multi_consumer_queries_scan_once(spark):
         # references (hot-shingle agg, inverted index, verify a/b sides)
         # read blocks
         "dedup_ngram_jaccard": 0,
+        # r16: the split-text base spine is checkpointed — tail/piece/
+        # rollup references read blocks instead of re-splitting the
+        # corpus
+        "docs_span_deduped_corpus": 0,
     }
     queries = entry_mod.queries()
     for name, ceiling in max_parquet_scans.items():
