@@ -44,7 +44,6 @@ ARROW_ALLOWED = {
     "embeddings_ann_ivf_recall",
     "docs_curation_pipeline",                # one-pass quality kernel
     #   (the JVM projection tokenized each doc ~5×; JVM twin is EXTRA)
-    "docs_corpus_report",                    # same kernel as its base
     "docs_decon_arrival",                    # gram-rows kernel replaces
     #   the lead-window token shuffle on both semi-join sides (r14: the
     #   arrival replay took docs_decontamination's driver slot; the
@@ -56,6 +55,10 @@ ARROW_ALLOWED = {
     # dedup_incremental_minhash materializes its signature frame behind
     # a localCheckpoint barrier, so its visible plan is an RDD scan with
     # zero Python markers — the gate sees (correctly) no Python stage.
+    # Same class since r16: docs_corpus_report's merged quality+LM
+    # kernel AND its gram kernel both live inside the query's two
+    # checkpoints (test_multi_consumer_queries_scan_once pins the
+    # barrier), so its visible plan carries no Python marker either.
 }
 
 
@@ -152,12 +155,16 @@ def test_fingerprint_plan_cache_reuses_and_invalidates(spark, tmp_path):
     fn = QUERIES["dedup_ngram_jaccard"].fn
     df1 = fn(spark, sf)
     assert fn(spark, sf) is df1  # cache hit: plan + baked cut reused
+    # count BEFORE invalidation: replacement now RELEASES the superseded
+    # plan's checkpoint blocks (r16, ADVICE r15 #2) — a replaced frame
+    # is dead, by design, not merely shadowed
+    n1 = df1.count()
 
     time.sleep(0.01)
     os.utime(dst)  # new mtime_ns = new fingerprint = stale literals
     df3 = fn(spark, sf)
     assert df3 is not df1  # rebuilt: the cut was re-derived
-    assert df3.count() == df1.count()  # same data → same result
+    assert df3.count() == n1  # same data → same result
     assert fn(spark, sf) is df3  # and the rebuild is itself cached
 
 
